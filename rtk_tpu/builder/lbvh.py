@@ -1,0 +1,176 @@
+"""LBVH topology from sorted Morton codes (Karras 2012), fully on-device.
+
+Replaces the reference's task-recursive SAH builder (rtk.c:867-1019) with a
+sort-based construction: every step below is a fixed-trip-count loop of dense
+vector ops over all nodes at once — no recursion, no atomics, no dynamic
+shapes — which is what XLA/TPU want.
+
+Numbering: L leaves (Morton-sorted triangle clusters), L-1 internal nodes.
+Internal node i covers a contiguous range of sorted leaves; node 0 is the
+root.  Child encoding (shared with traversal):
+    >= 0 : internal node index
+    == -1: empty slot
+    <= -2: leaf, id = -(child) - 2
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+EMPTY = jnp.int32(-1)
+
+
+def leaf_code(leaf_id):
+    return -leaf_id - 2
+
+
+def is_leaf_code(child):
+    return child <= -2
+
+
+def leaf_id_of(child):
+    return -child - 2
+
+
+def _delta(i: Array, j: Array, codes: Array, length: int) -> Array:
+    """Common-prefix length of augmented keys (code, index); -1 outside range.
+
+    Duplicate Morton codes fall back to index bits (total order), the
+    standard Karras duplicate-key treatment.
+    """
+    valid = (j >= 0) & (j < length)
+    jc = jnp.clip(j, 0, length - 1)
+    ci = jnp.take(codes, i)
+    cj = jnp.take(codes, jc)
+    x = ci ^ cj
+    xi = (i ^ jc).astype(jnp.uint32)
+    d = jnp.where(
+        x == 0,
+        32 + jax.lax.clz(xi).astype(jnp.int32),
+        jax.lax.clz(x).astype(jnp.int32),
+    )
+    return jnp.where(valid, d, jnp.int32(-1))
+
+
+def karras_topology(codes: Array):
+    """Binary radix-tree topology over L sorted Morton codes.
+
+    Returns (left, right): (L-1,) child arrays in the shared encoding.
+    Requires L >= 2 (callers special-case L == 1).
+    """
+    length = codes.shape[0]
+    assert length >= 2
+    codes = jnp.asarray(codes, jnp.uint32)
+    i = jnp.arange(length - 1, dtype=jnp.int32)
+    k_iters = max(1, math.ceil(math.log2(length))) + 1
+
+    d = jnp.where(
+        _delta(i, i + 1, codes, length) > _delta(i, i - 1, codes, length), 1, -1
+    ).astype(jnp.int32)
+    dmin = _delta(i, i - d, codes, length)
+
+    # Exponential search for an upper bound on the range length.
+    lmax = jnp.full_like(i, 2)
+    for _ in range(k_iters):
+        grow = _delta(i, i + lmax * d, codes, length) > dmin
+        lmax = jnp.where(grow, lmax * 2, lmax)
+
+    # Binary search for the exact other end of the range.
+    l = jnp.zeros_like(i)
+    for s in range(k_iters + 1):
+        t_step = lmax >> (s + 1)
+        take = (t_step >= 1) & (
+            _delta(i, i + (l + t_step) * d, codes, length) > dmin
+        )
+        l = jnp.where(take, l + t_step, l)
+
+    j = i + l * d
+    dnode = _delta(i, j, codes, length)
+
+    # Split search (do-while with per-lane ceil-halving step).
+    s = jnp.zeros_like(i)
+    t = l
+    done = jnp.zeros_like(i, dtype=bool)
+    for _ in range(k_iters + 2):
+        t2 = (t + 1) >> 1
+        take = (~done) & (_delta(i, i + (s + t2) * d, codes, length) > dnode)
+        s = jnp.where(take, s + t2, s)
+        done = done | (t2 <= 1)
+        t = t2
+
+    gamma = i + s * d + jnp.minimum(d, 0)
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    left = jnp.where(lo == gamma, leaf_code(gamma), gamma)
+    right = jnp.where(hi == gamma + 1, leaf_code(gamma + 1), gamma + 1)
+    return left.astype(jnp.int32), right.astype(jnp.int32)
+
+
+def node_parents(left: Array, right: Array) -> Array:
+    """Parent index for each *internal* node (-1 for the root)."""
+    n_int = left.shape[0]
+    i = jnp.arange(n_int, dtype=jnp.int32)
+    parent = jnp.full((n_int,), -1, jnp.int32)
+    parent = parent.at[jnp.where(left >= 0, left, n_int)].set(i, mode="drop")
+    parent = parent.at[jnp.where(right >= 0, right, n_int)].set(i, mode="drop")
+    return parent
+
+
+def node_depths(parent: Array) -> Array:
+    """Depth of each internal node via pointer doubling (log passes)."""
+    n_int = parent.shape[0]
+    up = parent
+    depth = jnp.where(up >= 0, 1, 0).astype(jnp.int32)
+    iters = max(1, math.ceil(math.log2(max(n_int, 2)))) + 1
+    for _ in range(iters):
+        upc = jnp.clip(up, 0, n_int - 1)
+        depth = depth + jnp.where(up >= 0, jnp.take(depth, upc), 0)
+        up = jnp.where(up >= 0, jnp.take(up, upc), -1)
+    return depth
+
+
+def refit_binary(left: Array, right: Array, leaf_min: Array, leaf_max: Array):
+    """Bottom-up AABB refit of the binary tree.
+
+    A fixpoint sweep: each pass finalises every node whose children are both
+    final, so the pass count equals the tree height (expected O(log L) for
+    Morton-sorted leaves).  This replaces rtk's recursive per-node bounds
+    accumulation (rtk.c:988-1009) and also serves per-frame refit.
+    """
+    n_int = left.shape[0]
+    n_leaf = leaf_min.shape[0]
+
+    def fetch(child, node_min, node_max, valid):
+        leaf = is_leaf_code(child)
+        li = jnp.clip(leaf_id_of(child), 0, n_leaf - 1)
+        ni = jnp.clip(child, 0, n_int - 1)
+        cmin = jnp.where(leaf[:, None], jnp.take(leaf_min, li, axis=0),
+                         jnp.take(node_min, ni, axis=0))
+        cmax = jnp.where(leaf[:, None], jnp.take(leaf_max, li, axis=0),
+                         jnp.take(node_max, ni, axis=0))
+        cval = jnp.where(leaf, True, jnp.take(valid, ni))
+        return cmin, cmax, cval
+
+    def body(state):
+        node_min, node_max, valid = state
+        lmin, lmax_, lval = fetch(left, node_min, node_max, valid)
+        rmin, rmax_, rval = fetch(right, node_min, node_max, valid)
+        ok = lval & rval
+        node_min = jnp.where(ok[:, None], jnp.minimum(lmin, rmin), node_min)
+        node_max = jnp.where(ok[:, None], jnp.maximum(lmax_, rmax_), node_max)
+        return node_min, node_max, valid | ok
+
+    def cond(state):
+        return ~state[2][0]  # root valid <=> whole tree valid
+
+    init = (
+        jnp.full((n_int, 3), jnp.inf, jnp.float32),
+        jnp.full((n_int, 3), -jnp.inf, jnp.float32),
+        jnp.zeros((n_int,), bool),
+    )
+    node_min, node_max, _ = jax.lax.while_loop(cond, body, init)
+    return node_min, node_max

@@ -1,0 +1,212 @@
+"""Scene: the device-resident acceleration structure (a pytree of SoA arrays).
+
+The reference's scene is a single relocatable blob of BVH4 nodes + packed
+leaves + deduped vertices (rtk.h:78-89, rtk.c:64-106).  The TPU equivalent is
+a pytree of dense arrays: wide SoA nodes, plus triangle data laid out in
+traversal (Morton-sorted) order so every leaf is a contiguous slice — the
+functional analogue of rtk's 64-byte-aligned leaf records.  Serialization to
+an rtk-style versioned container lives in rtk_tpu/utils/serialize.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from rtk_tpu.builder.collapse import collapse_wide, gather_slot_bounds
+from rtk_tpu.builder.lbvh import karras_topology, leaf_code, refit_binary
+from rtk_tpu.config import BuildConfig
+from rtk_tpu.ops.morton import morton3d, scene_bounds, sort_by_morton
+
+Array = jax.Array
+
+
+class Scene(struct.PyTreeNode):
+    """Built acceleration structure + geometry, all device arrays."""
+
+    # Wide BVH (SoA). Row 0 is the root. Child encoding: >=0 wide node id,
+    # -1 empty, <=-2 leaf id -(c)-2. Leaves are contiguous triangle ranges
+    # [id*leaf_size, id*leaf_size + count).
+    # node_child slot values are *binary* node ids (rows are binary-indexed,
+    # see builder/collapse.py), so node_child doubles as the refit source.
+    node_child: Array  # (Nn, W) i32
+    node_min: Array  # (Nn, W, 3) f32
+    node_max: Array  # (Nn, W, 3) f32
+    # Binary topology kept for refit (leaf bounds -> binary -> wide regather).
+    bin_left: Array  # (Li,) i32
+    bin_right: Array  # (Li,) i32
+    # Triangles in traversal (Morton-sorted) order, padded to L*leaf_size.
+    tri_v: Array  # (Tp, 3, 3) f32
+    tri_vidx: Array  # (Tp, 3) i32 original vertex indices
+    tri_mesh: Array  # (Tp,) i32
+    tri_prim: Array  # (Tp,) i32
+    perm: Array  # (Tp,) i32 sorted slot -> original soup index (-1 pad)
+    bounds_min: Array  # (3,) f32
+    bounds_max: Array  # (3,) f32
+    # Static metadata.
+    num_tris: int = struct.field(pytree_node=False)
+    leaf_size: int = struct.field(pytree_node=False)
+    branching: int = struct.field(pytree_node=False)
+    num_leaves: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_tris(self) -> int:
+        return self.tri_v.shape[0]
+
+
+def _leaf_bounds(tri_v: Array, num_tris: int, leaf_size: int):
+    """Masked per-leaf AABBs over chunks of sorted triangles."""
+    tp = tri_v.shape[0]
+    n_leaf = tp // leaf_size
+    valid = (jnp.arange(tp) < num_tris)[:, None, None]
+    vmin = jnp.where(valid, tri_v, jnp.inf).reshape(n_leaf, leaf_size * 3, 3)
+    vmax = jnp.where(valid, tri_v, -jnp.inf).reshape(n_leaf, leaf_size * 3, 3)
+    return jnp.min(vmin, axis=1), jnp.max(vmax, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size", "branching", "morton_bits"))
+def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
+                leaf_size, branching, morton_bits):
+    t = num_tris
+    n_leaf = max(1, -(-t // leaf_size))
+    tp = n_leaf * leaf_size
+
+    lo, hi = scene_bounds(tri_pos)
+    centroids = jnp.mean(tri_pos, axis=1)
+    codes = morton3d(centroids, lo, hi, bits=morton_bits)
+    _, perm = sort_by_morton(codes)
+
+    pad = tp - t
+    sort_v = jnp.take(tri_pos, perm, axis=0)
+    sort_vidx = jnp.take(tri_vidx, perm, axis=0)
+    sort_mesh = jnp.take(tri_mesh, perm, axis=0)
+    sort_prim = jnp.take(tri_prim, perm, axis=0)
+    sort_codes = jnp.take(codes, perm, axis=0)
+    if pad:
+        sort_v = jnp.concatenate(
+            [sort_v, jnp.zeros((pad, 3, 3), jnp.float32)], axis=0)
+        sort_vidx = jnp.concatenate(
+            [sort_vidx, jnp.full((pad, 3), -1, jnp.int32)], axis=0)
+        sort_mesh = jnp.concatenate(
+            [sort_mesh, jnp.full((pad,), -1, jnp.int32)], axis=0)
+        sort_prim = jnp.concatenate(
+            [sort_prim, jnp.full((pad,), -1, jnp.int32)], axis=0)
+        perm = jnp.concatenate([perm, jnp.full((pad,), -1, jnp.int32)], axis=0)
+
+    leaf_min, leaf_max = _leaf_bounds(sort_v, t, leaf_size)
+
+    if n_leaf == 1:
+        # Degenerate scene: a single wide root with one leaf child.
+        w = branching
+        node_child = jnp.full((1, w), -1, jnp.int32).at[0, 0].set(leaf_code(0))
+        node_min = jnp.full((1, w, 3), 1.0, jnp.float32).at[0, 0].set(leaf_min[0])
+        node_max = jnp.full((1, w, 3), -1.0, jnp.float32).at[0, 0].set(leaf_max[0])
+        bin_left = jnp.zeros((1,), jnp.int32)
+        bin_right = jnp.zeros((1,), jnp.int32)
+    else:
+        cluster_codes = sort_codes[::leaf_size] if leaf_size > 1 else sort_codes
+        bin_left, bin_right = karras_topology(cluster_codes)
+        bmin, bmax = refit_binary(bin_left, bin_right, leaf_min, leaf_max)
+        node_child, node_min, node_max = collapse_wide(
+            bin_left, bin_right, bmin, bmax, leaf_min, leaf_max, branching)
+
+    return dict(
+        node_child=node_child,
+        node_min=node_min,
+        node_max=node_max,
+        bin_left=bin_left,
+        bin_right=bin_right,
+        tri_v=sort_v,
+        tri_vidx=sort_vidx,
+        tri_mesh=sort_mesh,
+        tri_prim=sort_prim,
+        perm=perm,
+        bounds_min=lo,
+        bounds_max=hi,
+    )
+
+
+def build_from_soup(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
+                    config: BuildConfig = BuildConfig()) -> Scene:
+    """Build a Scene from canonical triangle-soup arrays (device build)."""
+    tri_pos = jnp.asarray(tri_pos, jnp.float32)
+    t = tri_pos.shape[0]
+    if t == 0:
+        raise ValueError("cannot build an empty scene")
+    if tri_vidx is None:
+        tri_vidx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
+    if tri_mesh is None:
+        tri_mesh = jnp.zeros((t,), jnp.int32)
+    if tri_prim is None:
+        tri_prim = jnp.arange(t, dtype=jnp.int32)
+    arrays = _build_impl(
+        tri_pos,
+        jnp.asarray(tri_vidx, jnp.int32),
+        jnp.asarray(tri_mesh, jnp.int32),
+        jnp.asarray(tri_prim, jnp.int32),
+        num_tris=t,
+        leaf_size=config.leaf_size,
+        branching=config.branching,
+        morton_bits=config.morton_bits,
+    )
+    n_leaf = max(1, -(-t // config.leaf_size))
+    return Scene(
+        num_tris=t,
+        leaf_size=config.leaf_size,
+        branching=config.branching,
+        num_leaves=n_leaf,
+        **arrays,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size"))
+def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size):
+    """Re-gather vertices in sorted order and refit all bounds, keeping the
+    topology. The reference has no refit (it rebuilds); this is the dynamic
+    -scene entry the BASELINE deforming-mesh config requires."""
+    perm = scene_arrays["perm"]
+    safe = jnp.clip(perm, 0, num_tris - 1)
+    gathered = jnp.take(new_tri_pos, safe, axis=0)
+    sort_v = jnp.where((perm >= 0)[:, None, None], gathered, 0.0)
+    leaf_min, leaf_max = _leaf_bounds(sort_v, num_tris, leaf_size)
+    n_leaf = leaf_min.shape[0]
+    if n_leaf == 1:
+        node_min = scene_arrays["node_min"].at[0, 0].set(leaf_min[0])
+        node_max = scene_arrays["node_max"].at[0, 0].set(leaf_max[0])
+    else:
+        bmin, bmax = refit_binary(
+            scene_arrays["bin_left"], scene_arrays["bin_right"],
+            leaf_min, leaf_max)
+        node_min, node_max = gather_slot_bounds(
+            scene_arrays["node_child"], bmin, bmax, leaf_min, leaf_max)
+    lo = jnp.min(leaf_min, axis=0)
+    hi = jnp.max(leaf_max, axis=0)
+    return dict(node_min=node_min, node_max=node_max,
+                tri_v=sort_v, bounds_min=lo, bounds_max=hi)
+
+
+def refit(scene: Scene, new_tri_pos) -> Scene:
+    """Refit an existing Scene to deformed geometry (same topology).
+
+    new_tri_pos: (T, 3, 3) triangle vertices in the *original soup order*
+    (same order as passed to build_from_soup).
+    """
+    new_tri_pos = jnp.asarray(new_tri_pos, jnp.float32)
+    updates = _refit_impl(
+        dict(
+            perm=scene.perm,
+            bin_left=scene.bin_left,
+            bin_right=scene.bin_right,
+            node_child=scene.node_child,
+            node_min=scene.node_min,
+            node_max=scene.node_max,
+        ),
+        new_tri_pos,
+        num_tris=scene.num_tris,
+        leaf_size=scene.leaf_size,
+    )
+    return scene.replace(**updates)

@@ -1,0 +1,110 @@
+"""Core batched types: rays and hit records (SoA pytrees).
+
+Parity notes (reference rtk.h):
+  * rtk_ray (rtk.h:29-34): origin, direction, min_t, max_t — here batched
+    into arrays of shape (N, 3) / (N,).
+  * rtk_hit (rtk.h:36-43): t, u, v, three full vertex records (position +
+    original vertex index), mesh_index, triangle_index.  Hits carries all of
+    those, plus an explicit `hit` mask (rtk returns it as the bool result of
+    rtk_trace_ray, rtk.c:571-576).
+  * Barycentric convention matches rtk.c:363-375: u weights vertex[0],
+    v weights vertex[1], w = 1-u-v weights vertex[2].
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+RTK_INF = jnp.float32(3.402823e38)  # rtk.h:11
+
+
+class Rays(struct.PyTreeNode):
+    """A batch of rays, SoA."""
+
+    origin: Array  # (N, 3) f32
+    direction: Array  # (N, 3) f32
+    min_t: Array  # (N,) f32
+    max_t: Array  # (N,) f32
+
+    @staticmethod
+    def make(origin, direction, min_t=None, max_t=None) -> "Rays":
+        origin = jnp.asarray(origin, jnp.float32)
+        direction = jnp.asarray(direction, jnp.float32)
+        if origin.ndim == 1:
+            origin = origin[None]
+        if direction.ndim == 1:
+            direction = direction[None]
+        n = max(origin.shape[0], direction.shape[0])
+        origin = jnp.broadcast_to(origin, (n, 3))
+        direction = jnp.broadcast_to(direction, (n, 3))
+        if min_t is None:
+            min_t = jnp.zeros((n,), jnp.float32)
+        else:
+            min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (n,))
+        if max_t is None:
+            max_t = jnp.full((n,), RTK_INF, jnp.float32)
+        else:
+            max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
+        return Rays(origin=origin, direction=direction, min_t=min_t, max_t=max_t)
+
+    @property
+    def count(self) -> int:
+        return self.origin.shape[0]
+
+    def __getitem__(self, idx) -> "Rays":
+        return jax.tree.map(lambda a: a[idx], self)
+
+
+class Hits(struct.PyTreeNode):
+    """Hit records for a batch of rays, SoA.
+
+    Misses have hit=False, t == ray.max_t, indices == -1 (rtk leaves the hit
+    struct untouched on a miss; we define miss fields explicitly).
+    """
+
+    hit: Array  # (N,) bool
+    t: Array  # (N,) f32
+    u: Array  # (N,) f32 — barycentric weight of vertex[0]
+    v: Array  # (N,) f32 — barycentric weight of vertex[1]
+    mesh_index: Array  # (N,) i32
+    triangle_index: Array  # (N,) i32 — triangle index within its mesh
+    vertex_position: Array  # (N, 3, 3) f32 — the 3 vertices of the hit triangle
+    vertex_index: Array  # (N, 3) i32 — original vertex indices (rtk_vertex.index)
+
+    @property
+    def count(self) -> int:
+        return self.t.shape[0]
+
+    @property
+    def w(self) -> Array:
+        """Barycentric weight of vertex[2]."""
+        return 1.0 - self.u - self.v
+
+    def position(self) -> Array:
+        """Interpolated hit position: u*v0 + v*v1 + w*v2. (N, 3)."""
+        w = (1.0 - self.u - self.v)[:, None]
+        return (
+            self.u[:, None] * self.vertex_position[:, 0]
+            + self.v[:, None] * self.vertex_position[:, 1]
+            + w * self.vertex_position[:, 2]
+        )
+
+    def __getitem__(self, idx) -> "Hits":
+        return jax.tree.map(lambda a: a[idx], self)
+
+
+def miss_hits(n: int) -> Hits:
+    """An all-miss Hits batch (t initialised to +inf sentinel by caller)."""
+    return Hits(
+        hit=jnp.zeros((n,), bool),
+        t=jnp.full((n,), RTK_INF, jnp.float32),
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+        mesh_index=jnp.full((n,), -1, jnp.int32),
+        triangle_index=jnp.full((n,), -1, jnp.int32),
+        vertex_position=jnp.zeros((n, 3, 3), jnp.float32),
+        vertex_index=jnp.full((n, 3), -1, jnp.int32),
+    )

@@ -1,0 +1,23 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh.
+
+Multi-chip sharding is validated without a cluster via JAX's standard trick
+(SURVEY.md §4.4): force the host platform to expose 8 devices.  x64 is
+enabled so float64 oracle paths are available; all production code is
+explicitly f32/i32 typed.
+"""
+import os
+
+# The environment pins JAX_PLATFORMS=axon (a remote TPU tunnel); tests must
+# run on local CPU, so override rather than setdefault, and force via
+# jax.config too (the sitecustomize hook re-appends the axon platform).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
