@@ -1,0 +1,439 @@
+"""Pallas TPU packet-traversal kernel.
+
+The traversal is re-architected for the VPU rather than translated from the
+reference's per-ray SSE loop (rtk.c:390-539):
+
+  * Rays are traced in *packets* of 128 (one vector lane row each); a kernel
+    block advances P=8 packets in lockstep.  Slab tests run as one
+    (P*8, 128) tile — every child of every packet's node against every ray
+    at once (the vectorised analogue of rtk's 4-wide test, rtk.c:449-473) —
+    and leaf tests as one (P*K, 128) tile of watertight shear-space edge
+    functions (rtk.c:181-388 semantics).
+  * Each packet owns a traversal stack in VMEM.  Pushes are vectorised:
+    child entries are computed arithmetically (the BFS repack in
+    trace/packed.py makes internal children and leaf children contiguous),
+    sorted near-to-far by packet entry distance with an odd-even
+    transposition network (the lane-level analogue of rtk's in-register
+    sorting network, rtk.c:489-536), compacted, and written with one
+    dynamic-slice row store per packet.
+  * The scene lives in VMEM: 8 child rows per node at (Nd*8, 8) f32 with
+    metadata bitcast into spare columns, triangles as (Tp, 16) f32 rows.
+    Node/leaf fetches are scalar-indexed dynamic slices — no gathers.
+
+Per-ray hit state stays on-chip for the entire traversal; the only
+vector->scalar synchronisations per step are the packed push-count sums.
+
+NOTE: the node table is int32 with bitcast f32 bounds because TPU flushes
+denormal floats to zero — integer metadata bitcast into a float table gets
+destroyed by XLA data movement (discovered the hard way).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtk_tpu.trace.packed import PackedScene
+from rtk_tpu.types import Hits, Rays
+
+DEFAULT_P = 8  # packets per block (best measured on v5e; more packets
+               # amortize fixed per-step costs but add divergence)
+W = 8  # wide-node arity (branching=8 scenes only)
+PKT = 128  # rays per packet
+STACK_D = 160  # per-packet stack bound (wide depth ~21 * 7 pushes + root)
+
+_BIG = 3.0e38
+
+
+def _iota_col(p_pk):
+    return jax.lax.broadcasted_iota(jnp.int32, (p_pk, 1), 0)
+
+
+def _scalars_to_col(scalars, p_pk):
+    """(P, 1) i32 vector from P traced scalars."""
+    iota = _iota_col(p_pk)
+    acc = jnp.zeros((p_pk, 1), jnp.int32)
+    for p, s in enumerate(scalars):
+        acc = jnp.where(iota == p, s, acc)
+    return acc
+
+
+def _bits_to_col_mask(packed_bits, p_pk):
+    return ((packed_bits >> _iota_col(p_pk)) & 1) > 0
+
+
+def _axis_sel(k, ax, ay, az):
+    return jnp.where(k == 0, ax, jnp.where(k == 1, ay, az))
+
+
+def _rep(a, r):
+    """(P, N) -> (P*r, N) repeating each row r times (free reshape)."""
+    p_pk = a.shape[0]
+    return jnp.broadcast_to(a[:, None, :], (p_pk, r, a.shape[1])).reshape(
+        p_pk * r, a.shape[1])
+
+
+def _edge_dw(ax, ay, bx, by):
+    """Double-word exact-sign edge function ax*by - ay*bx (the TPU stand-in
+    for the reference's f64 exact-zero fallback, rtk.c:306-336)."""
+    c = 4097.0
+    axh = c * ax - (c * ax - ax)
+    axl = ax - axh
+    ayh = c * ay - (c * ay - ay)
+    ayl = ay - ayh
+    bxh = c * bx - (c * bx - bx)
+    bxl = bx - bxh
+    byh = c * by - (c * by - by)
+    byl = by - byh
+    p1 = ax * by
+    e1 = ((axh * byh - p1) + axh * byl + axl * byh) + axl * byl
+    p2 = ay * bx
+    e2 = ((ayh * bxh - p2) + ayh * bxl + ayl * bxh) + ayl * bxl
+    s = p1 - p2
+    bb = s - p1
+    e3 = (p1 - (s - bb)) + (-p2 - bb)
+    return s + (e3 + (e1 - e2))
+
+
+def _popcount8(v):
+    """SWAR popcount of 8-bit lane values (int32 arrays)."""
+    v = v - ((v >> 1) & 0x55)
+    v = (v & 0x33) + ((v >> 2) & 0x33)
+    return (v + (v >> 4)) & 0x0F
+
+
+def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False):
+    k_tris = leaf_size
+    P = p_pk
+
+    def kernel(nodes_ref, tris_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               mint_ref, maxt_ref,
+               out_t, out_u, out_v, out_slot,
+               *rest):
+        if stats:
+            out_steps, stage_nodes, stage_tris, stack_ref = rest
+        else:
+            stage_nodes, stage_tris, stack_ref = rest
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        mint = mint_ref[:]
+        maxt = maxt_ref[:]
+
+        def crcp(d):
+            # NaN-free clamped reciprocal (finite huge instead of inf).
+            big = jnp.where(d >= 0, _BIG, -_BIG)
+            return jnp.where(d == 0.0, big, 1.0 / d)
+
+        rcpx, rcpy, rcpz = crcp(dx), crcp(dy), crcp(dz)
+
+        # Shear basis (rtk.c:550-567).
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        maxc = jnp.maximum(adx, jnp.maximum(ady, adz))
+        kz = jnp.where(adx == maxc, 0, jnp.where(ady == maxc, 1, 2))
+        kx = jnp.where(kz == 2, 0, kz + 1)
+        ky = jnp.where(kx == 2, 0, kx + 1)
+        d_kz = _axis_sel(kz, dx, dy, dz)
+        sx = -_axis_sel(kx, dx, dy, dz) / d_kz
+        sy = -_axis_sel(ky, dx, dy, dz) / d_kz
+        sz = 1.0 / d_kz
+        o_kx = _axis_sel(kx, ox, oy, oz)
+        o_ky = _axis_sel(ky, ox, oy, oz)
+        o_kz = _axis_sel(kz, ox, oy, oz)
+
+        # Loop-invariant repeated tiles for the batched phases.
+        oxW, oyW, ozW = _rep(ox, W), _rep(oy, W), _rep(oz, W)
+        rxW, ryW, rzW = _rep(rcpx, W), _rep(rcpy, W), _rep(rcpz, W)
+        mintW = _rep(mint, W)
+        kxK, kyK, kzK = _rep(kx, k_tris), _rep(ky, k_tris), _rep(kz, k_tris)
+        sxK, syK, szK = _rep(sx, k_tris), _rep(sy, k_tris), _rep(sz, k_tris)
+        oxK, oyK, ozK = (_rep(o_kx, k_tris), _rep(o_ky, k_tris),
+                         _rep(o_kz, k_tris))
+        mintK = _rep(mint, k_tris)
+
+        stack_ref[:, :] = jnp.zeros((P * STACK_D, 8), jnp.int32)  # root == 0
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+        assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
+
+        def cond(carry):
+            return carry[0] > 0
+
+        def body(carry):
+            _, sps, hit_t, hit_u, hit_v, hit_slot = carry
+
+            # ---- pop (scalar): one (1,8) row load per packet ----
+            ents = []
+            new_sps = []
+            int_pack = jnp.int32(0)
+            leaf_pack = jnp.int32(0)
+            tri0s = []
+            for p in range(P):
+                sp = sps[p]
+                active = sp > 0
+                row = stack_ref[pl.ds(p * STACK_D + jnp.maximum(sp - 1, 0), 1), :]
+                ent = row[0, 0]
+                ent = jnp.where(active, ent, -1)
+                ents.append(ent)
+                new_sps.append(sp - active.astype(jnp.int32))
+                is_int = ent >= 0
+                is_leaf = ent <= -2
+                int_pack = int_pack | (is_int.astype(jnp.int32) << p)
+                leaf_pack = leaf_pack | (is_leaf.astype(jnp.int32) << p)
+                tri0s.append(jnp.where(is_leaf, (-ent - 2) * k_tris, 0))
+
+            # ---- stage node child rows + leaf triangle rows ----
+            for p in range(P):
+                nid = jnp.where(ents[p] >= 0, ents[p], 0)
+                stage_nodes[pl.ds(p * W, W), :] = nodes_ref[
+                    pl.ds(nid * W, W), :]
+                stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
+                    pl.ds(tri0s[p], k_tris), :]
+
+            int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
+            leaf_vec = _bits_to_col_mask(leaf_pack, P)
+            tri0_col = _scalars_to_col(tri0s, P)
+
+            # ---- slab tests, one (P*W, 128) tile ----
+            nrows = stage_nodes[:]  # (P*W, 8) i32 (bounds bitcast, meta int)
+            bf = lambda s: pltpu.bitcast(s, jnp.float32)
+            mnx, mny, mnz = bf(nrows[:, 0:1]), bf(nrows[:, 1:2]), bf(nrows[:, 2:3])
+            mxx, mxy, mxz = bf(nrows[:, 3:4]), bf(nrows[:, 4:5]), bf(nrows[:, 5:6])
+            nx = (jnp.where(rxW >= 0, mnx, mxx) - oxW) * rxW
+            fx = (jnp.where(rxW >= 0, mxx, mnx) - oxW) * rxW
+            ny = (jnp.where(ryW >= 0, mny, mxy) - oyW) * ryW
+            fy = (jnp.where(ryW >= 0, mxy, mny) - oyW) * ryW
+            nz = (jnp.where(rzW >= 0, mnz, mxz) - ozW) * rzW
+            fz = (jnp.where(rzW >= 0, mxz, mnz) - ozW) * rzW
+            enter = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, mintW))
+            exit_ = jnp.minimum(jnp.minimum(fx, fy),
+                                jnp.minimum(fz, _rep(hit_t, W)))
+            hitm = enter <= exit_  # (P*W, 128)
+            hit8 = jnp.max(hitm.astype(jnp.int32), axis=1,
+                           keepdims=True).reshape(P, W)
+
+            # ---- child entries (vector arithmetic from embedded meta) ----
+            nr3 = nrows.reshape(P, W, 8)
+            fc = nr3[:, 0, 6:7]
+            fl = nr3[:, 0, 7:8]
+            masks = nr3[:, 1, 6:7]
+            im = masks & 0xFF
+            lm = (masks >> 8) & 0xFF
+            is_i = (im >> iota_w) & 1  # (P, W)
+            is_l = (lm >> iota_w) & 1
+            below = (1 << iota_w) - 1  # bits strictly below lane w
+            irank = _popcount8(im & below)
+            lrank = _popcount8(lm & below)
+            entries = jnp.where(is_i == 1, fc + irank, -(fl + lrank) - 2)
+            valid = (hit8 == 1) & ((is_i | is_l) == 1) & int_vec
+            vint = valid.astype(jnp.int32)
+            # Left-compact valid entries (slot order; Morton layout makes
+            # slot order roughly spatial, and packet-level near-to-far
+            # ordering measured slower than it saves) via bitmask ranks +
+            # a where-chain scatter — no lane shuffles.
+            vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)  # (P,1)
+            vrank = _popcount8(vbits & below)  # (P, W) target positions
+            compacted = jnp.full_like(entries, -1)
+            for w in range(W):
+                sel = (vrank[:, w:w + 1] == iota_w) & (vint[:, w:w + 1] == 1)
+                compacted = jnp.where(sel, entries[:, w:w + 1], compacted)
+            entries = compacted
+            counts = _popcount8(vbits)  # (P,1)
+
+            # counts -> scalars (one packed sum per 4 packets: the only
+            # vector->scalar syncs per step)
+            pcol = _iota_col(P)
+            grp = pcol // 4
+            c_packed = []
+            for g in range(P // 4):
+                c_packed.append(jnp.sum(jnp.where(
+                    grp == g, counts << (4 * (pcol % 4)), 0)))
+
+            # ---- leaf tests, one (P*K, 128) tile ----
+            trows = stage_tris[:]  # (P*K, 16)
+            xs, ys, zs = [], [], []
+            for j in range(3):
+                vx = trows[:, 3 * j:3 * j + 1]
+                vy = trows[:, 3 * j + 1:3 * j + 2]
+                vz = trows[:, 3 * j + 2:3 * j + 3]
+                px = _axis_sel(kxK, vx, vy, vz) - oxK
+                py = _axis_sel(kyK, vx, vy, vz) - oyK
+                pz = _axis_sel(kzK, vx, vy, vz) - ozK
+                xs.append(px + sxK * pz)
+                ys.append(py + syK * pz)
+                zs.append(szK * pz)
+            u = xs[1] * ys[2] - ys[1] * xs[2]
+            v = xs[2] * ys[0] - ys[2] * xs[0]
+            w_ = xs[0] * ys[1] - ys[0] * xs[1]
+            if watertight:
+                zero = (u == 0.0) | (v == 0.0) | (w_ == 0.0)
+                u = jnp.where(zero, _edge_dw(xs[1], ys[1], xs[2], ys[2]), u)
+                v = jnp.where(zero, _edge_dw(xs[2], ys[2], xs[0], ys[0]), v)
+                w_ = jnp.where(zero, _edge_dw(xs[0], ys[0], xs[1], ys[1]), w_)
+            lo = jnp.minimum(jnp.minimum(u, v), w_)
+            hi = jnp.maximum(jnp.maximum(u, v), w_)
+            det = u + v + w_
+            rcp_det = 1.0 / det
+            t = (u * zs[0] + v * zs[1] + w_ * zs[2]) * rcp_det
+            ok = (
+                ~((lo < 0.0) & (hi > 0.0))
+                & (t > mintK)
+                & _rep(leaf_vec.astype(jnp.float32), k_tris).astype(bool)
+            )
+            rr_t = t.reshape(P, k_tris, PKT)
+            rr_u = (u * rcp_det).reshape(P, k_tris, PKT)
+            rr_v = (v * rcp_det).reshape(P, k_tris, PKT)
+            rr_ok = ok.reshape(P, k_tris, PKT)
+            for k in range(k_tris):
+                tk = rr_t[:, k, :]
+                upd = rr_ok[:, k, :] & (tk < hit_t)
+                hit_t = jnp.where(upd, tk, hit_t)
+                hit_u = jnp.where(upd, rr_u[:, k, :], hit_u)
+                hit_v = jnp.where(upd, rr_v[:, k, :], hit_v)
+                hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
+
+            if mode == "any":
+                found = jnp.min((hit_slot >= 0).astype(jnp.int32), axis=1,
+                                keepdims=True)  # (P,1)
+                f_packed = []
+                for g in range(P // 4):
+                    f_packed.append(jnp.sum(jnp.where(
+                        grp == g, found << (8 * (pcol % 4)), 0)))
+
+            # ---- vector push: one (8,8) block store per packet ----
+            # Stack rows hold one entry each (value broadcast across lanes);
+            # entries transposed so packet p's pushes are column p.
+            entries_t = entries.T  # (W, P)
+            total = jnp.int32(0)
+            final_sps = []
+            for p in range(P):
+                sp = new_sps[p]
+                pos = jnp.minimum(sp, STACK_D - W)
+                stack_ref[pl.ds(p * STACK_D + pos, W), :] = jnp.broadcast_to(
+                    entries_t[:, p:p + 1], (W, 8))
+                cnt = (c_packed[p // 4] >> (4 * (p % 4))) & 0xF
+                sp = (sp + cnt).astype(jnp.int32)
+                if mode == "any":
+                    done = (f_packed[p // 4] >> (8 * (p % 4))) & 0xFF
+                    sp = jnp.where(done == 1, 0, sp).astype(jnp.int32)
+                final_sps.append(sp)
+                total = (total + sp).astype(jnp.int32)
+            return (total, tuple(final_sps), hit_t, hit_u, hit_v, hit_slot)
+
+        init = (
+            jnp.int32(P),
+            tuple(jnp.int32(1) for _ in range(P)),
+            maxt,
+            jnp.zeros((P, PKT), jnp.float32),
+            jnp.zeros((P, PKT), jnp.float32),
+            jnp.full((P, PKT), -1, jnp.int32),
+        )
+        if stats:
+            def body_counted(carry):
+                inner, steps = carry
+                return body(inner), steps + 1
+
+            carry, steps = jax.lax.while_loop(
+                lambda c: cond(c[0]), body_counted, (init, jnp.int32(0)))
+            out_steps[:] = jnp.full((P, PKT), steps, jnp.int32)
+        else:
+            carry = jax.lax.while_loop(cond, body, init)
+        out_t[:] = carry[2]
+        out_u[:] = carry[3]
+        out_v[:] = carry[4]
+        out_slot[:] = carry[5]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "watertight", "interpret", "num_tris",
+                     "leaf_size", "stats", "p_pk"),
+)
+def _run_kernel(nodes, tris, ray_comps, *, mode, watertight, interpret,
+                num_tris, leaf_size, stats=False, p_pk=DEFAULT_P):
+    P = p_pk
+    n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
+    grid = n_rows // P
+    ray_spec = pl.BlockSpec((P, PKT), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats)
+    n_out = 5 if stats else 4
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[full(), full()] + [ray_spec] * 8,
+        out_specs=[ray_spec] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32),
+        ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
+        scratch_shapes=[
+            pltpu.VMEM((P * W, 8), jnp.int32),
+            pltpu.VMEM((P * leaf_size, 16), jnp.float32),
+            pltpu.VMEM((P * STACK_D, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nodes, tris, *ray_comps)
+    return out
+
+
+def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
+                  watertight: bool = True, interpret: bool = False,
+                  p_pk: int = DEFAULT_P) -> Hits:
+    """Trace rays with the Pallas packet kernel.
+
+    Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
+    vertex records, mesh/triangle indices; miss leaves t = max_t.
+    """
+    n = rays.count
+    pad = (-n) % (p_pk * PKT)
+    npad = n + pad
+
+    def comp(a, fill):
+        a = jnp.asarray(a)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,), fill, a.dtype)], axis=0)
+        return a.reshape(npad // PKT, PKT)
+
+    ray_comps = (
+        comp(rays.origin[:, 0], 0.0), comp(rays.origin[:, 1], 0.0),
+        comp(rays.origin[:, 2], 0.0),
+        comp(rays.direction[:, 0], 1.0), comp(rays.direction[:, 1], 0.0),
+        comp(rays.direction[:, 2], 0.0),
+        comp(rays.min_t, 0.0), comp(rays.max_t, 0.0),
+    )
+    out = _run_kernel(
+        packed.nodes, packed.tris, ray_comps,
+        mode=mode, watertight=watertight, interpret=interpret,
+        num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
+    )
+    out_t, out_u, out_v, out_slot = out[:4]
+    t = out_t.reshape(-1)[:n]
+    u = out_u.reshape(-1)[:n]
+    v = out_v.reshape(-1)[:n]
+    slot = out_slot.reshape(-1)[:n]
+
+    hit = slot >= 0
+    safe = jnp.clip(slot, 0, packed.num_padded_tris - 1)
+    return Hits(
+        hit=hit,
+        t=t,
+        u=jnp.where(hit, u, 0.0),
+        v=jnp.where(hit, v, 0.0),
+        mesh_index=jnp.where(hit, jnp.take(packed.tri_mesh, safe), -1),
+        triangle_index=jnp.where(hit, jnp.take(packed.tri_prim, safe), -1),
+        vertex_position=jnp.where(
+            hit[:, None, None], jnp.take(packed.tri_v, safe, axis=0), 0.0),
+        vertex_index=jnp.where(
+            hit[:, None], jnp.take(packed.tri_vidx, safe, axis=0), -1),
+    )

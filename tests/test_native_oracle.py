@@ -1,0 +1,66 @@
+"""Three-way agreement: JAX tracer vs f64 brute force vs native C++ oracle."""
+import numpy as np
+import pytest
+
+from rtk_tpu import Rays, build_scene, trace_closest
+from rtk_tpu.oracle import trace_brute
+from rtk_tpu.testing import scenes
+
+native = pytest.importorskip("rtk_tpu.testing.native_oracle")
+
+
+def _soup_of(tris):
+    t = tris.shape[0]
+    return (tris.reshape(-1, 3), np.arange(t * 3).reshape(-1, 3))
+
+
+def test_native_vs_brute_vs_jax():
+    tris = scenes.cornell_box()
+    oracle = native.NativeOracle(tris)
+    rays = scenes.cornell_camera(32, 32)
+    o = np.asarray(rays.origin)
+    d = np.asarray(rays.direction)
+    t, u, v, idx = oracle.trace(o, d, np.asarray(rays.min_t),
+                                np.asarray(rays.max_t))
+    want = trace_brute(tris, rays)
+    wh = np.asarray(want.hit)
+    np.testing.assert_array_equal(idx >= 0, wh)
+    np.testing.assert_allclose(t[wh], np.asarray(want.t)[wh], atol=1e-4)
+
+    got = trace_closest(build_scene(_soup_of(tris)), rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), idx >= 0)
+    np.testing.assert_allclose(np.asarray(got.t)[wh], t[wh], atol=1e-4)
+
+
+def test_native_anyhit():
+    tris = scenes.cornell_box()
+    oracle = native.NativeOracle(tris)
+    rays = scenes.cornell_camera(8, 8)
+    o = np.asarray(rays.origin)
+    d = np.asarray(rays.direction)
+    tc, _, _, ic = oracle.trace(o, d, np.asarray(rays.min_t),
+                                np.asarray(rays.max_t))
+    ta, _, _, ia = oracle.trace(o, d, np.asarray(rays.min_t),
+                                np.asarray(rays.max_t), mode="any")
+    np.testing.assert_array_equal(ic >= 0, ia >= 0)
+    assert (ta[ia >= 0] >= tc[ic >= 0] - 1e-6).all()
+
+
+def test_native_random_soup():
+    rng = np.random.default_rng(9)
+    tris = rng.normal(size=(500, 3, 3)).astype(np.float32)
+    oracle = native.NativeOracle(tris)
+    o = (rng.normal(size=(800, 3)) * 3).astype(np.float32)
+    d = rng.normal(size=(800, 3)).astype(np.float32)
+    rays = Rays.make(o, d)
+    t, u, v, idx = oracle.trace(o, d, np.zeros(800, np.float32),
+                                np.full(800, 3.4e38, np.float32))
+    want = trace_brute(tris, rays)
+    wh = np.asarray(want.hit)
+    np.testing.assert_array_equal(idx >= 0, wh)
+    np.testing.assert_allclose(t[wh], np.asarray(want.t)[wh], rtol=1e-4,
+                               atol=1e-4)
+    same = wh & (idx == np.asarray(want.triangle_index))
+    assert same.sum() / max(wh.sum(), 1) > 0.95
+    np.testing.assert_allclose(u[same], np.asarray(want.u)[same], atol=1e-3)
+    np.testing.assert_allclose(v[same], np.asarray(want.v)[same], atol=1e-3)

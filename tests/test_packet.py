@@ -1,0 +1,114 @@
+"""Pallas packet kernel vs the XLA stack tracer (interpret mode on CPU)."""
+import numpy as np
+
+from rtk_tpu import BuildConfig, Rays, build_scene, refit, trace_any, trace_closest
+from rtk_tpu.ops.pallas_trace import trace_packets
+from rtk_tpu.trace.packed import pack_scene, repack_bounds
+from rtk_tpu.testing import scenes
+
+
+def _soup_of(tris):
+    t = tris.shape[0]
+    return (tris.reshape(-1, 3), np.arange(t * 3).reshape(-1, 3))
+
+
+def _check(scene, rays, atol=1e-5, same_frac=0.9):
+    packed = pack_scene(scene)
+    want = trace_closest(scene, rays)
+    got = trace_packets(packed, rays, interpret=True)
+    wh = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(got.hit), wh)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[wh], np.asarray(want.t)[wh], atol=atol)
+    same = wh & (np.asarray(got.triangle_index)
+                 == np.asarray(want.triangle_index))
+    # Ties on shared edges may pick either adjacent primitive (t already
+    # verified equal above); small images have proportionally more edges.
+    assert same.sum() / max(wh.sum(), 1) > same_frac
+    for a, b in ((got.u, want.u), (got.v, want.v)):
+        np.testing.assert_allclose(
+            np.asarray(a)[same], np.asarray(b)[same], atol=1e-3)
+    return packed, got
+
+
+def test_pack_structure():
+    tris = scenes.cornell_box()
+    scene = build_scene(_soup_of(tris))
+    packed = pack_scene(scene)
+    meta = np.asarray(packed.meta)
+    # Node 0 is the root; first_child of the root must be 1.
+    assert meta[0, 0] == 1
+    # Every leaf assigned exactly once: leaf ids 0..L-1 seen once in
+    # ascending first_leaf blocks.
+    n_leaf = scene.num_leaves
+    im = meta[:, 2] & 0xFF
+    lm = (meta[:, 2] >> 8) & 0xFF
+    total_leaves = sum(bin(int(x)).count("1") for x in lm)
+    assert total_leaves == n_leaf
+    total_children = sum(bin(int(x)).count("1") for x in im)
+    assert total_children == meta.shape[0] - 1  # all non-root nodes
+
+
+def test_packet_cornell():
+    tris = scenes.cornell_box()
+    scene = build_scene(_soup_of(tris))
+    _, got = _check(scene, scenes.cornell_camera(32, 32))
+    assert np.asarray(got.hit).all()
+
+
+def test_packet_random_soup():
+    rng = np.random.default_rng(5)
+    tris = rng.normal(size=(300, 3, 3)).astype(np.float32)
+    scene = build_scene(_soup_of(tris))
+    rays = Rays.make(rng.normal(size=(512, 3)).astype(np.float32) * 3.0,
+                     rng.normal(size=(512, 3)).astype(np.float32))
+    _check(scene, rays)
+
+
+def test_packet_leaf_sizes():
+    tris = scenes.cornell_box()
+    rays = scenes.cornell_camera(16, 16)
+    for leaf in (1, 4, 8):
+        scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=leaf))
+        _check(scene, rays)
+
+
+def test_packet_anyhit():
+    tris = scenes.cornell_box()
+    scene = build_scene(_soup_of(tris))
+    packed = pack_scene(scene)
+    rays = scenes.cornell_camera(16, 16)
+    closest = trace_closest(scene, rays)
+    got = trace_packets(packed, rays, mode="any", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(closest.hit))
+    h = np.asarray(got.hit)
+    assert (np.asarray(got.t)[h] >= np.asarray(closest.t)[h] - 1e-6).all()
+
+
+def test_packet_t_window():
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    scene = build_scene(_soup_of(tri))
+    packed = pack_scene(scene)
+    rays = Rays.make([0.2, 0.2, 1.0], [0.0, 0.0, -1.0], min_t=1.5)
+    assert not bool(trace_packets(packed, rays, interpret=True).hit[0])
+    rays = Rays.make([0.2, 0.2, 1.0], [0.0, 0.0, -1.0], max_t=0.5)
+    assert not bool(trace_packets(packed, rays, interpret=True).hit[0])
+    rays = Rays.make([0.2, 0.2, 1.0], [0.0, 0.0, -1.0])
+    h = trace_packets(packed, rays, interpret=True)
+    assert bool(h.hit[0]) and abs(float(h.t[0]) - 1.0) < 1e-6
+
+
+def test_packet_refit_repack():
+    t0 = scenes.deforming_grid(0.0, n=16)
+    t1 = scenes.deforming_grid(0.9, n=16)
+    scene = build_scene(_soup_of(t0))
+    packed = pack_scene(scene)
+    scene2 = refit(scene, t1)
+    packed2 = repack_bounds(packed, scene2)
+    rays = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 16, 16)
+    want = trace_closest(scene2, rays)
+    got = trace_packets(packed2, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    wh = np.asarray(want.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[wh], np.asarray(want.t)[wh], atol=1e-5)

@@ -1,0 +1,50 @@
+"""Sharded tracing on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+
+from rtk_tpu import build_scene, trace_closest
+from rtk_tpu.parallel.shard import (
+    default_mesh,
+    trace_any_sharded,
+    trace_closest_sharded,
+)
+from rtk_tpu.testing import scenes
+
+
+def _scene():
+    tris = scenes.cornell_box()
+    return build_scene(
+        (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)))
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device():
+    scene = _scene()
+    rays = scenes.cornell_camera(32, 32)  # 1024 rays, divisible by 8
+    want = trace_closest(scene, rays)
+    got = trace_closest_sharded(scene, rays, default_mesh())
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.triangle_index),
+                                  np.asarray(want.triangle_index))
+
+
+def test_sharded_ragged_ray_count():
+    scene = _scene()
+    rays = scenes.cornell_camera(31, 7)  # 217 rays, not divisible by 8
+    want = trace_closest(scene, rays)
+    got = trace_closest_sharded(scene, rays)
+    assert got.t.shape[0] == 217
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-6)
+
+
+def test_sharded_any_hit():
+    scene = _scene()
+    rays = scenes.cornell_camera(16, 16)
+    got = trace_any_sharded(scene, rays)
+    assert np.asarray(got.hit).all()
