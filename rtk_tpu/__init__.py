@@ -13,10 +13,13 @@ from rtk_tpu.api import (
     Rays,
     Scene,
     TraceConfig,
+    Tracer,
     TriangleSoup,
     build_from_soup,
     build_scene,
+    load_scene,
     refit,
+    save_scene,
     trace_any,
     trace_closest,
 )

@@ -13,8 +13,10 @@ from __future__ import annotations
 from rtk_tpu.config import BuildConfig, TraceConfig
 from rtk_tpu.mesh import MeshDesc, TriangleSoup, build_soup
 from rtk_tpu.scene import Scene, build_from_soup, refit
+from rtk_tpu.tracer import Tracer
 from rtk_tpu.trace.stack import trace_any, trace_closest
 from rtk_tpu.types import Hits, Rays
+from rtk_tpu.utils.serialize import load_scene, save_scene
 
 
 def build_scene(meshes, config: BuildConfig = BuildConfig()) -> Scene:
@@ -41,9 +43,12 @@ __all__ = [
     "Rays",
     "Hits",
     "Scene",
+    "Tracer",
     "build_scene",
     "build_from_soup",
     "refit",
     "trace_closest",
     "trace_any",
+    "save_scene",
+    "load_scene",
 ]

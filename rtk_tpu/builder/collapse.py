@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from rtk_tpu.builder.lbvh import is_leaf_code, leaf_id_of
 
-EMPTY = jnp.int32(-1)
+EMPTY = -1  # python int: keep module constants off-device
 
 
 def collapse_wide(left, right, node_min, node_max, leaf_min, leaf_max,
@@ -77,18 +77,20 @@ def gather_slot_bounds(src, node_min, node_max, leaf_min, leaf_max):
     """
     n_int = node_min.shape[0]
     n_leaf = leaf_min.shape[0]
-    internal = (src >= 0)[..., None]
-    leaf = is_leaf_code(src)[..., None]
+    internal = src >= 0
+    leaf = is_leaf_code(src)
     si = jnp.clip(src, 0, n_int - 1)
     li = jnp.clip(leaf_id_of(src), 0, n_leaf - 1)
-    wmin = jnp.where(
-        internal,
-        jnp.take(node_min, si, axis=0),
-        jnp.where(leaf, jnp.take(leaf_min, li, axis=0), jnp.float32(1.0)),
-    )
-    wmax = jnp.where(
-        internal,
-        jnp.take(node_max, si, axis=0),
-        jnp.where(leaf, jnp.take(leaf_max, li, axis=0), jnp.float32(-1.0)),
-    )
-    return wmin, wmax
+    # Per-component gathers keep the lane dimension wide; gathering whole
+    # (..., 3) rows leaves most TPU lanes idle.
+    wmin, wmax = [], []
+    for c in range(3):
+        nmin = jnp.take(node_min[:, c], si)
+        lmin = jnp.take(leaf_min[:, c], li)
+        wmin.append(jnp.where(internal, nmin,
+                              jnp.where(leaf, lmin, jnp.float32(1.0))))
+        nmax = jnp.take(node_max[:, c], si)
+        lmax_ = jnp.take(leaf_max[:, c], li)
+        wmax.append(jnp.where(internal, nmax,
+                              jnp.where(leaf, lmax_, jnp.float32(-1.0))))
+    return jnp.stack(wmin, axis=-1), jnp.stack(wmax, axis=-1)

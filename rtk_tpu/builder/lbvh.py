@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-EMPTY = jnp.int32(-1)
+EMPTY = -1  # python int: keep module constants off-device
 
 
 def leaf_code(leaf_id):
@@ -74,33 +74,38 @@ def karras_topology(codes: Array):
     dmin = _delta(i, i - d, codes, length)
 
     # Exponential search for an upper bound on the range length.
-    lmax = jnp.full_like(i, 2)
-    for _ in range(k_iters):
+    # (fori_loops, not Python unrolls: the unrolled form blew compile time
+    # up to minutes for large scenes.)
+    def grow_body(_, lmax):
         grow = _delta(i, i + lmax * d, codes, length) > dmin
-        lmax = jnp.where(grow, lmax * 2, lmax)
+        return jnp.where(grow, lmax * 2, lmax)
+
+    lmax = jax.lax.fori_loop(0, k_iters, grow_body, jnp.full_like(i, 2))
 
     # Binary search for the exact other end of the range.
-    l = jnp.zeros_like(i)
-    for s in range(k_iters + 1):
+    def bin_body(s, l):
         t_step = lmax >> (s + 1)
         take = (t_step >= 1) & (
             _delta(i, i + (l + t_step) * d, codes, length) > dmin
         )
-        l = jnp.where(take, l + t_step, l)
+        return jnp.where(take, l + t_step, l)
+
+    l = jax.lax.fori_loop(0, k_iters + 1, bin_body, jnp.zeros_like(i))
 
     j = i + l * d
     dnode = _delta(i, j, codes, length)
 
     # Split search (do-while with per-lane ceil-halving step).
-    s = jnp.zeros_like(i)
-    t = l
-    done = jnp.zeros_like(i, dtype=bool)
-    for _ in range(k_iters + 2):
+    def split_body(_, carry):
+        s, t, done = carry
         t2 = (t + 1) >> 1
         take = (~done) & (_delta(i, i + (s + t2) * d, codes, length) > dnode)
         s = jnp.where(take, s + t2, s)
-        done = done | (t2 <= 1)
-        t = t2
+        return s, t2, done | (t2 <= 1)
+
+    s, _, _ = jax.lax.fori_loop(
+        0, k_iters + 2, split_body,
+        (jnp.zeros_like(i), l, jnp.zeros_like(i, dtype=bool)))
 
     gamma = i + s * d + jnp.minimum(d, 0)
     lo = jnp.minimum(i, j)

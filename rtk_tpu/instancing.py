@@ -1,0 +1,250 @@
+"""Two-level TLAS/BLAS instancing.
+
+The reference is single-level (one scene blob, no instancing); this is the
+scale-out path the BASELINE 10M-tri config requires.  TPU-first design:
+
+  * All BLAS scenes are merged into ONE concatenated node/triangle space
+    (child ids and leaf ids offset per BLAS), so a single traversal program
+    serves every instance — the per-ray BLAS root is just a start node.
+  * The top level is not a pointer-chasing tree walk: instance candidates
+    are found by testing rays against ALL instance world AABBs as one dense
+    (rays x instances) slab computation, keeping the nearest `C` candidates
+    per ray via top_k.  For the instance counts the config targets (tens to
+    thousands), this is faster on TPU than a divergent TLAS descent, and
+    it is trivially batchable/shardable.
+  * Phase two walks candidates nearest-first: each round transforms rays
+    into the candidate's object space (affine inverse, direction left
+    unnormalised so object-space t == world-space t) and traces the merged
+    BLAS from that instance's root with the current best t as the upper
+    bound — instance-level early-out exactly like rtk's node pop-culling
+    (rtk.c:432-437), lifted to the instance level.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from rtk_tpu.config import TraceConfig
+from rtk_tpu.scene import Scene
+from rtk_tpu.trace import stack as _stack
+from rtk_tpu.types import Hits, Rays
+
+Array = jax.Array
+
+
+class InstancedScene(struct.PyTreeNode):
+    """Merged BLAS forest + instance table."""
+
+    merged: Scene  # concatenated BLAS scenes (multi-root)
+    roots: Array  # (B,) i32 wide-root node id per BLAS
+    instance_blas: Array  # (I,) i32
+    world_from_object: Array  # (I, 3, 4) affine
+    object_from_world: Array  # (I, 3, 4) affine inverse
+    inst_lo: Array  # (I, 3) world AABB of each instance
+    inst_hi: Array  # (I, 3)
+
+    @property
+    def num_instances(self) -> int:
+        return self.instance_blas.shape[0]
+
+    @property
+    def total_triangles(self) -> int:
+        """Effective triangle count (instanced)."""
+        return int(self.num_instances and self.merged.num_tris)
+
+
+def _affine_inverse(m: np.ndarray) -> np.ndarray:
+    """(3,4) world-from-object -> (3,4) object-from-world."""
+    lin = m[:, :3]
+    t = m[:, 3]
+    inv = np.linalg.inv(lin)
+    return np.concatenate([inv, (-inv @ t)[:, None]], axis=1)
+
+
+def merge_blas(scenes: Sequence[Scene]) -> tuple[Scene, np.ndarray]:
+    """Concatenate BLAS Scenes into one multi-root Scene.
+
+    All scenes must share leaf_size and branching.  Returns (merged, roots).
+    """
+    k = scenes[0].leaf_size
+    w = scenes[0].branching
+    for s in scenes:
+        if s.leaf_size != k or s.branching != w:
+            raise ValueError("BLAS scenes must share leaf_size/branching")
+
+    node_off = np.cumsum([0] + [s.node_child.shape[0] for s in scenes])
+    leaf_off = np.cumsum([0] + [s.num_padded_tris // k for s in scenes])
+    tri_off = np.cumsum([0] + [s.num_padded_tris for s in scenes])
+
+    def shift_child(child, b):
+        # internal ids += node_off[b]; leaf codes shift by leaf_off[b]
+        # (python-int offsets: numpy scalars would promote to int64 when
+        # jax_enable_x64 is on)
+        internal = child >= 0
+        leaf = child <= -2
+        shifted_leaf = -((-child - 2) + int(leaf_off[b])) - 2
+        return jnp.where(internal, child + int(node_off[b]),
+                         jnp.where(leaf, shifted_leaf, child)).astype(jnp.int32)
+
+    merged = Scene(
+        node_child=jnp.concatenate(
+            [shift_child(s.node_child, b) for b, s in enumerate(scenes)]),
+        node_min=jnp.concatenate([s.node_min for s in scenes]),
+        node_max=jnp.concatenate([s.node_max for s in scenes]),
+        bin_left=jnp.concatenate(
+            [shift_child(s.bin_left, b) for b, s in enumerate(scenes)]),
+        bin_right=jnp.concatenate(
+            [shift_child(s.bin_right, b) for b, s in enumerate(scenes)]),
+        tri_v=jnp.concatenate([s.tri_v for s in scenes]),
+        tri_vidx=jnp.concatenate([s.tri_vidx for s in scenes]),
+        tri_mesh=jnp.concatenate([s.tri_mesh for s in scenes]),
+        tri_prim=jnp.concatenate([s.tri_prim for s in scenes]),
+        perm=jnp.concatenate(
+            [jnp.where(s.perm >= 0, s.perm + int(tri_off[b]), -1)
+             for b, s in enumerate(scenes)]).astype(jnp.int32),
+        bounds_min=functools.reduce(
+            jnp.minimum, [s.bounds_min for s in scenes]),
+        bounds_max=functools.reduce(
+            jnp.maximum, [s.bounds_max for s in scenes]),
+        num_tris=int(tri_off[-1]),  # padding rows are degenerate -> harmless
+        leaf_size=k,
+        branching=w,
+        num_leaves=int(leaf_off[-1]),
+    )
+    return merged, node_off[:-1].astype(np.int32)
+
+
+def build_instanced(
+    blas: Sequence[Scene],
+    instance_blas,
+    transforms,
+) -> InstancedScene:
+    """Assemble an InstancedScene.
+
+    Args:
+      blas: unique BLAS Scenes.
+      instance_blas: (I,) int — BLAS index per instance.
+      transforms: (I, 3, 4) world-from-object affine per instance.
+    """
+    merged, roots = merge_blas(blas)
+    instance_blas = np.asarray(instance_blas, np.int32)
+    transforms = np.asarray(transforms, np.float32).reshape(-1, 3, 4)
+    inv = np.stack([_affine_inverse(m) for m in transforms]).astype(np.float32)
+
+    # World AABB per instance: transform the 8 corners of the BLAS bounds.
+    lo = np.stack([np.asarray(blas[b].bounds_min) for b in instance_blas])
+    hi = np.stack([np.asarray(blas[b].bounds_max) for b in instance_blas])
+    corners = np.stack(
+        [np.where([(c >> a) & 1 for a in range(3)], hi_i, lo_i)
+         for lo_i, hi_i in zip(lo, hi)
+         for c in range(8)]).reshape(-1, 8, 3)  # (I, 8, 3)
+    world = (np.einsum("iab,icb->ica", transforms[:, :, :3], corners)
+             + transforms[:, None, :, 3])
+    return InstancedScene(
+        merged=merged,
+        roots=jnp.asarray(roots),
+        instance_blas=jnp.asarray(instance_blas),
+        world_from_object=jnp.asarray(transforms),
+        object_from_world=jnp.asarray(inv),
+        inst_lo=jnp.asarray(world.min(axis=1), jnp.float32),
+        inst_hi=jnp.asarray(world.max(axis=1), jnp.float32),
+    )
+
+
+def _instance_candidates(iscene: InstancedScene, rays: Rays, c: int,
+                         chunk: int = 16384):
+    """Nearest-C instance candidates per ray by AABB entry distance.
+
+    Returns (cand_idx (N, C) i32 [-1 = none], cand_t (N, C) f32).
+    """
+    n = rays.count
+    n_inst = iscene.num_instances
+    c = min(c, n_inst)
+
+    def block(o, d, mint, maxt):
+        rcp = jnp.float32(1.0) / d  # (n, 3)
+        t0 = (iscene.inst_lo[None] - o[:, None]) * rcp[:, None]
+        t1 = (iscene.inst_hi[None] - o[:, None]) * rcp[:, None]
+        near = jnp.fmin(t0, t1)
+        far = jnp.fmax(t0, t1)
+        enter = jnp.fmax(jnp.fmax(near[..., 0], near[..., 1]),
+                         jnp.fmax(near[..., 2], mint[:, None]))
+        exit_ = jnp.fmin(jnp.fmin(far[..., 0], far[..., 1]),
+                         jnp.fmin(far[..., 2], maxt[:, None]))
+        hit = enter <= exit_  # (n, I)
+        score = jnp.where(hit, -enter, -jnp.inf)
+        val, idx = jax.lax.top_k(score, c)
+        return jnp.where(val > -jnp.inf, idx, -1).astype(jnp.int32), -val
+
+    f = jax.jit(block)
+    outs_i, outs_t = [], []
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        ci, ct = f(rays.origin[s:e], rays.direction[s:e],
+                   rays.min_t[s:e], rays.max_t[s:e])
+        outs_i.append(ci)
+        outs_t.append(ct)
+    return jnp.concatenate(outs_i), jnp.concatenate(outs_t)
+
+
+def trace_closest_instanced(
+    iscene: InstancedScene,
+    rays: Rays,
+    max_candidates: int = 8,
+    config: TraceConfig = TraceConfig(),
+) -> tuple[Hits, Array]:
+    """Closest-hit over an instanced scene.
+
+    Returns (hits, instance_index (N,) i32, -1 on miss).  Hit vertex
+    positions are in *object* space of the hit instance (use the instance
+    transform for world-space shading); t/u/v/mesh/triangle follow the
+    usual contract and t is a world-space distance.
+    """
+    n = rays.count
+    cand_idx, cand_t = _instance_candidates(iscene, rays, max_candidates)
+
+    best = Hits(  # running best, start as all-miss
+        hit=jnp.zeros((n,), bool),
+        t=rays.max_t,
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+        mesh_index=jnp.full((n,), -1, jnp.int32),
+        triangle_index=jnp.full((n,), -1, jnp.int32),
+        vertex_position=jnp.zeros((n, 3, 3), jnp.float32),
+        vertex_index=jnp.full((n, 3), -1, jnp.int32),
+    )
+    best_inst = jnp.full((n,), -1, jnp.int32)
+
+    for slot in range(cand_idx.shape[1]):
+        inst = cand_idx[:, slot]
+        live = (inst >= 0) & (cand_t[:, slot] < best.t)
+        if not bool(jnp.any(live)):
+            break
+        safe = jnp.clip(inst, 0, iscene.num_instances - 1)
+        inv = jnp.take(iscene.object_from_world, safe, axis=0)  # (N,3,4)
+        o = (jnp.einsum("nab,nb->na", inv[:, :, :3], rays.origin)
+             + inv[:, :, 3])
+        d = jnp.einsum("nab,nb->na", inv[:, :, :3], rays.direction)
+        start = jnp.take(iscene.roots, jnp.take(iscene.instance_blas, safe))
+        obj_rays = Rays(
+            origin=o,
+            direction=d,
+            min_t=rays.min_t,
+            max_t=jnp.where(live, best.t, 0.0),  # inactive rays do no work
+        )
+        h = _stack._trace_loop(
+            iscene.merged, obj_rays, mode="closest", filter_fn=None,
+            config=config, start_node=start)
+        better = h.hit & (h.t < best.t) & live
+        best = jax.tree.map(
+            lambda new, old: jnp.where(
+                better.reshape((-1,) + (1,) * (old.ndim - 1)), new, old),
+            h, best)
+        best_inst = jnp.where(better, inst, best_inst)
+
+    return best, best_inst

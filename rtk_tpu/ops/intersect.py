@@ -24,11 +24,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 Array = jax.Array
 
-F32_INF = jnp.float32(jnp.inf)
+# Host-side scalar: module-level jnp constants are device-resident and
+# force tunnel syncs when captured by traced functions.
+F32_INF = np.float32(np.inf)
 
 
 class ShearBasis(struct.PyTreeNode):

@@ -59,13 +59,22 @@ class Scene(struct.PyTreeNode):
 
 
 def _leaf_bounds(tri_v: Array, num_tris: int, leaf_size: int):
-    """Masked per-leaf AABBs over chunks of sorted triangles."""
+    """Masked per-leaf AABBs over chunks of sorted triangles.
+
+    Reduces per component over (n_leaf, leaf_size*3) tiles — component-major
+    so the lane dimension is wide (a (L, K*3, 3) reduce leaves 125/128 lanes
+    idle on TPU)."""
     tp = tri_v.shape[0]
     n_leaf = tp // leaf_size
-    valid = (jnp.arange(tp) < num_tris)[:, None, None]
-    vmin = jnp.where(valid, tri_v, jnp.inf).reshape(n_leaf, leaf_size * 3, 3)
-    vmax = jnp.where(valid, tri_v, -jnp.inf).reshape(n_leaf, leaf_size * 3, 3)
-    return jnp.min(vmin, axis=1), jnp.max(vmax, axis=1)
+    valid = (jnp.arange(tp) < num_tris)[:, None]
+    mins, maxs = [], []
+    for c in range(3):
+        comp = tri_v[:, :, c]  # (Tp, 3)
+        lo = jnp.where(valid, comp, jnp.inf).reshape(n_leaf, leaf_size * 3)
+        hi = jnp.where(valid, comp, -jnp.inf).reshape(n_leaf, leaf_size * 3)
+        mins.append(jnp.min(lo, axis=1))
+        maxs.append(jnp.max(hi, axis=1))
+    return jnp.stack(mins, axis=1), jnp.stack(maxs, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size", "branching", "morton_bits"))

@@ -40,7 +40,9 @@ from rtk_tpu.types import Hits, Rays
 
 Array = jax.Array
 
-F32_INF = jnp.float32(jnp.inf)
+import numpy as np
+
+F32_INF = np.float32(np.inf)  # host-side: avoid device-resident constants
 
 # Batcher odd-even merge sorting networks (ascending).
 _NETWORKS = {
@@ -88,7 +90,8 @@ def _sort_w(ts, children, w):
 
 
 def _trace_loop(scene: Scene, rays: Rays, *, mode: str,
-                filter_fn: Optional[Callable], config: TraceConfig):
+                filter_fn: Optional[Callable], config: TraceConfig,
+                start_node=None, init_hit_t=None):
     n = rays.count
     w = scene.branching
     d = config.max_stack
@@ -104,13 +107,15 @@ def _trace_loop(scene: Scene, rays: Rays, *, mode: str,
     rows = jnp.arange(n, dtype=jnp.int32)
     lane = jnp.arange(k, dtype=jnp.int32)
 
+    if start_node is None:
+        start_node = jnp.zeros((n,), jnp.int32)  # root = wide node 0
     state = dict(
-        cur=jnp.zeros((n,), jnp.int32),  # root = wide node 0
+        cur=jnp.asarray(start_node, jnp.int32),
         cur_t=jnp.full((n,), -jnp.inf, jnp.float32),  # rtk.c:399
         sp=jnp.zeros((n,), jnp.int32),
         stack_node=jnp.zeros((n, d), jnp.int32),
         stack_t=jnp.zeros((n, d), jnp.float32),
-        hit_t=rays.max_t,  # rtk.c:548
+        hit_t=rays.max_t if init_hit_t is None else init_hit_t,  # rtk.c:548
         hit_u=jnp.zeros((n,), jnp.float32),
         hit_v=jnp.zeros((n,), jnp.float32),
         hit_slot=jnp.full((n,), -1, jnp.int32),

@@ -1,0 +1,83 @@
+"""Tracer: engine-selecting front-end over a built Scene.
+
+Two interchangeable traversal engines implement the same hit-record
+contract (rtk_trace_ray semantics, rtk.c:543-577):
+
+  * "packet": the Pallas TPU packet kernel (ops/pallas_trace.py) — the fast
+    path for branching-8 scenes on TPU; scene tables are packed once and
+    cached on this object.
+  * "stack": the pure-XLA lockstep traversal (trace/stack.py) — runs on any
+    backend, any branching, and supports filter callables.
+
+"auto" picks packet on TPU when eligible and falls back to stack otherwise
+(including any call that passes a filter, which must trace arbitrary user
+code — only the XLA engine can do that).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+
+from rtk_tpu.config import TraceConfig
+from rtk_tpu.scene import Scene
+from rtk_tpu.types import Hits, Rays
+
+
+class Tracer:
+    def __init__(self, scene: Scene, engine: str = "auto",
+                 config: TraceConfig = TraceConfig()):
+        if engine not in ("auto", "packet", "stack"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.scene = scene
+        self.config = config
+        self._packed = None
+        on_tpu = jax.default_backend() == "tpu"
+        eligible = scene.branching == 8
+        if engine == "packet" and not eligible:
+            raise ValueError("packet engine requires branching=8 scenes")
+        self.engine = (
+            engine if engine != "auto"
+            else ("packet" if (on_tpu and eligible) else "stack")
+        )
+
+    @property
+    def packed(self):
+        if self._packed is None:
+            from rtk_tpu.trace.packed import pack_scene
+
+            self._packed = pack_scene(self.scene)
+        return self._packed
+
+    def refresh(self, scene: Scene) -> "Tracer":
+        """Rebind to a refit Scene (same topology): repacks bounds only."""
+        t = Tracer.__new__(Tracer)
+        t.scene = scene
+        t.config = self.config
+        t.engine = self.engine
+        t._packed = None
+        if self._packed is not None:
+            from rtk_tpu.trace.packed import repack_bounds
+
+            t._packed = repack_bounds(self._packed, scene)
+        return t
+
+    def _trace(self, rays: Rays, mode: str,
+               filter_fn: Optional[Callable]) -> Hits:
+        if self.engine == "packet" and filter_fn is None:
+            from rtk_tpu.ops.pallas_trace import trace_packets
+
+            return trace_packets(self.packed, rays, mode=mode,
+                                 watertight=self.config.watertight)
+        from rtk_tpu.trace import stack as _stack
+
+        fn = _stack.trace_closest if mode == "closest" else _stack.trace_any
+        return fn(self.scene, rays, filter_fn=filter_fn, config=self.config)
+
+    def closest(self, rays: Rays, filter_fn: Optional[Callable] = None) -> Hits:
+        """Nearest-hit query (rtk_trace_ray)."""
+        return self._trace(rays, "closest", filter_fn)
+
+    def any(self, rays: Rays, filter_fn: Optional[Callable] = None) -> Hits:
+        """Any-hit query (the intended rtk_trace_ray_filter semantics)."""
+        return self._trace(rays, "any", filter_fn)

@@ -14,11 +14,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 Array = jax.Array
 
-RTK_INF = jnp.float32(3.402823e38)  # rtk.h:11
+# Host-side scalar (a module-level jnp constant would live on the default
+# device and force a device sync whenever a traced function captures it).
+RTK_INF = np.float32(3.402823e38)  # rtk.h:11
 
 
 class Rays(struct.PyTreeNode):
