@@ -100,6 +100,10 @@ def merge_blas(scenes: Sequence[Scene]) -> tuple[Scene, np.ndarray]:
             [shift_child(s.bin_left, b) for b, s in enumerate(scenes)]),
         bin_right=jnp.concatenate(
             [shift_child(s.bin_right, b) for b, s in enumerate(scenes)]),
+        bin_min=jnp.concatenate([s.bin_min for s in scenes]),
+        bin_max=jnp.concatenate([s.bin_max for s in scenes]),
+        leaf_min=jnp.concatenate([s.leaf_min for s in scenes]),
+        leaf_max=jnp.concatenate([s.leaf_max for s in scenes]),
         tri_v=jnp.concatenate([s.tri_v for s in scenes]),
         tri_vidx=jnp.concatenate([s.tri_vidx for s in scenes]),
         tri_mesh=jnp.concatenate([s.tri_mesh for s in scenes]),
@@ -246,5 +250,126 @@ def trace_closest_instanced(
                 better.reshape((-1,) + (1,) * (old.ndim - 1)), new, old),
             h, best)
         best_inst = jnp.where(better, inst, best_inst)
+
+    return best, best_inst
+
+
+# ---------------------------------------------------------------------------
+# Packet-kernel instanced tracing: rays grouped by candidate instance so each
+# 128-ray packet traverses a single BLAS root in its own object space.
+# ---------------------------------------------------------------------------
+
+class PackedInstancedScene(struct.PyTreeNode):
+    iscene: InstancedScene
+    packed: "object"  # PackedScene of the merged forest
+    packed_roots: Array  # (B,) i32 packed node id per BLAS
+
+
+def pack_instanced(iscene: InstancedScene) -> PackedInstancedScene:
+    from rtk_tpu.trace.packed import pack_forest
+
+    packed, roots = pack_forest(iscene.merged, np.asarray(iscene.roots))
+    return PackedInstancedScene(
+        iscene=iscene, packed=packed,
+        packed_roots=jnp.asarray(roots))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _object_rays(iscene_obw, rays_o, rays_d, inst_safe):
+    inv = jnp.take(iscene_obw, inst_safe, axis=0)  # (N,3,4)
+    o = jnp.einsum("nab,nb->na", inv[:, :, :3], rays_o) + inv[:, :, 3]
+    d = jnp.einsum("nab,nb->na", inv[:, :, :3], rays_d)
+    return o, d
+
+
+def trace_closest_instanced_packets(
+    pscene: PackedInstancedScene,
+    rays: Rays,
+    max_candidates: int = 8,
+    interpret: bool = False,
+) -> tuple[Hits, Array]:
+    """Closest-hit over an instanced scene using the Pallas packet kernel.
+
+    Per candidate round, live rays are grouped by instance (host-side
+    bucketing), padded to 128-ray packets sharing that instance's BLAS root,
+    transformed to object space, and traced with per-packet roots.
+    """
+    from rtk_tpu.ops.pallas_trace import PKT, trace_packets
+
+    iscene = pscene.iscene
+    n = rays.count
+    cand_idx, cand_t = _instance_candidates(iscene, rays, max_candidates)
+    cand_idx_h = np.asarray(cand_idx)
+    packed_roots_h = np.asarray(pscene.packed_roots)
+    inst_blas_h = np.asarray(iscene.instance_blas)
+
+    best = Hits(
+        hit=jnp.zeros((n,), bool),
+        t=rays.max_t,
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+        mesh_index=jnp.full((n,), -1, jnp.int32),
+        triangle_index=jnp.full((n,), -1, jnp.int32),
+        vertex_position=jnp.zeros((n, 3, 3), jnp.float32),
+        vertex_index=jnp.full((n, 3), -1, jnp.int32),
+    )
+    best_inst = jnp.full((n,), -1, jnp.int32)
+
+    for slot in range(cand_idx.shape[1]):
+        inst = cand_idx[:, slot]
+        live_dev = (inst >= 0) & (cand_t[:, slot] < best.t)
+        live = np.asarray(live_dev)
+        if not live.any():
+            break
+        idx = np.nonzero(live)[0]
+        inst_h = cand_idx_h[idx, slot]
+        # Group rays by instance; pad each group to whole packets.
+        order = np.argsort(inst_h, kind="stable")
+        idx = idx[order]
+        inst_sorted = inst_h[order]
+        groups, counts = np.unique(inst_sorted, return_counts=True)
+        padded = int(np.sum((counts + PKT - 1) // PKT) * PKT)
+        # Bucket to powers of two so kernel shapes (and compiles) repeat
+        # across rounds/frames.
+        padded = max(1024, 1 << int(np.ceil(np.log2(padded))))
+        pos = np.zeros(idx.shape[0], np.int64)
+        roots = np.zeros(padded // PKT, np.int32)
+        gidx = np.full(padded, -1, np.int64)  # padded slot -> ray index
+        cursor = 0
+        s = 0
+        for g, c in zip(groups, counts):
+            pos[s:s + c] = cursor + np.arange(c)
+            gidx[cursor:cursor + c] = idx[s:s + c]
+            blk = (c + PKT - 1) // PKT
+            roots[cursor // PKT: cursor // PKT + blk] = (
+                packed_roots_h[inst_blas_h[g]])
+            cursor += blk * PKT
+            s += c
+        gidx_j = jnp.asarray(gidx)
+        safe_ray = jnp.clip(gidx_j, 0, n - 1)
+        inst_of_slot = jnp.take(cand_idx[:, slot], safe_ray)
+        o, d = _object_rays(
+            iscene.object_from_world,
+            jnp.take(rays.origin, safe_ray, axis=0),
+            jnp.take(rays.direction, safe_ray, axis=0),
+            jnp.clip(inst_of_slot, 0, iscene.num_instances - 1))
+        grouped = Rays(
+            origin=o,
+            direction=d,
+            min_t=jnp.take(rays.min_t, safe_ray),
+            max_t=jnp.where(gidx_j >= 0, jnp.take(best.t, safe_ray), 0.0),
+        )
+        h = trace_packets(pscene.packed, grouped, packet_roots=roots,
+                          interpret=interpret)
+        # Scatter improvements back (each ray occupies exactly one grouped
+        # slot per round, so targets are unique).
+        improved = h.hit & (gidx_j >= 0) & (h.t < jnp.take(best.t, safe_ray))
+        tgt = jnp.where(improved, gidx_j, n)
+
+        def scatter_field(new, old):
+            return old.at[tgt].set(new, mode="drop")
+
+        best = jax.tree.map(scatter_field, h, best)
+        best_inst = best_inst.at[tgt].set(inst_of_slot, mode="drop")
 
     return best, best_inst

@@ -105,17 +105,20 @@ def _popcount8(v):
     return (v + (v >> 4)) & 0x0F
 
 
-def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False):
+def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
+                 hbm_tris=False):
     k_tris = leaf_size
     P = p_pk
 
     def kernel(nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               mint_ref, maxt_ref,
+               mint_ref, maxt_ref, roots_ref,
                out_t, out_u, out_v, out_slot,
                *rest):
         if stats:
-            out_steps, stage_nodes, stage_tris, stack_ref = rest
+            out_steps, *rest = rest
+        if hbm_tris:
+            stage_nodes, stage_tris, stack_ref, tri_sems = rest
         else:
             stage_nodes, stage_tris, stack_ref = rest
 
@@ -155,7 +158,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False):
                          _rep(o_kz, k_tris))
         mintK = _rep(mint, k_tris)
 
-        stack_ref[:, :] = jnp.zeros((P * STACK_D, 8), jnp.int32)  # root == 0
+        for p in range(P):  # only the root rows need init (garbage above
+            # each packet's sp is never read); per-packet roots support
+            # multi-root (instanced/merged-BLAS) tables.
+            stack_ref[pl.ds(p * STACK_D, 1), :] = jnp.full(
+                (1, 8), roots_ref[0, p, 0], jnp.int32)
 
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
         assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
@@ -187,12 +194,31 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False):
                 tri0s.append(jnp.where(is_leaf, (-ent - 2) * k_tris, 0))
 
             # ---- stage node child rows + leaf triangle rows ----
+            if hbm_tris:
+                # Triangles live in HBM (VMEM can't hold big scenes) as
+                # (Tp*16/128, 128) rows — 8 triangle records per row, so a
+                # leaf's K tris are whole 128-lane-aligned rows (DMA slices
+                # must be lane-aligned).  Start the copies now; they overlap
+                # the slab phase below.
+                rows_per_leaf = k_tris // 8
+                dmas = []
+                for p in range(P):
+                    dma = pltpu.make_async_copy(
+                        tris_ref.at[
+                            pl.ds(tri0s[p] // 8, rows_per_leaf), :],
+                        stage_tris.at[
+                            pl.ds(p * rows_per_leaf, rows_per_leaf), :],
+                        tri_sems.at[p],
+                    )
+                    dma.start()
+                    dmas.append(dma)
             for p in range(P):
                 nid = jnp.where(ents[p] >= 0, ents[p], 0)
                 stage_nodes[pl.ds(p * W, W), :] = nodes_ref[
                     pl.ds(nid * W, W), :]
-                stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
-                    pl.ds(tri0s[p], k_tris), :]
+                if not hbm_tris:
+                    stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
+                        pl.ds(tri0s[p], k_tris), :]
 
             int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
@@ -253,48 +279,73 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False):
                 c_packed.append(jnp.sum(jnp.where(
                     grp == g, counts << (4 * (pcol % 4)), 0)))
 
-            # ---- leaf tests, one (P*K, 128) tile ----
-            trows = stage_tris[:]  # (P*K, 16)
-            xs, ys, zs = [], [], []
-            for j in range(3):
-                vx = trows[:, 3 * j:3 * j + 1]
-                vy = trows[:, 3 * j + 1:3 * j + 2]
-                vz = trows[:, 3 * j + 2:3 * j + 3]
-                px = _axis_sel(kxK, vx, vy, vz) - oxK
-                py = _axis_sel(kyK, vx, vy, vz) - oyK
-                pz = _axis_sel(kzK, vx, vy, vz) - ozK
-                xs.append(px + sxK * pz)
-                ys.append(py + syK * pz)
-                zs.append(szK * pz)
-            u = xs[1] * ys[2] - ys[1] * xs[2]
-            v = xs[2] * ys[0] - ys[2] * xs[0]
-            w_ = xs[0] * ys[1] - ys[0] * xs[1]
-            if watertight:
-                zero = (u == 0.0) | (v == 0.0) | (w_ == 0.0)
-                u = jnp.where(zero, _edge_dw(xs[1], ys[1], xs[2], ys[2]), u)
-                v = jnp.where(zero, _edge_dw(xs[2], ys[2], xs[0], ys[0]), v)
-                w_ = jnp.where(zero, _edge_dw(xs[0], ys[0], xs[1], ys[1]), w_)
-            lo = jnp.minimum(jnp.minimum(u, v), w_)
-            hi = jnp.maximum(jnp.maximum(u, v), w_)
-            det = u + v + w_
-            rcp_det = 1.0 / det
-            t = (u * zs[0] + v * zs[1] + w_ * zs[2]) * rcp_det
-            ok = (
-                ~((lo < 0.0) & (hi > 0.0))
-                & (t > mintK)
-                & _rep(leaf_vec.astype(jnp.float32), k_tris).astype(bool)
-            )
-            rr_t = t.reshape(P, k_tris, PKT)
-            rr_u = (u * rcp_det).reshape(P, k_tris, PKT)
-            rr_v = (v * rcp_det).reshape(P, k_tris, PKT)
-            rr_ok = ok.reshape(P, k_tris, PKT)
-            for k in range(k_tris):
-                tk = rr_t[:, k, :]
-                upd = rr_ok[:, k, :] & (tk < hit_t)
-                hit_t = jnp.where(upd, tk, hit_t)
-                hit_u = jnp.where(upd, rr_u[:, k, :], hit_u)
-                hit_v = jnp.where(upd, rr_v[:, k, :], hit_v)
-                hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
+            # ---- leaf tests ----
+            def leaf_uvwt(verts, kx_, ky_, kz_, sx_, sy_, sz_,
+                          okx, oky, okz, mint_):
+                # verts: 9 (rows, 1) column slices [v0x..v2z]; ray tiles
+                # broadcast against them.  Watertight shear-space test,
+                # rtk.c:181-388 semantics.
+                xs, ys, zs = [], [], []
+                for j in range(3):
+                    vx, vy, vz = verts[3 * j], verts[3 * j + 1], verts[3 * j + 2]
+                    px = _axis_sel(kx_, vx, vy, vz) - okx
+                    py = _axis_sel(ky_, vx, vy, vz) - oky
+                    pz = _axis_sel(kz_, vx, vy, vz) - okz
+                    xs.append(px + sx_ * pz)
+                    ys.append(py + sy_ * pz)
+                    zs.append(sz_ * pz)
+                u = xs[1] * ys[2] - ys[1] * xs[2]
+                v = xs[2] * ys[0] - ys[2] * xs[0]
+                w_ = xs[0] * ys[1] - ys[0] * xs[1]
+                if watertight:
+                    zero = (u == 0.0) | (v == 0.0) | (w_ == 0.0)
+                    u = jnp.where(zero, _edge_dw(xs[1], ys[1], xs[2], ys[2]), u)
+                    v = jnp.where(zero, _edge_dw(xs[2], ys[2], xs[0], ys[0]), v)
+                    w_ = jnp.where(zero, _edge_dw(xs[0], ys[0], xs[1], ys[1]), w_)
+                lo = jnp.minimum(jnp.minimum(u, v), w_)
+                hi = jnp.maximum(jnp.maximum(u, v), w_)
+                det = u + v + w_
+                rcp_det = 1.0 / det
+                t = (u * zs[0] + v * zs[1] + w_ * zs[2]) * rcp_det
+                ok = ~((lo < 0.0) & (hi > 0.0)) & (t > mint_)
+                return t, u * rcp_det, v * rcp_det, ok
+
+            if hbm_tris:
+                for dma in dmas:
+                    dma.wait()
+                # staged as (P*rows_per_leaf, 128): 8 tri records per row.
+                rpl = k_tris // 8
+                st3 = stage_tris[:].reshape(P, rpl, 128)
+                for k in range(k_tris):
+                    r, s16 = k // 8, (k % 8) * 16
+                    verts = [st3[:, r, s16 + c:s16 + c + 1] for c in range(9)]
+                    tk, uk, vk, okk = leaf_uvwt(
+                        verts, kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz,
+                        mint)
+                    upd = okk & leaf_vec & (tk < hit_t)
+                    hit_t = jnp.where(upd, tk, hit_t)
+                    hit_u = jnp.where(upd, uk, hit_u)
+                    hit_v = jnp.where(upd, vk, hit_v)
+                    hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
+            else:
+                trows = stage_tris[:]  # (P*K, 16)
+                verts = [trows[:, c:c + 1] for c in range(9)]
+                t, u, v, ok = leaf_uvwt(
+                    verts, kxK, kyK, kzK, sxK, syK, szK, oxK, oyK, ozK,
+                    mintK)
+                ok = ok & _rep(leaf_vec.astype(jnp.float32),
+                               k_tris).astype(bool)
+                rr_t = t.reshape(P, k_tris, PKT)
+                rr_u = u.reshape(P, k_tris, PKT)
+                rr_v = v.reshape(P, k_tris, PKT)
+                rr_ok = ok.reshape(P, k_tris, PKT)
+                for k in range(k_tris):
+                    tk = rr_t[:, k, :]
+                    upd = rr_ok[:, k, :] & (tk < hit_t)
+                    hit_t = jnp.where(upd, tk, hit_t)
+                    hit_u = jnp.where(upd, rr_u[:, k, :], hit_u)
+                    hit_v = jnp.where(upd, rr_v[:, k, :], hit_v)
+                    hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
 
             if mode == "any":
                 found = jnp.min((hit_slot >= 0).astype(jnp.int32), axis=1,
@@ -353,22 +404,30 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
-                     "leaf_size", "stats", "p_pk"),
+                     "leaf_size", "stats", "p_pk", "hbm_tris"),
 )
-def _run_kernel(nodes, tris, ray_comps, *, mode, watertight, interpret,
-                num_tris, leaf_size, stats=False, p_pk=DEFAULT_P):
+def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
+                interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
+                hbm_tris=False):
     P = p_pk
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
     ray_spec = pl.BlockSpec((P, PKT), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    roots_spec = pl.BlockSpec((1, P, PKT), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats)
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_tris
+                else full())
+    kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
+                          hbm_tris=hbm_tris)
     n_out = 5 if stats else 4
+    roots3 = jnp.broadcast_to(
+        roots.reshape(grid, P, 1), (grid, P, PKT))
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[full(), full()] + [ray_spec] * 8,
+        in_specs=[full(), tri_spec] + [ray_spec] * 8 + [roots_spec],
         out_specs=[ray_spec] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
@@ -378,17 +437,24 @@ def _run_kernel(nodes, tris, ray_comps, *, mode, watertight, interpret,
         ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
         scratch_shapes=[
             pltpu.VMEM((P * W, 8), jnp.int32),
-            pltpu.VMEM((P * leaf_size, 16), jnp.float32),
+            (pltpu.VMEM((P * leaf_size // 8, 128), jnp.float32) if hbm_tris
+             else pltpu.VMEM((P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
-        ],
+        ] + ([pltpu.SemaphoreType.DMA((P,))] if hbm_tris else []),
         interpret=interpret,
-    )(nodes, tris, *ray_comps)
+    )(nodes, tris, *ray_comps, roots3)
     return out
+
+
+# Keep the whole scene in VMEM only while it fits comfortably (~16 MB/core,
+# shared with ray blocks, stages and stacks).
+VMEM_TRI_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   watertight: bool = True, interpret: bool = False,
-                  p_pk: int = DEFAULT_P) -> Hits:
+                  p_pk: int = DEFAULT_P, hbm_tris: bool | None = None,
+                  packet_roots=None) -> Hits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -412,10 +478,31 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         comp(rays.direction[:, 2], 0.0),
         comp(rays.min_t, 0.0), comp(rays.max_t, 0.0),
     )
+    if hbm_tris is None:
+        hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
+    if hbm_tris and packed.leaf_size % 8 != 0:
+        raise ValueError(
+            "HBM-resident triangles require leaf_size % 8 == 0 "
+            "(lane-aligned leaf rows); rebuild the scene accordingly")
+    tris_table = (packed.tris.reshape(-1, 128) if hbm_tris else packed.tris)
+    n_packets = npad // PKT
+    if packet_roots is None:
+        roots = jnp.zeros((n_packets,), jnp.int32)
+    else:
+        roots = jnp.asarray(packet_roots, jnp.int32)
+        if roots.shape[0] > n_packets:
+            raise ValueError(
+                f"packet_roots has {roots.shape[0]} entries for "
+                f"{n_packets} {PKT}-ray packets")
+        if roots.shape[0] < n_packets:
+            # Block-padding packets hold dead rays; any root works.
+            roots = jnp.concatenate(
+                [roots, jnp.zeros((n_packets - roots.shape[0],), jnp.int32)])
     out = _run_kernel(
-        packed.nodes, packed.tris, ray_comps,
+        packed.nodes, tris_table, ray_comps, roots,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
+        hbm_tris=hbm_tris,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]

@@ -36,9 +36,14 @@ class Scene(struct.PyTreeNode):
     node_child: Array  # (Nn, W) i32
     node_min: Array  # (Nn, W, 3) f32
     node_max: Array  # (Nn, W, 3) f32
-    # Binary topology kept for refit (leaf bounds -> binary -> wide regather).
+    # Binary topology + bounds kept for refit and for kernel-table packing
+    # (leaf bounds -> binary refit -> wide/packed regather).
     bin_left: Array  # (Li,) i32
     bin_right: Array  # (Li,) i32
+    bin_min: Array  # (Li, 3) f32
+    bin_max: Array  # (Li, 3) f32
+    leaf_min: Array  # (L, 3) f32
+    leaf_max: Array  # (L, 3) f32
     # Triangles in traversal (Morton-sorted) order, padded to L*leaf_size.
     tri_v: Array  # (Tp, 3, 3) f32
     tri_vidx: Array  # (Tp, 3) i32 original vertex indices
@@ -81,6 +86,12 @@ def _leaf_bounds(tri_v: Array, num_tris: int, leaf_size: int):
 def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
                 leaf_size, branching, morton_bits):
     t = num_tris
+    if tri_vidx is None:  # defaults built on-device (an eager arange per
+        tri_vidx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
+    if tri_mesh is None:  # call costs a host->device round trip each)
+        tri_mesh = jnp.zeros((t,), jnp.int32)
+    if tri_prim is None:
+        tri_prim = jnp.arange(t, dtype=jnp.int32)
     n_leaf = max(1, -(-t // leaf_size))
     tp = n_leaf * leaf_size
 
@@ -114,8 +125,9 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
         node_child = jnp.full((1, w), -1, jnp.int32).at[0, 0].set(leaf_code(0))
         node_min = jnp.full((1, w, 3), 1.0, jnp.float32).at[0, 0].set(leaf_min[0])
         node_max = jnp.full((1, w, 3), -1.0, jnp.float32).at[0, 0].set(leaf_max[0])
-        bin_left = jnp.zeros((1,), jnp.int32)
-        bin_right = jnp.zeros((1,), jnp.int32)
+        bin_left = jnp.full((1,), leaf_code(0), jnp.int32)
+        bin_right = jnp.full((1,), -1, jnp.int32)  # empty slot
+        bmin, bmax = leaf_min, leaf_max
     else:
         cluster_codes = sort_codes[::leaf_size] if leaf_size > 1 else sort_codes
         bin_left, bin_right = karras_topology(cluster_codes)
@@ -129,6 +141,10 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
         node_max=node_max,
         bin_left=bin_left,
         bin_right=bin_right,
+        bin_min=bmin,
+        bin_max=bmax,
+        leaf_min=leaf_min,
+        leaf_max=leaf_max,
         tri_v=sort_v,
         tri_vidx=sort_vidx,
         tri_mesh=sort_mesh,
@@ -146,17 +162,12 @@ def build_from_soup(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
     t = tri_pos.shape[0]
     if t == 0:
         raise ValueError("cannot build an empty scene")
-    if tri_vidx is None:
-        tri_vidx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
-    if tri_mesh is None:
-        tri_mesh = jnp.zeros((t,), jnp.int32)
-    if tri_prim is None:
-        tri_prim = jnp.arange(t, dtype=jnp.int32)
+    cvt = lambda a, dt: None if a is None else jnp.asarray(a, dt)
     arrays = _build_impl(
         tri_pos,
-        jnp.asarray(tri_vidx, jnp.int32),
-        jnp.asarray(tri_mesh, jnp.int32),
-        jnp.asarray(tri_prim, jnp.int32),
+        cvt(tri_vidx, jnp.int32),
+        cvt(tri_mesh, jnp.int32),
+        cvt(tri_prim, jnp.int32),
         num_tris=t,
         leaf_size=config.leaf_size,
         branching=config.branching,
@@ -186,6 +197,7 @@ def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size):
     if n_leaf == 1:
         node_min = scene_arrays["node_min"].at[0, 0].set(leaf_min[0])
         node_max = scene_arrays["node_max"].at[0, 0].set(leaf_max[0])
+        bmin, bmax = leaf_min, leaf_max
     else:
         bmin, bmax = refit_binary(
             scene_arrays["bin_left"], scene_arrays["bin_right"],
@@ -195,7 +207,9 @@ def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size):
     lo = jnp.min(leaf_min, axis=0)
     hi = jnp.max(leaf_max, axis=0)
     return dict(node_min=node_min, node_max=node_max,
-                tri_v=sort_v, bounds_min=lo, bounds_max=hi)
+                tri_v=sort_v, bounds_min=lo, bounds_max=hi,
+                bin_min=bmin, bin_max=bmax,
+                leaf_min=leaf_min, leaf_max=leaf_max)
 
 
 def refit(scene: Scene, new_tri_pos) -> Scene:

@@ -1,17 +1,19 @@
 """PackedScene: kernel-ready scene tables for the Pallas packet tracer.
 
-The builder's wide nodes are binary-indexed with dead rows (builder/
-collapse.py).  The packet kernel wants dense, VMEM-resident tables with
-*arithmetically derivable* child ids so traversal needs no per-slot pointer
-loads: we renumber live wide nodes in BFS order such that every node's
-internal children occupy consecutive ids, and renumber leaves in the same
-visit order so a node's leaf children are consecutive too.  Per node the
-kernel then only needs (first_child, first_leaf, int_mask, leaf_mask).
+The packed wide tree is built straight from the *binary* LBVH topology with
+a greedy collapse: starting from a node's two children, repeatedly expand
+the internal slot with the largest surface area until all 8 slots are used.
+This fills ~7-8 of 8 child slots (the builder's cheap depth-mod collapse
+averages ~4), which makes the packed tree shallower and cuts traversal
+steps.  It generalises the reference's binary->BVH4 grandchild collapse
+(rtk.c:1570-1622) with an SAH-flavoured expansion order.
 
-This is the TPU analogue of rtk's linearizer (rtk.c:1509-1622): where rtk
-emits level-ordered BVH4 nodes + packed leaf records into a relocatable
-blob, we emit BFS-ordered SoA rows + reordered triangle rows into device
-tables.
+Nodes are numbered in BFS order with each node's internal children (and
+leaf children) CONTIGUOUS, so the kernel derives every child pointer from
+(first_child, first_leaf, slot masks) — no per-slot pointer loads.  This is
+the TPU analogue of rtk's linearizer pass (rtk.c:1509-1622): rtk emits
+level-ordered BVH4 nodes + packed leaf records into a relocatable blob; we
+emit BFS-ordered SoA rows + reordered triangle rows into device tables.
 
 Packing runs once per topology (host NumPy); refit only regathers bounds
 through saved mappings (jitted).
@@ -29,23 +31,24 @@ from rtk_tpu.scene import Scene
 
 Array = jax.Array
 
-NODE_ROW_F32 = 8  # per child: [minx miny minz maxx maxy maxz meta0 meta1]
+W = 8
+NODE_ROW_I32 = 8  # per child: [minx miny minz maxx maxy maxz meta0 meta1]
 TRI_ROW_F32 = 16  # [v0(3) v1(3) v2(3) | 7 pad]
 
 
 class PackedScene(struct.PyTreeNode):
     """Dense scene tables + mappings; product of pack_scene(scene).
 
-    nodes holds 8 rows per wide node (one per child slot): columns 0-5 are
-    the child AABB (f32 bitcast into an int32 table — see _gather_rows for
-    the denormal-flush rationale), and the first two rows carry node
-    metadata in columns 6-7: row0 = (first_child, first_leaf), row1 =
-    (int_mask | leaf_mask << 8, unused).  This lets the kernel fetch bounds
-    AND push metadata with a single (8, 8) dynamic slice per node.
+    nodes holds 8 rows per packed node (one per child slot): columns 0-5 are
+    the child AABB (f32 bitcast into an int32 table — TPU flushes denormal
+    floats, so integer metadata must never live in a float-typed table), and
+    the first two rows carry node metadata in columns 6-7: row0 =
+    (first_child, first_leaf), row1 = (int_mask | leaf_mask << 8, unused).
+    One (8, 8) dynamic slice per node fetches bounds AND push metadata.
     """
 
     nodes: Array  # (Nd*8, 8) i32 child rows with embedded meta
-    meta: Array  # (Nd, 4) i32: first_child, first_leaf, int_mask|leaf_mask<<8, pad
+    meta: Array  # (Nd, 4) i32: first_child, first_leaf, masks, pad
     tris: Array  # (Tp, 16) f32 vertex rows in packed-leaf order
     # Hit-assembly arrays in packed order (indexed by kernel slot output).
     tri_v: Array  # (Tp, 3, 3) f32
@@ -53,7 +56,7 @@ class PackedScene(struct.PyTreeNode):
     tri_mesh: Array  # (Tp,) i32
     tri_prim: Array  # (Tp,) i32
     # Refit mappings.
-    node_src: Array  # (Nd,) i32 old (binary-indexed) wide row per new row
+    slot_src: Array  # (Nd, 8) i32: binary node id / leaf code / -1 per slot
     tri_perm: Array  # (Tp,) i32 old sorted-tri slot per new slot
     num_tris: int = struct.field(pytree_node=False)
     leaf_size: int = struct.field(pytree_node=False)
@@ -67,74 +70,91 @@ class PackedScene(struct.PyTreeNode):
         return self.tris.shape[0]
 
 
-def _bfs_renumber(node_child: np.ndarray):
-    """BFS over live wide nodes with contiguous child/leaf numbering.
+def _area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    d = np.maximum(hi - lo, 0.0)
+    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
 
-    Returns (order, first_child, first_leaf, masks) where order[new] = old id
-    and per-new-node metadata arrays.
+
+def _greedy_slots(left, right, area, root: int = 0):
+    """Greedy wide collapse, level by level (vectorised host NumPy).
+
+    Returns slot_src (Nd, 8) int64 (binary id >= 0, leaf code <= -2,
+    -1 empty) in BFS order from `root`; internal children appear in
+    row-major slot order, which is exactly the contiguous-child numbering.
     """
-    order = [np.array([0], np.int64)]
-    fcs, fls, msks = [], [], []
-    next_new = 1
-    next_leaf = 0
-    frontier = np.array([0], np.int64)
+    levels = []
+    frontier = np.array([root], np.int64)
     while frontier.size:
-        ch = node_child[frontier]  # (F, 8)
-        int_m = ch >= 0
-        leaf_m = ch <= -2
-        n_int = int_m.sum(1)
-        n_leaf = leaf_m.sum(1)
-        fc = next_new + np.concatenate([[0], np.cumsum(n_int)[:-1]])
-        fl = next_leaf + np.concatenate([[0], np.cumsum(n_leaf)[:-1]])
-        bits = (1 << np.arange(8, dtype=np.int64))[None, :]
-        int_bits = (int_m * bits).sum(1)
-        leaf_bits = (leaf_m * bits).sum(1)
-        fcs.append(fc)
-        fls.append(fl)
-        msks.append(int_bits | (leaf_bits << 8))
-        next_new += int(n_int.sum())
-        next_leaf += int(n_leaf.sum())
-        # Row-major order of internal children matches the fc ranks.
-        frontier = ch[int_m].astype(np.int64)
-        if frontier.size:
-            order.append(frontier)
-    return (
-        np.concatenate(order).astype(np.int32),
-        np.concatenate(fcs).astype(np.int32),
-        np.concatenate(fls).astype(np.int32),
-        np.concatenate(msks).astype(np.int32),
-        next_leaf,
-    )
+        f = frontier.shape[0]
+        slots = np.full((f, W), -1, np.int64)
+        slots[:, 0] = left[frontier]
+        slots[:, 1] = right[frontier]
+        nslots = np.full(f, 2, np.int64)
+        rows = np.arange(f)
+        for _ in range(W - 2):
+            internal = slots >= 0
+            a = np.where(internal, area[np.clip(slots, 0, None)], -np.inf)
+            a[nslots >= W] = -np.inf  # no free slot left
+            pick = a.argmax(1)
+            ok = a[rows, pick] > -np.inf
+            b = slots[rows, pick]
+            bc = np.clip(b, 0, None)
+            r = rows[ok]
+            slots[r, pick[ok]] = left[bc][ok]
+            slots[r, nslots[ok]] = right[bc][ok]
+            nslots[ok] += 1
+        levels.append(slots)
+        frontier = slots[slots >= 0]
+    return np.concatenate(levels, axis=0)
 
 
-def _leaf_visit_order(node_child: np.ndarray, order: np.ndarray):
-    """Old leaf id per new leaf id (same BFS slot order as _bfs_renumber)."""
-    out = []
-    for old in order:
-        ch = node_child[old]
-        leafs = ch[ch <= -2]
-        out.extend((-leafs - 2).tolist())
-    return np.asarray(out, np.int64)
+def _pack_meta(slot_src: np.ndarray, node_base: int = 0,
+               leaf_base: int = 0):
+    """(first_child, first_leaf, masks) per node + leaf visit order.
+
+    node_base/leaf_base offset the contiguous numbering for multi-root
+    (merged-BLAS) packing."""
+    int_m = slot_src >= 0
+    leaf_m = slot_src <= -2
+    n_int = int_m.sum(1)
+    n_leaf = leaf_m.sum(1)
+    fc = node_base + 1 + np.concatenate([[0], np.cumsum(n_int)[:-1]])
+    fl = leaf_base + np.concatenate([[0], np.cumsum(n_leaf)[:-1]])
+    bits = 1 << np.arange(W, dtype=np.int64)[None, :]
+    masks = (int_m * bits).sum(1) | ((leaf_m * bits).sum(1) << 8)
+    leaf_order = -slot_src[leaf_m] - 2  # row-major == fl ranks
+    meta = np.stack(
+        [fc, fl, masks, np.zeros_like(fc)], axis=1).astype(np.int32)
+    return meta, leaf_order.astype(np.int64)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
-def _gather_rows(node_min, node_max, node_src, meta, *, n_rows):
-    """Build (Nd*8, 8) *int32* child rows from wide bounds (jit; reused by
-    refit): columns 0-5 are bitcast f32 bounds, node meta goes in columns
-    6-7 of rows 0-1.  The table is integer-typed because TPU flushes
-    denormal f32 to zero — small meta ints bitcast into a float table
-    would be silently destroyed by XLA data movement."""
-    src = node_src
-    cmin = jnp.take(node_min, src, axis=0)  # (Nd, 8, 3)
-    cmax = jnp.take(node_max, src, axis=0)
+def _gather_rows(bin_min, bin_max, leaf_min, leaf_max, slot_src, meta, *,
+                 n_rows):
+    """Build (Nd*8, 8) i32 child rows (jit; reused by refit repack)."""
+    internal = slot_src >= 0
+    leaf = slot_src <= -2
+    si = jnp.clip(slot_src, 0, bin_min.shape[0] - 1)
+    li = jnp.clip(-slot_src - 2, 0, leaf_min.shape[0] - 1)
+    comps = []
+    for c in range(3):
+        b = jnp.take(bin_min[:, c], si)
+        l = jnp.take(leaf_min[:, c], li)
+        comps.append(jnp.where(internal, b,
+                               jnp.where(leaf, l, jnp.float32(1.0))))
+    for c in range(3):
+        b = jnp.take(bin_max[:, c], si)
+        l = jnp.take(leaf_max[:, c], li)
+        comps.append(jnp.where(internal, b,
+                               jnp.where(leaf, l, jnp.float32(-1.0))))
     bounds = jax.lax.bitcast_convert_type(
-        jnp.concatenate([cmin, cmax], axis=2), jnp.int32)  # (Nd, 8, 6) i32
-    pad = jnp.zeros((n_rows, 8, 1), jnp.int32)
-    rows = jnp.concatenate([bounds, pad, pad], axis=2)  # (Nd, 8, 8) i32
-    rows = rows.at[:, 0, 6].set(meta[:, 0])  # first_child
-    rows = rows.at[:, 0, 7].set(meta[:, 1])  # first_leaf
-    rows = rows.at[:, 1, 6].set(meta[:, 2])  # int_mask | leaf_mask << 8
-    return rows.reshape(n_rows * 8, 8)
+        jnp.stack(comps, axis=-1), jnp.int32)  # (Nd, 8, 6) i32
+    pad = jnp.zeros((n_rows, W, 1), jnp.int32)
+    rows = jnp.concatenate([bounds, pad, pad], axis=2)  # (Nd, 8, 8)
+    rows = rows.at[:, 0, 6].set(meta[:, 0])
+    rows = rows.at[:, 0, 7].set(meta[:, 1])
+    rows = rows.at[:, 1, 6].set(meta[:, 2])
+    return rows.reshape(n_rows * W, 8)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -145,33 +165,37 @@ def _tri_rows(tri_v):
 
 
 def pack_scene(scene: Scene) -> PackedScene:
-    """Pack a built Scene for the Pallas packet kernel (host renumber pass)."""
-    if scene.branching != 8:
-        raise ValueError("packet kernel requires branching=8 scenes")
-    node_child = np.asarray(scene.node_child)
-    order, fc, fl, masks, n_new_leaves = _bfs_renumber(node_child)
-    assert n_new_leaves == scene.num_leaves, (n_new_leaves, scene.num_leaves)
-    leaf_order = _leaf_visit_order(node_child, order)
+    """Pack a built Scene for the Pallas packet kernel."""
     k = scene.leaf_size
+    if scene.num_leaves == 1:
+        slot_src = np.full((1, W), -1, np.int64)
+        slot_src[0, 0] = -2  # leaf 0
+    else:
+        left = np.asarray(scene.bin_left, np.int64)
+        right = np.asarray(scene.bin_right, np.int64)
+        area = _area(np.asarray(scene.bin_min), np.asarray(scene.bin_max))
+        slot_src = _greedy_slots(left, right, area)
+    meta, leaf_order = _pack_meta(slot_src)
+    assert leaf_order.shape[0] == scene.num_leaves
+
     tri_perm = (leaf_order[:, None] * k + np.arange(k)[None, :]).reshape(-1)
     tri_perm = tri_perm.astype(np.int32)
-
-    node_src = jnp.asarray(order, jnp.int32)
-    meta = jnp.asarray(
-        np.stack([fc, fl, masks, np.zeros_like(fc)], axis=1), jnp.int32)
-    nodes = _gather_rows(scene.node_min, scene.node_max, node_src, meta,
-                         n_rows=order.shape[0])
-    perm = jnp.asarray(tri_perm, jnp.int32)
+    slot_src_j = jnp.asarray(slot_src, jnp.int32)
+    meta_j = jnp.asarray(meta)
+    nodes = _gather_rows(scene.bin_min, scene.bin_max, scene.leaf_min,
+                         scene.leaf_max, slot_src_j, meta_j,
+                         n_rows=slot_src.shape[0])
+    perm = jnp.asarray(tri_perm)
     tri_v = jnp.take(scene.tri_v, perm, axis=0)
     return PackedScene(
         nodes=nodes,
-        meta=meta,
+        meta=meta_j,
         tris=_tri_rows(tri_v),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
         tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
         tri_prim=jnp.take(scene.tri_prim, perm, axis=0),
-        node_src=node_src,
+        slot_src=slot_src_j,
         tri_perm=perm,
         num_tris=scene.num_tris,
         leaf_size=k,
@@ -180,7 +204,63 @@ def pack_scene(scene: Scene) -> PackedScene:
 
 def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:
     """Refresh a PackedScene after Scene.refit (same topology, new bounds)."""
-    nodes = _gather_rows(scene.node_min, scene.node_max, packed.node_src,
-                         packed.meta, n_rows=packed.num_nodes)
+    nodes = _gather_rows(scene.bin_min, scene.bin_max, scene.leaf_min,
+                         scene.leaf_max, packed.slot_src, packed.meta,
+                         n_rows=packed.num_nodes)
     tri_v = jnp.take(scene.tri_v, packed.tri_perm, axis=0)
     return packed.replace(nodes=nodes, tris=_tri_rows(tri_v), tri_v=tri_v)
+
+
+def pack_forest(scene: Scene, roots) -> tuple[PackedScene, np.ndarray]:
+    """Pack a multi-root (merged-BLAS) Scene for the packet kernel.
+
+    `roots` are binary root node ids in the merged space (one per BLAS).
+    Returns (packed, packed_roots) where packed_roots[b] is the packed node
+    id to start traversal at for BLAS b.
+    """
+    k = scene.leaf_size
+    left = np.asarray(scene.bin_left, np.int64)
+    right = np.asarray(scene.bin_right, np.int64)
+    area = _area(np.asarray(scene.bin_min), np.asarray(scene.bin_max))
+
+    slot_parts, meta_parts, leaf_parts = [], [], []
+    packed_roots = []
+    node_base = 0
+    leaf_base = 0
+    for r in np.asarray(roots, np.int64):
+        ss = _greedy_slots(left, right, area, root=int(r))
+        meta, leaf_order = _pack_meta(ss, node_base=node_base,
+                                      leaf_base=leaf_base)
+        packed_roots.append(node_base)
+        node_base += ss.shape[0]
+        leaf_base += leaf_order.shape[0]
+        slot_parts.append(ss)
+        meta_parts.append(meta)
+        leaf_parts.append(leaf_order)
+    slot_src = np.concatenate(slot_parts)
+    meta = np.concatenate(meta_parts)
+    leaf_order = np.concatenate(leaf_parts)
+
+    tri_perm = (leaf_order[:, None] * k + np.arange(k)[None, :]).reshape(-1)
+    tri_perm = tri_perm.astype(np.int32)
+    slot_src_j = jnp.asarray(slot_src, jnp.int32)
+    meta_j = jnp.asarray(meta)
+    nodes = _gather_rows(scene.bin_min, scene.bin_max, scene.leaf_min,
+                         scene.leaf_max, slot_src_j, meta_j,
+                         n_rows=slot_src.shape[0])
+    perm = jnp.asarray(tri_perm)
+    tri_v = jnp.take(scene.tri_v, perm, axis=0)
+    packed = PackedScene(
+        nodes=nodes,
+        meta=meta_j,
+        tris=_tri_rows(tri_v),
+        tri_v=tri_v,
+        tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
+        tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
+        tri_prim=jnp.take(scene.tri_prim, perm, axis=0),
+        slot_src=slot_src_j,
+        tri_perm=perm,
+        num_tris=scene.num_tris,
+        leaf_size=k,
+    )
+    return packed, np.asarray(packed_roots, np.int32)

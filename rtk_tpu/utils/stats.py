@@ -147,7 +147,8 @@ def measure_trace(tracer, rays, iters: int = 5, mode: str = "closest",
                  comp(rays.direction[:, 1], 0.),
                  comp(rays.direction[:, 2], 0.),
                  comp(rays.min_t, 0.), comp(rays.max_t, 0.))
-        out = pt._run_kernel(packed.nodes, packed.tris, comps,
+        roots = jnp.zeros((npad // pt.PKT,), jnp.int32)
+        out = pt._run_kernel(packed.nodes, packed.tris, comps, roots,
                              mode=mode, watertight=True, interpret=False,
                              num_tris=packed.num_tris,
                              leaf_size=packed.leaf_size, stats=True)

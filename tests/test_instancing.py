@@ -85,3 +85,21 @@ def test_instanced_candidate_cap():
     h2 = np.asarray(hits2.hit)
     agree = (np.asarray(hits1.t)[h2] == np.asarray(hits2.t)[h2]).mean()
     assert agree > 0.95
+
+
+def test_instanced_packet_kernel_matches_brute():
+    from rtk_tpu.instancing import pack_instanced, trace_closest_instanced_packets
+
+    iscene, world_tris, _, _ = _setup()
+    ps = pack_instanced(iscene)
+    rng = np.random.default_rng(7)
+    o = (rng.normal(size=(300, 3)) * 6).astype(np.float32)
+    d = rng.normal(size=(300, 3)).astype(np.float32)
+    rays = Rays.make(o, d)
+    hits, inst = trace_closest_instanced_packets(ps, rays, interpret=True)
+    want = trace_brute(world_tris, rays)
+    wh = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(hits.hit), wh)
+    np.testing.assert_allclose(
+        np.asarray(hits.t)[wh], np.asarray(want.t)[wh], rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(inst) >= 0, wh)

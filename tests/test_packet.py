@@ -112,3 +112,18 @@ def test_packet_refit_repack():
     wh = np.asarray(want.hit)
     np.testing.assert_allclose(
         np.asarray(got.t)[wh], np.asarray(want.t)[wh], atol=1e-5)
+
+
+def test_packet_hbm_tris_matches_vmem():
+    """HBM-resident triangle tables (DMA-staged) must be bit-identical."""
+    rng = np.random.default_rng(13)
+    tris = rng.normal(size=(600, 3, 3)).astype(np.float32)
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    rays = Rays.make(rng.normal(size=(256, 3)).astype(np.float32) * 3.0,
+                     rng.normal(size=(256, 3)).astype(np.float32))
+    a = trace_packets(packed, rays, interpret=True, hbm_tris=False)
+    b = trace_packets(packed, rays, interpret=True, hbm_tris=True)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.triangle_index),
+                                  np.asarray(b.triangle_index))
