@@ -43,7 +43,9 @@ DEFAULT_P = 8  # packets per block (best measured on v5e; more packets
                # amortize fixed per-step costs but add divergence)
 W = 8  # wide-node arity (branching=8 scenes only)
 PKT = 128  # rays per packet
-STACK_D = 160  # per-packet stack bound (wide depth ~21 * 7 pushes + root)
+STACK_D = 160  # per-packet stack rows: D_INT internal + D_LEAF leaf queue
+D_INT = 96  # internal-node stack bound (wide depth ~21 * <=7 pushes)
+D_LEAF = 64  # pending-leaf queue bound (rtk caps its stack similarly, rtk.c:401)
 
 _BIG = 3.0e38
 
@@ -106,7 +108,11 @@ def _popcount8(v):
 
 
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
-                 hbm_tris=False):
+                 hbm_tris=False, dual=False):
+    """dual=False: one mixed stack per packet (cheapest per step; best for
+    coherent primaries).  dual=True: separate internal stack + leaf queue,
+    one of each popped per step so both vector phases stay busy (~1.6x on
+    incoherent bounce batches, slightly slower on coherent primaries)."""
     k_tris = leaf_size
     P = p_pk
 
@@ -171,27 +177,50 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             return carry[0] > 0
 
         def body(carry):
-            _, sps, hit_t, hit_u, hit_v, hit_slot = carry
+            # Dual queues per packet: every step pops one INTERNAL node (for
+            # the slab phase) AND one pending LEAF (for the triangle phase),
+            # so both vector phases do useful work each iteration; steps per
+            # packet ~= max(node visits, leaf visits) instead of their sum.
+            _, sps_i, sps_l, hit_t, hit_u, hit_v, hit_slot = carry
 
-            # ---- pop (scalar): one (1,8) row load per packet ----
             ents = []
-            new_sps = []
+            new_spi = []
+            new_spl = []
             int_pack = jnp.int32(0)
             leaf_pack = jnp.int32(0)
             tri0s = []
             for p in range(P):
-                sp = sps[p]
-                active = sp > 0
-                row = stack_ref[pl.ds(p * STACK_D + jnp.maximum(sp - 1, 0), 1), :]
-                ent = row[0, 0]
-                ent = jnp.where(active, ent, -1)
-                ents.append(ent)
-                new_sps.append(sp - active.astype(jnp.int32))
-                is_int = ent >= 0
-                is_leaf = ent <= -2
-                int_pack = int_pack | (is_int.astype(jnp.int32) << p)
-                leaf_pack = leaf_pack | (is_leaf.astype(jnp.int32) << p)
-                tri0s.append(jnp.where(is_leaf, (-ent - 2) * k_tris, 0))
+                spi = sps_i[p]
+                active = spi > 0
+                row = stack_ref[
+                    pl.ds(p * STACK_D + jnp.maximum(spi - 1, 0), 1), :]
+                raw = row[0, 0]
+                # Overflow-clamped pushes can leave -1 fillers on the stack;
+                # treat them as inactive (a negative id would index the node
+                # table out of bounds and fault the chip).
+                ai = active & (raw >= 0)
+                ents.append(jnp.where(ai, raw, 0))
+                new_spi.append(spi - active.astype(jnp.int32))
+                int_pack = int_pack | (ai.astype(jnp.int32) << p)
+
+                if dual:
+                    spl = sps_l[p]
+                    al = spl > 0
+                    lrow = stack_ref[
+                        pl.ds(p * STACK_D + D_INT
+                              + jnp.maximum(spl - 1, 0), 1), :]
+                    lraw = lrow[0, 0]
+                    al = al & (lraw <= -2)
+                    lent = jnp.where(al, lraw, -2)
+                    new_spl.append(spl - (spl > 0).astype(jnp.int32))
+                else:
+                    # Single mixed stack: the popped entry is internal
+                    # (>= 0), a leaf (<= -2), or a -1 filler.
+                    al = active & (raw <= -2)
+                    lent = jnp.where(al, raw, -2)
+                    new_spl.append(jnp.int32(0))
+                leaf_pack = leaf_pack | (al.astype(jnp.int32) << p)
+                tri0s.append((-lent - 2) * k_tris)
 
             # ---- stage node child rows + leaf triangle rows ----
             if hbm_tris:
@@ -213,9 +242,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     dma.start()
                     dmas.append(dma)
             for p in range(P):
-                nid = jnp.where(ents[p] >= 0, ents[p], 0)
                 stage_nodes[pl.ds(p * W, W), :] = nodes_ref[
-                    pl.ds(nid * W, W), :]
+                    pl.ds(ents[p] * W, W), :]
                 if not hbm_tris:
                     stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
                         pl.ds(tri0s[p], k_tris), :]
@@ -255,20 +283,28 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             irank = _popcount8(im & below)
             lrank = _popcount8(lm & below)
             entries = jnp.where(is_i == 1, fc + irank, -(fl + lrank) - 2)
-            valid = (hit8 == 1) & ((is_i | is_l) == 1) & int_vec
-            vint = valid.astype(jnp.int32)
-            # Left-compact valid entries (slot order; Morton layout makes
-            # slot order roughly spatial, and packet-level near-to-far
-            # ordering measured slower than it saves) via bitmask ranks +
-            # a where-chain scatter — no lane shuffles.
-            vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)  # (P,1)
-            vrank = _popcount8(vbits & below)  # (P, W) target positions
-            compacted = jnp.full_like(entries, -1)
-            for w in range(W):
-                sel = (vrank[:, w:w + 1] == iota_w) & (vint[:, w:w + 1] == 1)
-                compacted = jnp.where(sel, entries[:, w:w + 1], compacted)
-            entries = compacted
-            counts = _popcount8(vbits)  # (P,1)
+            hitv = (hit8 == 1) & int_vec
+
+            def compact(valid):
+                # Left-compact valid entries (slot order) via bitmask ranks
+                # + a where-chain scatter — no lane shuffles.
+                vint = valid.astype(jnp.int32)
+                vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)
+                vrank = _popcount8(vbits & below)
+                out = jnp.full_like(entries, -1)
+                for w in range(W):
+                    sel = ((vrank[:, w:w + 1] == iota_w)
+                           & (vint[:, w:w + 1] == 1))
+                    out = jnp.where(sel, entries[:, w:w + 1], out)
+                return out, _popcount8(vbits)
+
+            if dual:
+                comp_i, cnt_i = compact(hitv & (is_i == 1))
+                comp_l, cnt_l = compact(hitv & (is_l == 1))
+                counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
+            else:
+                comp_i, cnt_i = compact(hitv & ((is_i | is_l) == 1))
+                counts = cnt_i
 
             # counts -> scalars (one packed sum per 4 packets: the only
             # vector->scalar syncs per step)
@@ -277,7 +313,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             c_packed = []
             for g in range(P // 4):
                 c_packed.append(jnp.sum(jnp.where(
-                    grp == g, counts << (4 * (pcol % 4)), 0)))
+                    grp == g, counts << (8 * (pcol % 4)), 0)))
 
             # ---- leaf tests ----
             def leaf_uvwt(verts, kx_, ky_, kz_, sx_, sy_, sz_,
@@ -355,29 +391,48 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     f_packed.append(jnp.sum(jnp.where(
                         grp == g, found << (8 * (pcol % 4)), 0)))
 
-            # ---- vector push: one (8,8) block store per packet ----
-            # Stack rows hold one entry each (value broadcast across lanes);
-            # entries transposed so packet p's pushes are column p.
-            entries_t = entries.T  # (W, P)
+            # ---- vector push: one (8,8) block store per packet per queue
+            # (stack rows hold one entry each, value broadcast across lanes;
+            # entries transposed so packet p's pushes are column p) ----
+            comp_i_t = comp_i.T  # (W, P)
+            comp_l_t = comp_l.T if dual else None
+            max_i = D_INT if dual else STACK_D
             total = jnp.int32(0)
-            final_sps = []
+            final_spi = []
+            final_spl = []
             for p in range(P):
-                sp = new_sps[p]
-                pos = jnp.minimum(sp, STACK_D - W)
+                cnt = (c_packed[p // 4] >> (8 * (p % 4))) & 0xFF
+                spi = new_spi[p]
+                pos = jnp.minimum(spi, max_i - W)
                 stack_ref[pl.ds(p * STACK_D + pos, W), :] = jnp.broadcast_to(
-                    entries_t[:, p:p + 1], (W, 8))
-                cnt = (c_packed[p // 4] >> (4 * (p % 4))) & 0xF
-                sp = (sp + cnt).astype(jnp.int32)
+                    comp_i_t[:, p:p + 1], (W, 8))
+                # Clamp: overflowing pushes overwrite the top entries (a
+                # bounded-stack policy like rtk's fixed 64-deep stack);
+                # unclamped counters would make later pops read out of
+                # bounds and fault the chip.
+                spi = jnp.minimum(spi + (cnt & 0xF), max_i).astype(jnp.int32)
+                if dual:
+                    spl = new_spl[p]
+                    posl = jnp.minimum(spl, D_LEAF - W)
+                    stack_ref[pl.ds(p * STACK_D + D_INT + posl, W), :] = (
+                        jnp.broadcast_to(comp_l_t[:, p:p + 1], (W, 8)))
+                    spl = jnp.minimum(spl + (cnt >> 4), D_LEAF).astype(jnp.int32)
+                else:
+                    spl = jnp.int32(0)
                 if mode == "any":
                     done = (f_packed[p // 4] >> (8 * (p % 4))) & 0xFF
-                    sp = jnp.where(done == 1, 0, sp).astype(jnp.int32)
-                final_sps.append(sp)
-                total = (total + sp).astype(jnp.int32)
-            return (total, tuple(final_sps), hit_t, hit_u, hit_v, hit_slot)
+                    spi = jnp.where(done == 1, 0, spi).astype(jnp.int32)
+                    spl = jnp.where(done == 1, 0, spl).astype(jnp.int32)
+                final_spi.append(spi)
+                final_spl.append(spl)
+                total = (total + spi + spl).astype(jnp.int32)
+            return (total, tuple(final_spi), tuple(final_spl),
+                    hit_t, hit_u, hit_v, hit_slot)
 
         init = (
             jnp.int32(P),
-            tuple(jnp.int32(1) for _ in range(P)),
+            tuple(jnp.int32(1) for _ in range(P)),  # int stacks hold the root
+            tuple(jnp.int32(0) for _ in range(P)),  # leaf queues empty
             maxt,
             jnp.zeros((P, PKT), jnp.float32),
             jnp.zeros((P, PKT), jnp.float32),
@@ -393,10 +448,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             out_steps[:] = jnp.full((P, PKT), steps, jnp.int32)
         else:
             carry = jax.lax.while_loop(cond, body, init)
-        out_t[:] = carry[2]
-        out_u[:] = carry[3]
-        out_v[:] = carry[4]
-        out_slot[:] = carry[5]
+        out_t[:] = carry[3]
+        out_u[:] = carry[4]
+        out_v[:] = carry[5]
+        out_slot[:] = carry[6]
 
     return kernel
 
@@ -404,11 +459,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
-                     "leaf_size", "stats", "p_pk", "hbm_tris"),
+                     "leaf_size", "stats", "p_pk", "hbm_tris", "dual"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
                 interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
-                hbm_tris=False):
+                hbm_tris=False, dual=False):
     P = p_pk
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
@@ -420,7 +475,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
     tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_tris
                 else full())
     kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
-                          hbm_tris=hbm_tris)
+                          hbm_tris=hbm_tris, dual=dual)
     n_out = 5 if stats else 4
     roots3 = jnp.broadcast_to(
         roots.reshape(grid, P, 1), (grid, P, PKT))
@@ -454,7 +509,7 @@ VMEM_TRI_BUDGET_BYTES = 8 * 1024 * 1024
 def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   watertight: bool = True, interpret: bool = False,
                   p_pk: int = DEFAULT_P, hbm_tris: bool | None = None,
-                  packet_roots=None) -> Hits:
+                  packet_roots=None, dual: bool = False) -> Hits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -502,7 +557,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         packed.nodes, tris_table, ray_comps, roots,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
-        hbm_tris=hbm_tris,
+        hbm_tris=hbm_tris, dual=dual,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]

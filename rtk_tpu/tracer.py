@@ -27,11 +27,12 @@ from rtk_tpu.types import Hits, Rays
 class Tracer:
     def __init__(self, scene: Scene, engine: str = "auto",
                  config: TraceConfig = TraceConfig()):
-        if engine not in ("auto", "packet", "stack"):
+        if engine not in ("auto", "packet", "stack", "stackless"):
             raise ValueError(f"unknown engine {engine!r}")
         self.scene = scene
         self.config = config
         self._packed = None
+        self._stackless = None
         on_tpu = jax.default_backend() == "tpu"
         eligible = scene.branching == 8
         if engine == "packet" and not eligible:
@@ -56,6 +57,7 @@ class Tracer:
         t.config = self.config
         t.engine = self.engine
         t._packed = None
+        t._stackless = None
         if self._packed is not None:
             from rtk_tpu.trace.packed import repack_bounds
 
@@ -69,6 +71,13 @@ class Tracer:
 
             return trace_packets(self.packed, rays, mode=mode,
                                  watertight=self.config.watertight)
+        if self.engine == "stackless" and filter_fn is None:
+            from rtk_tpu.trace.stackless import build_stackless, trace_stackless
+
+            if self._stackless is None:
+                self._stackless = build_stackless(self.scene)
+            return trace_stackless(self._stackless, rays, mode=mode,
+                                   watertight=self.config.watertight)
         from rtk_tpu.trace import stack as _stack
 
         fn = _stack.trace_closest if mode == "closest" else _stack.trace_any

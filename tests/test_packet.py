@@ -127,3 +127,22 @@ def test_packet_hbm_tris_matches_vmem():
     np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
     np.testing.assert_array_equal(np.asarray(a.triangle_index),
                                   np.asarray(b.triangle_index))
+
+
+def test_packet_dual_queue_matches():
+    """dual=True (split internal stack + leaf queue) must agree with the
+    single mixed-stack path in both closest and any-hit modes."""
+    rng = np.random.default_rng(17)
+    tris = rng.normal(size=(400, 3, 3)).astype(np.float32)
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    rays = Rays.make(rng.normal(size=(256, 3)).astype(np.float32) * 3.0,
+                     rng.normal(size=(256, 3)).astype(np.float32))
+    for mode in ("closest", "any"):
+        a = trace_packets(packed, rays, interpret=True, mode=mode)
+        b = trace_packets(packed, rays, interpret=True, mode=mode, dual=True)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        if mode == "closest":
+            np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+            np.testing.assert_array_equal(np.asarray(a.triangle_index),
+                                          np.asarray(b.triangle_index))

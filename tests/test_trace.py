@@ -177,3 +177,25 @@ def test_refit_matches_rebuild_results():
     h = np.asarray(want.hit)
     np.testing.assert_allclose(
         np.asarray(got.t)[h], np.asarray(want.t)[h], atol=1e-4)
+
+
+def test_stackless_engine_matches():
+    from rtk_tpu.trace.stackless import build_stackless, trace_stackless
+    from rtk_tpu import BuildConfig
+
+    tris = scenes.cornell_box()
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=4))
+    sl = build_stackless(scene)
+    rays = scenes.cornell_camera(24, 24)
+    want = trace_closest(scene, rays)
+    got = trace_stackless(sl, rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    wh = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[wh], np.asarray(want.t)[wh],
+                               atol=1e-6)
+    # sorted-ray path returns results in original order
+    got2 = trace_stackless(sl, rays, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(got2.t), np.asarray(got.t))
+    # any-hit consistency
+    ga = trace_stackless(sl, rays, mode="any")
+    np.testing.assert_array_equal(np.asarray(ga.hit), wh)
