@@ -72,16 +72,18 @@ def main():
     scene = build_from_soup(btris_dev, config=cfg)
     packed = pack_scene(scene)
     rays512 = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                                 512, 512)
-    dt = timeit(lambda: trace_packets(packed, rays512), iters=5)
+                                 512, 512, order="morton")
+    dt = timeit(lambda: trace_packets(packed, rays512, sort_rays=False),
+                iters=5)
     log(f"bunny 512x512 primary: {rays512.count/dt/1e6:.2f} Mrays/s "
         f"({dt*1e3:.1f} ms incl. per-dispatch overhead)")
     # Headline at 1M rays: the remote-tunnel runtime charges a large fixed
     # per-dispatch cost after any Pallas launch; a 1M-ray batch amortises it
     # so the number reflects kernel throughput.
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                              1024, 1024)
-    dt = timeit(lambda: trace_packets(packed, rays), iters=5)
+                              1024, 1024, order="morton")
+    dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False),
+                iters=5)
     mrays = rays.count / dt / 1e6
     log(f"bunny 1024x1024 primary: {rays.count} rays in {dt*1e3:.1f} ms "
         f"-> {mrays:.2f} Mrays/s (headline)")
@@ -93,14 +95,16 @@ def main():
     dist = np.linalg.norm(d, axis=1)
     shadow = Rays.make(p, d / np.maximum(dist[:, None], 1e-9), min_t=1e-3,
                        max_t=np.where(np.asarray(hits.hit), dist, 0.0))
-    dt = timeit(lambda: trace_packets(packed, shadow, mode="any"), iters=10)
+    dt = timeit(lambda: trace_packets(packed, shadow, mode="any"),
+                iters=10)
     log(f"bunny shadow (any-hit): {shadow.count/dt/1e6:.2f} Mrays/s")
 
     # ---- config 3: Sponza-class 1-bounce diffuse ----
     atr = scenes.atrium()
     scene_a = build_from_soup(jnp.asarray(atr), config=cfg)
     packed_a = pack_scene(scene_a)
-    cam = scenes.camera_rays((0, 6, 9), (0, 2, 0), (0, 1, 0), 60, 512, 512)
+    cam = scenes.camera_rays((0, 6, 9), (0, 2, 0), (0, 1, 0), 60, 512, 512,
+                             order="morton")
     prim = trace_packets(packed_a, cam)
     key = jax.random.PRNGKey(0)
     from rtk_tpu.models.path import cosine_sample, geometric_normal
@@ -112,9 +116,10 @@ def main():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
-    dt = timeit(lambda: trace_packets(packed_a, cam), iters=5)
+    dt = timeit(lambda: trace_packets(packed_a, cam, sort_rays=False),
+                iters=5)
     log(f"atrium ({atr.shape[0]} tris) primary: {cam.count/dt/1e6:.2f} Mrays/s")
-    dt = timeit(lambda: trace_packets(packed_a, bounce), iters=5)
+    dt = timeit(lambda: trace_packets(packed_a, bounce, dual=True), iters=5)
     log(f"atrium incoherent bounce: {cam.count/dt/1e6:.2f} Mrays/s")
 
     # ---- config 4: deforming mesh refit + trace loop ----
@@ -133,6 +138,68 @@ def main():
     dt = timeit(lambda: frame(1), iters=5)
     log(f"deforming refit+trace: {dt*1e3:.1f} ms/frame "
         f"({grid0.shape[0]/dt/1e6:.1f} Mtris/s refit incl. trace)")
+
+    # ---- config 5: 10M+ instanced tris, TLAS/BLAS, 4-bounce wavefront ----
+    from rtk_tpu.instancing import (build_instanced, pack_instanced,
+                                    trace_closest_instanced_packets)
+    from rtk_tpu.models.path import cosine_sample, geometric_normal
+
+    blas_tris = scenes.blob(subdivisions=5)[0]  # 20,480 tris
+    blas = build_from_soup(jnp.asarray(blas_tris), config=cfg)
+    n_inst = 512  # 512 x 20,480 = 10.5M instanced triangles
+    side = 8
+    tf = np.zeros((n_inst, 3, 4), np.float32)
+    rng5 = np.random.default_rng(7)
+    for i in range(n_inst):
+        gx, gy, gz = i % side, (i // side) % side, i // (side * side)
+        sc = 0.35 + 0.15 * rng5.random()
+        tf[i, :, :3] = np.eye(3, dtype=np.float32) * sc
+        tf[i, :, 3] = (np.array([gx, gy, gz], np.float32) * 1.1
+                       + rng5.random(3).astype(np.float32) * 0.2)
+    iscene = build_instanced([blas], np.zeros(n_inst, np.int64), tf)
+    pscene = pack_instanced(iscene)
+    cam5 = scenes.camera_rays((12, 11, 13), (3.8, 3.8, 3.8), (0, 1, 0), 55,
+                              256, 256, order="morton")
+    key5 = jax.random.PRNGKey(5)
+
+    def wavefront4():
+        rays_b = cam5
+        total = 0
+        k = key5
+        hits, _ = trace_closest_instanced_packets(pscene, rays_b)
+        total += rays_b.count
+        for bounce in range(3):
+            nrm = geometric_normal(hits, rays_b.direction)
+            k, kd = jax.random.split(k)
+            nd = cosine_sample(kd, nrm)
+            origin = hits.position() + 1e-3 * nrm
+            alive = np.asarray(hits.hit)
+            if not alive.any():
+                break
+            # stream compaction: keep live rays only, pad to packets
+            idx = np.nonzero(alive)[0]
+            m = max(1024, 1 << int(np.ceil(np.log2(idx.shape[0]))))
+            sel = jnp.asarray(idx)
+            rays_b = Rays(
+                origin=jnp.take(origin, sel, axis=0),
+                direction=jnp.take(nd, sel, axis=0),
+                min_t=jnp.full((idx.shape[0],), 1e-3, jnp.float32),
+                max_t=jnp.full((idx.shape[0],), np.float32(3.4e38)))
+            hits, _ = trace_closest_instanced_packets(pscene, rays_b)
+            total += rays_b.count
+        jax.block_until_ready(hits.t)
+        return total
+
+    total5 = wavefront4()
+    t0 = None
+    import time as _time
+    best5 = float("inf")
+    for _ in range(3):
+        t1 = _time.perf_counter()
+        wavefront4()
+        best5 = min(best5, _time.perf_counter() - t1)
+    log(f"instanced 10.5M tris (512 x 20k BLAS) 4-bounce wavefront: "
+        f"{total5} rays in {best5*1e3:.0f} ms -> {total5/best5/1e6:.2f} Mrays/s")
 
     print(json.dumps({
         "metric": "primary_ray_closest_hit_throughput",

@@ -119,7 +119,9 @@ def render_path(
     hi = tracer.scene.bounds_max
 
     for bounce in range(bounces + 1):
-        hits = tracer.closest(cur)
+        # Bounce batches are incoherent even after Morton re-sorting; the
+        # hint selects the packet engine's split dual-queue stepping there.
+        hits = tracer.closest(cur, coherent=(bounce == 0))
         key, k_dir = jax.random.split(key)
         hit = hits.hit
         mesh = jnp.clip(hits.mesh_index, 0, materials.albedo.shape[0] - 1)
@@ -230,5 +232,5 @@ def render_ao(
             min_t=jnp.full((n,), epsilon, jnp.float32),
             max_t=jnp.where(hits.hit, max_dist, 0.0),
         )
-        occ = occ + tracer.any(probe).hit.astype(jnp.float32)
+        occ = occ + tracer.any(probe, coherent=False).hit.astype(jnp.float32)
     return jnp.where(hits.hit, 1.0 - occ / samples, 0.0)

@@ -56,3 +56,28 @@ def sort_by_morton(codes: Array):
     idx = jnp.arange(n, dtype=jnp.int32)
     sorted_codes, perm = jax.lax.sort((codes, idx), num_keys=2)
     return sorted_codes, perm
+
+
+def ray_coherence_key(origin: Array, direction: Array) -> Array:
+    """Spatial-coherence sort key for a ray batch (uint32, 30 bits).
+
+    Morton code of a probe point pushed along each ray: for shared-origin
+    batches (camera primaries) the probes spread over a sphere patch, so
+    the key orders rays by direction; for scattered origins (bounce
+    batches) origin locality dominates and direction refines it.  Packets
+    of sort-adjacent rays then traverse nearly identical BVH node sets,
+    which is what the packet kernel's union traversal wants.
+    """
+    o = jnp.asarray(origin, jnp.float32)
+    d = jnp.asarray(direction, jnp.float32)
+    dn = d / jnp.maximum(
+        jnp.linalg.norm(d, axis=1, keepdims=True), jnp.float32(1e-30))
+    o_lo = jnp.min(o, axis=0)
+    o_hi = jnp.max(o, axis=0)
+    diag = jnp.linalg.norm(o_hi - o_lo)
+    scale = jnp.maximum(
+        0.5 * diag, 1e-2 * (1.0 + jnp.max(jnp.abs(o_hi))))
+    probe = o + dn * scale
+    p_lo = jnp.min(probe, axis=0)
+    p_hi = jnp.max(probe, axis=0)
+    return morton3d(probe, p_lo, p_hi, bits=10)

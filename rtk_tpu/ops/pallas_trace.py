@@ -42,7 +42,9 @@ from rtk_tpu.types import Hits, Rays
 DEFAULT_P = 8  # packets per block (best measured on v5e; more packets
                # amortize fixed per-step costs but add divergence)
 W = 8  # wide-node arity (branching=8 scenes only)
-PKT = 128  # rays per packet
+PKT = 128  # default rays per packet (one VPU lane row); bigger packets
+           # amortize the scalar-issue cost of each node visit over more
+           # rays at the price of a wider traversal union
 STACK_D = 160  # per-packet stack rows: D_INT internal + D_LEAF leaf queue
 D_INT = 96  # internal-node stack bound (wide depth ~21 * <=7 pushes)
 D_LEAF = 64  # pending-leaf queue bound (rtk caps its stack similarly, rtk.c:401)
@@ -108,13 +110,15 @@ def _popcount8(v):
 
 
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
-                 hbm_tris=False, dual=False):
+                 hbm_tris=False, dual=False, pkt=PKT, narrow=True,
+                 interpret=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
     incoherent bounce batches, slightly slower on coherent primaries)."""
     k_tris = leaf_size
     P = p_pk
+    PKT = pkt
 
     def kernel(nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -154,15 +158,21 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         o_ky = _axis_sel(ky, ox, oy, oz)
         o_kz = _axis_sel(kz, ox, oy, oz)
 
-        # Loop-invariant repeated tiles for the batched phases.
-        oxW, oyW, ozW = _rep(ox, W), _rep(oy, W), _rep(oz, W)
-        rxW, ryW, rzW = _rep(rcpx, W), _rep(rcpy, W), _rep(rcpz, W)
-        mintW = _rep(mint, W)
-        kxK, kyK, kzK = _rep(kx, k_tris), _rep(ky, k_tris), _rep(kz, k_tris)
-        sxK, syK, szK = _rep(sx, k_tris), _rep(sy, k_tris), _rep(sz, k_tris)
-        oxK, oyK, ozK = (_rep(o_kx, k_tris), _rep(o_ky, k_tris),
-                         _rep(o_kz, k_tris))
-        mintK = _rep(mint, k_tris)
+        if not narrow:
+            # Loop-invariant repeated tiles for the one-shot batched phases.
+            # (narrow mode works on (P, PKT) tiles that stay in vector
+            # registers instead — (P*W, PKT) values spill.)
+            oxW, oyW, ozW = _rep(ox, W), _rep(oy, W), _rep(oz, W)
+            rxW, ryW, rzW = _rep(rcpx, W), _rep(rcpy, W), _rep(rcpz, W)
+            mintW = _rep(mint, W)
+            kxK, kyK, kzK = (_rep(kx, k_tris), _rep(ky, k_tris),
+                             _rep(kz, k_tris))
+            sxK, syK, szK = (_rep(sx, k_tris), _rep(sy, k_tris),
+                             _rep(sz, k_tris))
+            oxK, oyK, ozK = (_rep(o_kx, k_tris), _rep(o_ky, k_tris),
+                             _rep(o_kz, k_tris))
+            mintK = _rep(mint, k_tris)
+        xpos, ypos, zpos = rcpx >= 0, rcpy >= 0, rcpz >= 0
 
         for p in range(P):  # only the root rows need init (garbage above
             # each packet's sp is never read); per-packet roots support
@@ -241,70 +251,119 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     )
                     dma.start()
                     dmas.append(dma)
-            for p in range(P):
-                stage_nodes[pl.ds(p * W, W), :] = nodes_ref[
-                    pl.ds(ents[p] * W, W), :]
-                if not hbm_tris:
-                    stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
-                        pl.ds(tri0s[p], k_tris), :]
+            @pl.when(int_pack != 0)
+            def _stage_node_rows():
+                for p in range(P):
+                    stage_nodes[pl.ds(p * W, W), :] = nodes_ref[
+                        pl.ds(ents[p] * W, W), :]
+
+            if not hbm_tris:
+                @pl.when(leaf_pack != 0)
+                def _stage_tri_rows():
+                    for p in range(P):
+                        stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
+                            pl.ds(tri0s[p], k_tris), :]
 
             int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
             tri0_col = _scalars_to_col(tri0s, P)
-
-            # ---- slab tests, one (P*W, 128) tile ----
-            nrows = stage_nodes[:]  # (P*W, 8) i32 (bounds bitcast, meta int)
-            bf = lambda s: pltpu.bitcast(s, jnp.float32)
-            mnx, mny, mnz = bf(nrows[:, 0:1]), bf(nrows[:, 1:2]), bf(nrows[:, 2:3])
-            mxx, mxy, mxz = bf(nrows[:, 3:4]), bf(nrows[:, 4:5]), bf(nrows[:, 5:6])
-            nx = (jnp.where(rxW >= 0, mnx, mxx) - oxW) * rxW
-            fx = (jnp.where(rxW >= 0, mxx, mnx) - oxW) * rxW
-            ny = (jnp.where(ryW >= 0, mny, mxy) - oyW) * ryW
-            fy = (jnp.where(ryW >= 0, mxy, mny) - oyW) * ryW
-            nz = (jnp.where(rzW >= 0, mnz, mxz) - ozW) * rzW
-            fz = (jnp.where(rzW >= 0, mxz, mnz) - ozW) * rzW
-            enter = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, mintW))
-            exit_ = jnp.minimum(jnp.minimum(fx, fy),
-                                jnp.minimum(fz, _rep(hit_t, W)))
-            hitm = enter <= exit_  # (P*W, 128)
-            hit8 = jnp.max(hitm.astype(jnp.int32), axis=1,
-                           keepdims=True).reshape(P, W)
-
-            # ---- child entries (vector arithmetic from embedded meta) ----
-            nr3 = nrows.reshape(P, W, 8)
-            fc = nr3[:, 0, 6:7]
-            fl = nr3[:, 0, 7:8]
-            masks = nr3[:, 1, 6:7]
-            im = masks & 0xFF
-            lm = (masks >> 8) & 0xFF
-            is_i = (im >> iota_w) & 1  # (P, W)
-            is_l = (lm >> iota_w) & 1
             below = (1 << iota_w) - 1  # bits strictly below lane w
-            irank = _popcount8(im & below)
-            lrank = _popcount8(lm & below)
-            entries = jnp.where(is_i == 1, fc + irank, -(fl + lrank) - 2)
-            hitv = (hit8 == 1) & int_vec
 
-            def compact(valid):
-                # Left-compact valid entries (slot order) via bitmask ranks
-                # + a where-chain scatter — no lane shuffles.
-                vint = valid.astype(jnp.int32)
-                vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)
-                vrank = _popcount8(vbits & below)
-                out = jnp.full_like(entries, -1)
-                for w in range(W):
-                    sel = ((vrank[:, w:w + 1] == iota_w)
-                           & (vint[:, w:w + 1] == 1))
-                    out = jnp.where(sel, entries[:, w:w + 1], out)
-                return out, _popcount8(vbits)
+            # ---- slab tests; the whole phase is skipped (scalar branch,
+            # predicate already on the scalar core) on steps where no packet
+            # popped an internal node.  narrow=True runs one child slot per
+            # iteration on (P, PKT) tiles (stay in vector registers);
+            # narrow=False runs the one-shot (P*W, PKT) tile (spills at
+            # large PKT) ----
+            def slab_phase(hit_t_in):
+                nrows = stage_nodes[:]  # (P*W, 8) i32 (bounds bitcast)
+                bf = lambda s: pltpu.bitcast(s, jnp.float32)
+                if narrow:
+                    n3 = nrows.reshape(P, W, 8)
+                    hitbits = jnp.zeros((P, 1), jnp.int32)
+                    for w in range(W):
+                        c = n3[:, w, :]  # (P, 8): child w of every packet
+                        mnx, mny, mnz = (bf(c[:, 0:1]), bf(c[:, 1:2]),
+                                         bf(c[:, 2:3]))
+                        mxx, mxy, mxz = (bf(c[:, 3:4]), bf(c[:, 4:5]),
+                                         bf(c[:, 5:6]))
+                        nx = (jnp.where(xpos, mnx, mxx) - ox) * rcpx
+                        fx = (jnp.where(xpos, mxx, mnx) - ox) * rcpx
+                        ny = (jnp.where(ypos, mny, mxy) - oy) * rcpy
+                        fy = (jnp.where(ypos, mxy, mny) - oy) * rcpy
+                        nz = (jnp.where(zpos, mnz, mxz) - oz) * rcpz
+                        fz = (jnp.where(zpos, mxz, mnz) - oz) * rcpz
+                        enter = jnp.maximum(jnp.maximum(nx, ny),
+                                            jnp.maximum(nz, mint))
+                        exit_ = jnp.minimum(jnp.minimum(fx, fy),
+                                            jnp.minimum(fz, hit_t_in))
+                        anyw = jnp.max((enter <= exit_).astype(jnp.int32),
+                                       axis=1, keepdims=True)  # (P, 1)
+                        hitbits = hitbits | (anyw << w)
+                    hit8 = (hitbits >> iota_w) & 1  # (P, W)
+                else:
+                    mnx, mny, mnz = (bf(nrows[:, 0:1]), bf(nrows[:, 1:2]),
+                                     bf(nrows[:, 2:3]))
+                    mxx, mxy, mxz = (bf(nrows[:, 3:4]), bf(nrows[:, 4:5]),
+                                     bf(nrows[:, 5:6]))
+                    nx = (jnp.where(rxW >= 0, mnx, mxx) - oxW) * rxW
+                    fx = (jnp.where(rxW >= 0, mxx, mnx) - oxW) * rxW
+                    ny = (jnp.where(ryW >= 0, mny, mxy) - oyW) * ryW
+                    fy = (jnp.where(ryW >= 0, mxy, mny) - oyW) * ryW
+                    nz = (jnp.where(rzW >= 0, mnz, mxz) - ozW) * rzW
+                    fz = (jnp.where(rzW >= 0, mxz, mnz) - ozW) * rzW
+                    enter = jnp.maximum(jnp.maximum(nx, ny),
+                                        jnp.maximum(nz, mintW))
+                    exit_ = jnp.minimum(jnp.minimum(fx, fy),
+                                        jnp.minimum(fz, _rep(hit_t_in, W)))
+                    hitm = enter <= exit_  # (P*W, 128)
+                    hit8 = jnp.max(hitm.astype(jnp.int32), axis=1,
+                                   keepdims=True).reshape(P, W)
 
-            if dual:
-                comp_i, cnt_i = compact(hitv & (is_i == 1))
-                comp_l, cnt_l = compact(hitv & (is_l == 1))
-                counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
-            else:
-                comp_i, cnt_i = compact(hitv & ((is_i | is_l) == 1))
-                counts = cnt_i
+                # child entries: vector arithmetic from embedded meta
+                nr3 = nrows.reshape(P, W, 8)
+                fc = nr3[:, 0, 6:7]
+                fl = nr3[:, 0, 7:8]
+                masks = nr3[:, 1, 6:7]
+                im = masks & 0xFF
+                lm = (masks >> 8) & 0xFF
+                is_i = (im >> iota_w) & 1  # (P, W)
+                is_l = (lm >> iota_w) & 1
+                irank = _popcount8(im & below)
+                lrank = _popcount8(lm & below)
+                entries = jnp.where(is_i == 1, fc + irank,
+                                    -(fl + lrank) - 2)
+                hitv = (hit8 == 1) & int_vec
+
+                def compact(valid):
+                    # Left-compact valid entries (slot order) via bitmask
+                    # ranks + a where-chain scatter — no lane shuffles.
+                    vint = valid.astype(jnp.int32)
+                    vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)
+                    vrank = _popcount8(vbits & below)
+                    out = jnp.full_like(entries, -1)
+                    for w in range(W):
+                        sel = ((vrank[:, w:w + 1] == iota_w)
+                               & (vint[:, w:w + 1] == 1))
+                        out = jnp.where(sel, entries[:, w:w + 1], out)
+                    return out, _popcount8(vbits)
+
+                if dual:
+                    comp_i, cnt_i = compact(hitv & (is_i == 1))
+                    comp_l, cnt_l = compact(hitv & (is_l == 1))
+                    counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
+                else:
+                    comp_i, counts = compact(hitv & ((is_i | is_l) == 1))
+                    comp_l = comp_i
+                return (comp_i.astype(jnp.int32), comp_l.astype(jnp.int32),
+                        counts.astype(jnp.int32))
+
+            def slab_skip(hit_t_in):
+                none = jnp.full((P, W), -1, jnp.int32)
+                return none, none, jnp.zeros((P, 1), jnp.int32)
+
+            comp_i, comp_l, counts = jax.lax.cond(
+                int_pack != 0, slab_phase, slab_skip, hit_t)
 
             # counts -> scalars (one packed sum per 4 packets: the only
             # vector->scalar syncs per step)
@@ -317,7 +376,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
             # ---- leaf tests ----
             def leaf_uvwt(verts, kx_, ky_, kz_, sx_, sy_, sz_,
-                          okx, oky, okz, mint_):
+                          okx, oky, okz, mint_, lazy=False):
                 # verts: 9 (rows, 1) column slices [v0x..v2z]; ray tiles
                 # broadcast against them.  Watertight shear-space test,
                 # rtk.c:181-388 semantics.
@@ -334,10 +393,32 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 v = xs[2] * ys[0] - ys[2] * xs[0]
                 w_ = xs[0] * ys[1] - ys[0] * xs[1]
                 if watertight:
-                    zero = (u == 0.0) | (v == 0.0) | (w_ == 0.0)
-                    u = jnp.where(zero, _edge_dw(xs[1], ys[1], xs[2], ys[2]), u)
-                    v = jnp.where(zero, _edge_dw(xs[2], ys[2], xs[0], ys[0]), v)
-                    w_ = jnp.where(zero, _edge_dw(xs[0], ys[0], xs[1], ys[1]), w_)
+                    # Any exact-zero edge function needs the exact-sign
+                    # recompute (rtk.c:294-336).  Padding triangles are NaN
+                    # rows in the kernel table, so they never trigger this.
+                    need = (u == 0.0) | (v == 0.0) | (w_ == 0.0)
+
+                    def _exact(uvw):
+                        uu, vv, ww = uvw
+                        uu = jnp.where(
+                            need, _edge_dw(xs[1], ys[1], xs[2], ys[2]), uu)
+                        vv = jnp.where(
+                            need, _edge_dw(xs[2], ys[2], xs[0], ys[0]), vv)
+                        ww = jnp.where(
+                            need, _edge_dw(xs[0], ys[0], xs[1], ys[1]), ww)
+                        return uu, vv, ww
+
+                    if lazy and not interpret:
+                        # Edge crossings are rare: hoist the ~66-op exact
+                        # pass behind a scalar branch (one cheap
+                        # vector->scalar sync vs a full-tile recompute).
+                        # Variable-predicate cond misexecutes under pallas
+                        # interpret mode, so interpret runs the eager pass.
+                        u, v, w_ = jax.lax.cond(
+                            jnp.max(need.astype(jnp.int32)) > 0,
+                            _exact, lambda x: x, (u, v, w_))
+                    else:
+                        u, v, w_ = _exact((u, v, w_))
                 lo = jnp.minimum(jnp.minimum(u, v), w_)
                 hi = jnp.maximum(jnp.maximum(u, v), w_)
                 det = u + v + w_
@@ -363,25 +444,114 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     hit_u = jnp.where(upd, uk, hit_u)
                     hit_v = jnp.where(upd, vk, hit_v)
                     hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
+            elif narrow:
+                # One triangle slot per iteration on (P, PKT) register-
+                # resident tiles.  The exact-sign recompute is deferred:
+                # the cheap pass records which lanes had an exact-zero edge
+                # function; only if any exist (rare) does a scalar branch
+                # redo the pass with the double-word products applied.
+                def tri_test(verts, exact):
+                    xs, ys, zs = [], [], []
+                    for j in range(3):
+                        vx, vy, vz = (verts[3 * j], verts[3 * j + 1],
+                                      verts[3 * j + 2])
+                        px = _axis_sel(kx, vx, vy, vz) - o_kx
+                        py = _axis_sel(ky, vx, vy, vz) - o_ky
+                        pz = _axis_sel(kz, vx, vy, vz) - o_kz
+                        xs.append(px + sx * pz)
+                        ys.append(py + sy * pz)
+                        zs.append(sz * pz)
+                    u = xs[1] * ys[2] - ys[1] * xs[2]
+                    v = xs[2] * ys[0] - ys[2] * xs[0]
+                    w_ = xs[0] * ys[1] - ys[0] * xs[1]
+                    need = None
+                    if watertight:
+                        # Any exact-zero edge function needs the exact-sign
+                        # recompute (rtk.c:294-336): with axis-aligned
+                        # geometry, even all three can round to f32 zero on
+                        # a genuine interior hit.  Padding triangles are
+                        # NaN rows in the kernel table, so they never
+                        # trigger this (NaN == 0 is false).
+                        need = (u == 0.0) | (v == 0.0) | (w_ == 0.0)
+                        if exact:
+                            u = jnp.where(
+                                need, _edge_dw(xs[1], ys[1], xs[2], ys[2]),
+                                u)
+                            v = jnp.where(
+                                need, _edge_dw(xs[2], ys[2], xs[0], ys[0]),
+                                v)
+                            w_ = jnp.where(
+                                need, _edge_dw(xs[0], ys[0], xs[1], ys[1]),
+                                w_)
+                    lo = jnp.minimum(jnp.minimum(u, v), w_)
+                    hi = jnp.maximum(jnp.maximum(u, v), w_)
+                    rcp_det = 1.0 / (u + v + w_)
+                    t = (u * zs[0] + v * zs[1] + w_ * zs[2]) * rcp_det
+                    ok = ~((lo < 0.0) & (hi > 0.0)) & (t > mint)
+                    return t, u * rcp_det, v * rcp_det, ok, need
+
+                def leaf_pass(hits_in, exact):
+                    h_t, h_u, h_v, h_s = hits_in
+                    t3 = stage_tris[:].reshape(P, k_tris, 16)
+                    needv = jnp.zeros((P, PKT), jnp.int32)
+                    for k in range(k_tris):
+                        r = t3[:, k, :]  # (P, 16)
+                        verts = [r[:, c:c + 1] for c in range(9)]
+                        tk, uk, vk, okk, need = tri_test(verts, exact)
+                        if watertight and not exact:
+                            needv = needv | need.astype(jnp.int32)
+                        upd = okk & leaf_vec & (tk < h_t)
+                        h_t = jnp.where(upd, tk, h_t)
+                        h_u = jnp.where(upd, uk, h_u)
+                        h_v = jnp.where(upd, vk, h_v)
+                        h_s = jnp.where(upd, tri0_col + k, h_s)
+                    return (h_t, h_u, h_v, h_s), needv
+
+                def leaf_phase(hits_in):
+                    if watertight and interpret:
+                        # (variable-predicate cond is unreliable under
+                        # interpret mode; run the exact pass eagerly)
+                        return leaf_pass(hits_in, exact=True)[0]
+                    out, needv = leaf_pass(hits_in, exact=False)
+                    if not watertight:
+                        return out
+                    return jax.lax.cond(
+                        jnp.max(needv) > 0,
+                        lambda: leaf_pass(hits_in, exact=True)[0],
+                        lambda: out)
+
+                hit_t, hit_u, hit_v, hit_slot = jax.lax.cond(
+                    leaf_pack != 0, leaf_phase, lambda h: h,
+                    (hit_t, hit_u, hit_v, hit_slot))
             else:
-                trows = stage_tris[:]  # (P*K, 16)
-                verts = [trows[:, c:c + 1] for c in range(9)]
-                t, u, v, ok = leaf_uvwt(
-                    verts, kxK, kyK, kzK, sxK, syK, szK, oxK, oyK, ozK,
-                    mintK)
-                ok = ok & _rep(leaf_vec.astype(jnp.float32),
-                               k_tris).astype(bool)
-                rr_t = t.reshape(P, k_tris, PKT)
-                rr_u = u.reshape(P, k_tris, PKT)
-                rr_v = v.reshape(P, k_tris, PKT)
-                rr_ok = ok.reshape(P, k_tris, PKT)
-                for k in range(k_tris):
-                    tk = rr_t[:, k, :]
-                    upd = rr_ok[:, k, :] & (tk < hit_t)
-                    hit_t = jnp.where(upd, tk, hit_t)
-                    hit_u = jnp.where(upd, rr_u[:, k, :], hit_u)
-                    hit_v = jnp.where(upd, rr_v[:, k, :], hit_v)
-                    hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
+                # Whole leaf phase behind a scalar branch: steps where no
+                # packet popped a leaf skip the (P*K, 128) intersection tile
+                # entirely (common while packets descend internal levels).
+                def leaf_phase(hits_in):
+                    hit_t, hit_u, hit_v, hit_slot = hits_in
+                    trows = stage_tris[:]  # (P*K, 16)
+                    verts = [trows[:, c:c + 1] for c in range(9)]
+                    t, u, v, ok = leaf_uvwt(
+                        verts, kxK, kyK, kzK, sxK, syK, szK, oxK, oyK, ozK,
+                        mintK, lazy=True)
+                    ok = ok & _rep(leaf_vec.astype(jnp.float32),
+                                   k_tris).astype(bool)
+                    rr_t = t.reshape(P, k_tris, PKT)
+                    rr_u = u.reshape(P, k_tris, PKT)
+                    rr_v = v.reshape(P, k_tris, PKT)
+                    rr_ok = ok.reshape(P, k_tris, PKT)
+                    for k in range(k_tris):
+                        tk = rr_t[:, k, :]
+                        upd = rr_ok[:, k, :] & (tk < hit_t)
+                        hit_t = jnp.where(upd, tk, hit_t)
+                        hit_u = jnp.where(upd, rr_u[:, k, :], hit_u)
+                        hit_v = jnp.where(upd, rr_v[:, k, :], hit_v)
+                        hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
+                    return hit_t, hit_u, hit_v, hit_slot
+
+                hit_t, hit_u, hit_v, hit_slot = jax.lax.cond(
+                    leaf_pack != 0, leaf_phase, lambda h: h,
+                    (hit_t, hit_u, hit_v, hit_slot))
 
             if mode == "any":
                 found = jnp.min((hit_slot >= 0).astype(jnp.int32), axis=1,
@@ -459,12 +629,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
-                     "leaf_size", "stats", "p_pk", "hbm_tris", "dual"),
+                     "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
+                     "pkt", "narrow"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
                 interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
-                hbm_tris=False, dual=False):
+                hbm_tris=False, dual=False, pkt=PKT, narrow=True):
     P = p_pk
+    PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
     ray_spec = pl.BlockSpec((P, PKT), lambda i: (i, 0),
@@ -475,7 +647,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
     tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_tris
                 else full())
     kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
-                          hbm_tris=hbm_tris, dual=dual)
+                          hbm_tris=hbm_tris, dual=dual, pkt=PKT,
+                          narrow=narrow, interpret=interpret)
     n_out = 5 if stats else 4
     roots3 = jnp.broadcast_to(
         roots.reshape(grid, P, 1), (grid, P, PKT))
@@ -506,64 +679,64 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
 VMEM_TRI_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
-                  watertight: bool = True, interpret: bool = False,
-                  p_pk: int = DEFAULT_P, hbm_tris: bool | None = None,
-                  packet_roots=None, dual: bool = False) -> Hits:
-    """Trace rays with the Pallas packet kernel.
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
+                     "dual", "pkt", "narrow", "sort_rays"),
+)
+def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
+                watertight, interpret, p_pk, hbm_tris, dual, pkt, narrow,
+                sort_rays):
+    """One fused dispatch: coherence sort -> packet kernel -> unsort ->
+    hit-record assembly.  (This runtime charges every dispatch a fixed
+    multi-ms penalty once Pallas is in play, so the whole trace must be a
+    single program; gathers are replaced by multi-operand lax.sort.)"""
+    n = origin.shape[0]
+    PKT = pkt
+    idx = None
+    if sort_rays:
+        from rtk_tpu.ops.morton import ray_coherence_key
 
-    Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
-    vertex records, mesh/triangle indices; miss leaves t = max_t.
-    """
-    n = rays.count
+        key = ray_coherence_key(origin, direction)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        (_, idx, c0, c1, c2, c3, c4, c5, c6, c7) = jax.lax.sort(
+            (key, idx, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             min_t, max_t), num_keys=1)
+        comps8 = (c0, c1, c2, c3, c4, c5, c6, c7)
+    else:
+        comps8 = (origin[:, 0], origin[:, 1], origin[:, 2],
+                  direction[:, 0], direction[:, 1], direction[:, 2],
+                  min_t, max_t)
+
     pad = (-n) % (p_pk * PKT)
     npad = n + pad
 
     def comp(a, fill):
-        a = jnp.asarray(a)
         if pad:
             a = jnp.concatenate(
                 [a, jnp.full((pad,), fill, a.dtype)], axis=0)
         return a.reshape(npad // PKT, PKT)
 
-    ray_comps = (
-        comp(rays.origin[:, 0], 0.0), comp(rays.origin[:, 1], 0.0),
-        comp(rays.origin[:, 2], 0.0),
-        comp(rays.direction[:, 0], 1.0), comp(rays.direction[:, 1], 0.0),
-        comp(rays.direction[:, 2], 0.0),
-        comp(rays.min_t, 0.0), comp(rays.max_t, 0.0),
-    )
-    if hbm_tris is None:
-        hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
-    if hbm_tris and packed.leaf_size % 8 != 0:
-        raise ValueError(
-            "HBM-resident triangles require leaf_size % 8 == 0 "
-            "(lane-aligned leaf rows); rebuild the scene accordingly")
-    tris_table = (packed.tris.reshape(-1, 128) if hbm_tris else packed.tris)
-    n_packets = npad // PKT
-    if packet_roots is None:
-        roots = jnp.zeros((n_packets,), jnp.int32)
-    else:
-        roots = jnp.asarray(packet_roots, jnp.int32)
-        if roots.shape[0] > n_packets:
-            raise ValueError(
-                f"packet_roots has {roots.shape[0]} entries for "
-                f"{n_packets} {PKT}-ray packets")
-        if roots.shape[0] < n_packets:
-            # Block-padding packets hold dead rays; any root works.
-            roots = jnp.concatenate(
-                [roots, jnp.zeros((n_packets - roots.shape[0],), jnp.int32)])
+    fills = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    ray_comps = tuple(comp(a, f) for a, f in zip(comps8, fills))
+    tris_table = (packed.tris.reshape(-1, 128) if hbm_tris
+                  else packed.tris)
     out = _run_kernel(
         packed.nodes, tris_table, ray_comps, roots,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
-        hbm_tris=hbm_tris, dual=dual,
+        hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]
     u = out_u.reshape(-1)[:n]
     v = out_v.reshape(-1)[:n]
     slot = out_slot.reshape(-1)[:n]
+    if sort_rays:
+        # Unscatter to caller order: one multi-operand sort by original
+        # index (sorts are fast on TPU; 1M-element gathers are not).
+        _, t, u, v, slot = jax.lax.sort((idx, t, u, v, slot), num_keys=1)
 
     hit = slot >= 0
     safe = jnp.clip(slot, 0, packed.num_padded_tris - 1)
@@ -579,3 +752,58 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         vertex_index=jnp.where(
             hit[:, None], jnp.take(packed.tri_vidx, safe, axis=0), -1),
     )
+
+
+def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
+                  watertight: bool = True, interpret: bool = False,
+                  p_pk: int = DEFAULT_P, hbm_tris: bool | None = None,
+                  packet_roots=None, dual: bool = False,
+                  pkt: int | None = None, narrow: bool = True,
+                  sort_rays: bool | None = None) -> Hits:
+    """Trace rays with the Pallas packet kernel.
+
+    Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
+    vertex records, mesh/triangle indices; miss leaves t = max_t.
+
+    pkt=None picks the packet width: 512 rays for large batches (amortises
+    per-visit control costs ~2.4x vs 128), 128 for small ones.
+    sort_rays=None enables coherence sorting for large batches (Morton
+    probe key; results come back in the caller's order).
+    """
+    n = rays.count
+    if pkt is None:
+        pkt = 512 if n >= p_pk * 512 else 128
+    if pkt % 128 != 0:
+        raise ValueError("pkt must be a multiple of 128 (VPU lane width)")
+    if sort_rays is None:
+        sort_rays = n >= 16384 and packet_roots is None
+    if sort_rays and packet_roots is not None:
+        raise ValueError("sort_rays cannot reorder rays that carry "
+                         "per-packet roots; pass sort_rays=False")
+    if hbm_tris is None:
+        hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
+    if hbm_tris and packed.leaf_size % 8 != 0:
+        raise ValueError(
+            "HBM-resident triangles require leaf_size % 8 == 0 "
+            "(lane-aligned leaf rows); rebuild the scene accordingly")
+    pad = (-n) % (p_pk * pkt)
+    n_packets = (n + pad) // pkt
+    if packet_roots is None:
+        roots = jnp.zeros((n_packets,), jnp.int32)
+    else:
+        roots = jnp.asarray(packet_roots, jnp.int32)
+        if roots.shape[0] > n_packets:
+            raise ValueError(
+                f"packet_roots has {roots.shape[0]} entries for "
+                f"{n_packets} {pkt}-ray packets")
+        if roots.shape[0] < n_packets:
+            # Block-padding packets hold dead rays; any root works.
+            roots = jnp.concatenate(
+                [roots, jnp.zeros((n_packets - roots.shape[0],),
+                                  jnp.int32)])
+    return _trace_impl(
+        packed, jnp.asarray(rays.origin), jnp.asarray(rays.direction),
+        jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
+        mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
+        hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
+        sort_rays=sort_rays)

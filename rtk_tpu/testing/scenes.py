@@ -203,8 +203,30 @@ def deforming_grid(time: float, n=96):
 # Cameras
 # ---------------------------------------------------------------------------
 
-def camera_rays(eye, look_at, up, fov_deg, width, height, max_t=1e30):
-    """Pinhole primary rays, row-major pixel order. Returns Rays."""
+def _pixel_zorder_perm(height, width):
+    """Z-order (Morton) permutation of row-major pixel indices."""
+    yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        return (v | (v << 1)) & 0x5555555555555555
+
+    return np.argsort(spread(xx.ravel()) | (spread(yy.ravel()) << 1))
+
+
+def camera_rays(eye, look_at, up, fov_deg, width, height, max_t=1e30,
+                order="raster"):
+    """Pinhole primary rays.  Returns Rays.
+
+    order="raster": row-major pixel order.  order="morton": Z-order pixel
+    tiles, so consecutive rays form square screen tiles — the layout the
+    packet tracer's union traversal wants (a renderer that shades in
+    tiles gets this for free).
+    """
     eye = np.asarray(eye, np.float32)
     look_at = np.asarray(look_at, np.float32)
     up = np.asarray(up, np.float32)
@@ -222,6 +244,10 @@ def camera_rays(eye, look_at, up, fov_deg, width, height, max_t=1e30):
     dirs = fwd[None, None] + xs[..., None] * right + ys[..., None] * cup
     dirs = dirs.reshape(-1, 3)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    if order == "morton":
+        dirs = dirs[_pixel_zorder_perm(height, width)]
+    elif order != "raster":
+        raise ValueError(f"unknown ray order {order!r}")
     n = dirs.shape[0]
     origins = np.broadcast_to(eye, (n, 3)).copy()
     return Rays.make(origins, dirs.astype(np.float32),

@@ -158,9 +158,13 @@ def _gather_rows(bin_min, bin_max, leaf_min, leaf_max, slot_src, meta, *,
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _tri_rows(tri_v):
+def _tri_rows(tri_v, valid):
+    """Kernel triangle table rows.  Padding slots (valid=False) become NaN
+    vertices: the intersector rejects them via the t-window without ever
+    triggering the exact-sign zero-edge path (NaN == 0 is false), unlike
+    zero-filled rows whose edge functions are exactly zero."""
     tp = tri_v.shape[0]
-    flat = tri_v.reshape(tp, 9)
+    flat = jnp.where(valid[:, None], tri_v.reshape(tp, 9), jnp.nan)
     return jnp.concatenate([flat, jnp.zeros((tp, 7), jnp.float32)], axis=1)
 
 
@@ -187,14 +191,15 @@ def pack_scene(scene: Scene) -> PackedScene:
                          n_rows=slot_src.shape[0])
     perm = jnp.asarray(tri_perm)
     tri_v = jnp.take(scene.tri_v, perm, axis=0)
+    tri_prim_p = jnp.take(scene.tri_prim, perm, axis=0)
     return PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=_tri_rows(tri_v),
+        tris=_tri_rows(tri_v, tri_prim_p >= 0),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
         tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
-        tri_prim=jnp.take(scene.tri_prim, perm, axis=0),
+        tri_prim=tri_prim_p,
         slot_src=slot_src_j,
         tri_perm=perm,
         num_tris=scene.num_tris,
@@ -208,7 +213,9 @@ def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:
                          scene.leaf_max, packed.slot_src, packed.meta,
                          n_rows=packed.num_nodes)
     tri_v = jnp.take(scene.tri_v, packed.tri_perm, axis=0)
-    return packed.replace(nodes=nodes, tris=_tri_rows(tri_v), tri_v=tri_v)
+    return packed.replace(nodes=nodes,
+                          tris=_tri_rows(tri_v, packed.tri_prim >= 0),
+                          tri_v=tri_v)
 
 
 def pack_forest(scene: Scene, roots) -> tuple[PackedScene, np.ndarray]:
@@ -250,14 +257,15 @@ def pack_forest(scene: Scene, roots) -> tuple[PackedScene, np.ndarray]:
                          n_rows=slot_src.shape[0])
     perm = jnp.asarray(tri_perm)
     tri_v = jnp.take(scene.tri_v, perm, axis=0)
+    tri_prim_p = jnp.take(scene.tri_prim, perm, axis=0)
     packed = PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=_tri_rows(tri_v),
+        tris=_tri_rows(tri_v, tri_prim_p >= 0),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
         tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
-        tri_prim=jnp.take(scene.tri_prim, perm, axis=0),
+        tri_prim=tri_prim_p,
         slot_src=slot_src_j,
         tri_perm=perm,
         num_tris=scene.num_tris,

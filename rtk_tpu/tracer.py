@@ -65,12 +65,20 @@ class Tracer:
         return t
 
     def _trace(self, rays: Rays, mode: str,
-               filter_fn: Optional[Callable]) -> Hits:
+               filter_fn: Optional[Callable],
+               coherent: Optional[bool] = None) -> Hits:
         if self.engine == "packet" and filter_fn is None:
             from rtk_tpu.ops.pallas_trace import trace_packets
 
+            dual = self.config.dual_queues
+            if dual is None:
+                # Split-queue stepping wins on divergent (incoherent)
+                # batches; callers that know their batch is a bounce pass
+                # coherent=False.
+                dual = coherent is False
             return trace_packets(self.packed, rays, mode=mode,
-                                 watertight=self.config.watertight)
+                                 watertight=self.config.watertight,
+                                 dual=dual)
         if self.engine == "stackless" and filter_fn is None:
             from rtk_tpu.trace.stackless import build_stackless, trace_stackless
 
@@ -83,10 +91,13 @@ class Tracer:
         fn = _stack.trace_closest if mode == "closest" else _stack.trace_any
         return fn(self.scene, rays, filter_fn=filter_fn, config=self.config)
 
-    def closest(self, rays: Rays, filter_fn: Optional[Callable] = None) -> Hits:
-        """Nearest-hit query (rtk_trace_ray)."""
-        return self._trace(rays, "closest", filter_fn)
+    def closest(self, rays: Rays, filter_fn: Optional[Callable] = None,
+                coherent: Optional[bool] = None) -> Hits:
+        """Nearest-hit query (rtk_trace_ray).  `coherent` hints the packet
+        engine's stepping policy (False selects split dual queues)."""
+        return self._trace(rays, "closest", filter_fn, coherent)
 
-    def any(self, rays: Rays, filter_fn: Optional[Callable] = None) -> Hits:
+    def any(self, rays: Rays, filter_fn: Optional[Callable] = None,
+            coherent: Optional[bool] = None) -> Hits:
         """Any-hit query (the intended rtk_trace_ray_filter semantics)."""
-        return self._trace(rays, "any", filter_fn)
+        return self._trace(rays, "any", filter_fn, coherent)
