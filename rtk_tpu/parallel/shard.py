@@ -94,3 +94,47 @@ def trace_closest_sharded(scene, rays, mesh=None, filter_fn=None,
 def trace_any_sharded(scene, rays, mesh=None, filter_fn=None,
                       config=TraceConfig()):
     return trace_sharded(scene, rays, mesh, "any", filter_fn, config)
+
+
+def trace_packets_sharded(
+    packed,
+    rays: Rays,
+    mesh: Optional[Mesh] = None,
+    mode: str = "closest",
+    watertight: bool = True,
+    interpret: bool = False,
+    pkt: Optional[int] = None,
+    dual: bool = False,
+    sort_rays: Optional[bool] = None,
+) -> Hits:
+    """Sharded trace on the Pallas packet engine (PackedScene replicated).
+
+    The per-chip program is the same fused sort->kernel->unsort dispatch as
+    trace_packets; shard_map only splits the ray batch, so scaling is
+    embarrassingly parallel over ICI exactly like host-thread query
+    parallelism in the reference (rtk.c:543-577 purity).
+    """
+    from rtk_tpu.ops.pallas_trace import trace_packets
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    padded, n = _pad_rays(rays, n_dev)
+
+    def local_trace(packed_local, rays_local):
+        return trace_packets(
+            packed_local, rays_local, mode=mode, watertight=watertight,
+            interpret=interpret, pkt=pkt, dual=dual, sort_rays=sort_rays)
+
+    sharded = jax.shard_map(
+        local_trace,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    hits = jax.jit(sharded)(packed, padded)
+    if padded.count != n:
+        hits = jax.tree.map(lambda a: a[:n], hits)
+    return hits

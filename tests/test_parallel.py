@@ -48,3 +48,30 @@ def test_sharded_any_hit():
     rays = scenes.cornell_camera(16, 16)
     got = trace_any_sharded(scene, rays)
     assert np.asarray(got.hit).all()
+
+
+def test_packet_engine_sharded_matches_single():
+    """Packet kernel under shard_map on the virtual 8-device mesh."""
+    import jax
+    import numpy as np
+
+    from rtk_tpu import BuildConfig, build_scene
+    from rtk_tpu.parallel.shard import default_mesh, trace_packets_sharded
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.testing import scenes
+
+    tris = scenes.cornell_box()
+    t = tris.shape[0]
+    scene = build_scene((tris.reshape(-1, 3),
+                         np.arange(t * 3).reshape(-1, 3)),
+                        BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    rays = scenes.cornell_camera(32, 32)
+    mesh = default_mesh(jax.devices()[:8])
+    got = trace_packets_sharded(packed, rays, mesh, interpret=True)
+    want = trace_packets(packed, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+    np.testing.assert_array_equal(np.asarray(got.triangle_index),
+                                  np.asarray(want.triangle_index))
