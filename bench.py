@@ -161,12 +161,14 @@ def main():
     cam5 = scenes.camera_rays((12, 11, 13), (3.8, 3.8, 3.8), (0, 1, 0), 55,
                               256, 256, order="morton")
     key5 = jax.random.PRNGKey(5)
+    CAND5 = 4  # nearest-candidate rounds per trace (bounds compiles)
 
     def wavefront4():
         rays_b = cam5
         total = 0
         k = key5
-        hits, _ = trace_closest_instanced_packets(pscene, rays_b)
+        hits, _ = trace_closest_instanced_packets(pscene, rays_b,
+                                                  max_candidates=CAND5)
         total += rays_b.count
         for bounce in range(3):
             nrm = geometric_normal(hits, rays_b.direction)
@@ -185,19 +187,17 @@ def main():
                 direction=jnp.take(nd, sel, axis=0),
                 min_t=jnp.full((idx.shape[0],), 1e-3, jnp.float32),
                 max_t=jnp.full((idx.shape[0],), np.float32(3.4e38)))
-            hits, _ = trace_closest_instanced_packets(pscene, rays_b)
+            hits, _ = trace_closest_instanced_packets(pscene, rays_b,
+                                                      max_candidates=CAND5)
             total += rays_b.count
         jax.block_until_ready(hits.t)
         return total
 
-    total5 = wavefront4()
-    t0 = None
+    total5 = wavefront4()  # warm-up compiles all round shapes
     import time as _time
-    best5 = float("inf")
-    for _ in range(3):
-        t1 = _time.perf_counter()
-        wavefront4()
-        best5 = min(best5, _time.perf_counter() - t1)
+    t1 = _time.perf_counter()
+    wavefront4()
+    best5 = _time.perf_counter() - t1
     log(f"instanced 10.5M tris (512 x 20k BLAS) 4-bounce wavefront: "
         f"{total5} rays in {best5*1e3:.0f} ms -> {total5/best5/1e6:.2f} Mrays/s")
 

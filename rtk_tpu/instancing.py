@@ -160,40 +160,67 @@ def build_instanced(
     )
 
 
-def _instance_candidates(iscene: InstancedScene, rays: Rays, c: int,
-                         chunk: int = 16384):
-    """Nearest-C instance candidates per ray by AABB entry distance.
-
-    Returns (cand_idx (N, C) i32 [-1 = none], cand_t (N, C) f32).
-    """
-    n = rays.count
-    n_inst = iscene.num_instances
-    c = min(c, n_inst)
-
-    def block(o, d, mint, maxt):
-        rcp = jnp.float32(1.0) / d  # (n, 3)
-        t0 = (iscene.inst_lo[None] - o[:, None]) * rcp[:, None]
-        t1 = (iscene.inst_hi[None] - o[:, None]) * rcp[:, None]
+@functools.partial(jax.jit, static_argnames=("c", "chunk"))
+def _instance_candidates_impl(inst_lo, inst_hi, origin, direction, min_t,
+                              max_t, *, c, chunk):
+    def block(args):
+        o, d, mint, maxt = args
+        rcp = jnp.float32(1.0) / d  # (chunk, 3)
+        t0 = (inst_lo[None] - o[:, None]) * rcp[:, None]
+        t1 = (inst_hi[None] - o[:, None]) * rcp[:, None]
         near = jnp.fmin(t0, t1)
         far = jnp.fmax(t0, t1)
         enter = jnp.fmax(jnp.fmax(near[..., 0], near[..., 1]),
                          jnp.fmax(near[..., 2], mint[:, None]))
         exit_ = jnp.fmin(jnp.fmin(far[..., 0], far[..., 1]),
                          jnp.fmin(far[..., 2], maxt[:, None]))
-        hit = enter <= exit_  # (n, I)
-        score = jnp.where(hit, -enter, -jnp.inf)
-        val, idx = jax.lax.top_k(score, c)
-        return jnp.where(val > -jnp.inf, idx, -1).astype(jnp.int32), -val
+        hit = enter <= exit_  # (chunk, I)
+        score = jnp.where(hit, enter, jnp.inf)
+        iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        idxs, ts = [], []
+        # C passes of masked argmin: far cheaper on TPU than lax.top_k's
+        # full sort over the instance axis.
+        for _ in range(c):
+            j = jnp.argmin(score, axis=1)
+            v = jnp.min(score, axis=1)
+            ok = jnp.isfinite(v)
+            idxs.append(jnp.where(ok, j, -1).astype(jnp.int32))
+            ts.append(v)
+            score = jnp.where(iota == j[:, None], jnp.inf, score)
+        return jnp.stack(idxs, axis=1), jnp.stack(ts, axis=1)
 
-    f = jax.jit(block)
-    outs_i, outs_t = [], []
-    for s in range(0, n, chunk):
-        e = min(n, s + chunk)
-        ci, ct = f(rays.origin[s:e], rays.direction[s:e],
-                   rays.min_t[s:e], rays.max_t[s:e])
-        outs_i.append(ci)
-        outs_t.append(ct)
-    return jnp.concatenate(outs_i), jnp.concatenate(outs_t)
+    n = origin.shape[0]
+    sh = (n // chunk, chunk)
+    ci, ct = jax.lax.map(block, (origin.reshape(sh + (3,)),
+                                 direction.reshape(sh + (3,)),
+                                 min_t.reshape(sh), max_t.reshape(sh)))
+    return ci.reshape(n, -1), ct.reshape(n, -1)
+
+
+def _instance_candidates(iscene: InstancedScene, rays: Rays, c: int,
+                         chunk: int = 16384):
+    """Nearest-C instance candidates per ray by AABB entry distance.
+
+    The TPU top level is not a pointer-chasing tree walk: a dense
+    (rays x instances) slab pass in one fused dispatch (lax.map over ray
+    chunks bounds the live (chunk, I) temporaries).
+
+    Returns (cand_idx (N, C) i32 [-1 = none], cand_t (N, C) f32).
+    """
+    n = rays.count
+    c = min(c, iscene.num_instances)
+    chunk = min(chunk, max(1, n))
+    pad = (-n) % chunk
+    pad_one = lambda a, fill: (jnp.concatenate(
+        [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a)
+    ci, ct = _instance_candidates_impl(
+        iscene.inst_lo, iscene.inst_hi,
+        pad_one(jnp.asarray(rays.origin), 0.0),
+        pad_one(jnp.asarray(rays.direction), 1.0),
+        pad_one(jnp.asarray(rays.min_t), 0.0),
+        pad_one(jnp.asarray(rays.max_t), 0.0),
+        c=c, chunk=chunk)
+    return ci[:n], ct[:n]
 
 
 def trace_closest_instanced(
@@ -282,6 +309,43 @@ def _object_rays(iscene_obw, rays_o, rays_d, inst_safe):
     return o, d
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _instanced_round(packed, object_from_world, rays, best, best_inst,
+                     cand_col, gidx, roots, *, interpret):
+    """One candidate round as a single device program: gather the grouped
+    rays, transform to object space, trace the merged BLAS, scatter
+    improvements back.  (Eager per-round ops each pay this runtime's fixed
+    post-Pallas dispatch cost, which dominated the instanced path.)"""
+    from rtk_tpu.ops.pallas_trace import trace_packets
+
+    n = rays.count
+    num_inst = object_from_world.shape[0]
+    safe_ray = jnp.clip(gidx, 0, n - 1)
+    inst_of_slot = jnp.take(cand_col, safe_ray)
+    o, d = _object_rays(
+        object_from_world,
+        jnp.take(rays.origin, safe_ray, axis=0),
+        jnp.take(rays.direction, safe_ray, axis=0),
+        jnp.clip(inst_of_slot, 0, num_inst - 1))
+    grouped = Rays(
+        origin=o,
+        direction=d,
+        min_t=jnp.take(rays.min_t, safe_ray),
+        max_t=jnp.where(gidx >= 0, jnp.take(best.t, safe_ray), 0.0),
+    )
+    h = trace_packets(packed, grouped, packet_roots=roots,
+                      interpret=interpret)
+    improved = h.hit & (gidx >= 0) & (h.t < jnp.take(best.t, safe_ray))
+    tgt = jnp.where(improved, gidx, n)
+
+    def scatter_field(new, old):
+        return old.at[tgt].set(new, mode="drop")
+
+    best = jax.tree.map(scatter_field, h, best)
+    best_inst = best_inst.at[tgt].set(inst_of_slot, mode="drop")
+    return best, best_inst
+
+
 def trace_closest_instanced_packets(
     pscene: PackedInstancedScene,
     rays: Rays,
@@ -345,31 +409,11 @@ def trace_closest_instanced_packets(
                 packed_roots_h[inst_blas_h[g]])
             cursor += blk * PKT
             s += c
-        gidx_j = jnp.asarray(gidx)
-        safe_ray = jnp.clip(gidx_j, 0, n - 1)
-        inst_of_slot = jnp.take(cand_idx[:, slot], safe_ray)
-        o, d = _object_rays(
-            iscene.object_from_world,
-            jnp.take(rays.origin, safe_ray, axis=0),
-            jnp.take(rays.direction, safe_ray, axis=0),
-            jnp.clip(inst_of_slot, 0, iscene.num_instances - 1))
-        grouped = Rays(
-            origin=o,
-            direction=d,
-            min_t=jnp.take(rays.min_t, safe_ray),
-            max_t=jnp.where(gidx_j >= 0, jnp.take(best.t, safe_ray), 0.0),
-        )
-        h = trace_packets(pscene.packed, grouped, packet_roots=roots,
-                          interpret=interpret)
-        # Scatter improvements back (each ray occupies exactly one grouped
-        # slot per round, so targets are unique).
-        improved = h.hit & (gidx_j >= 0) & (h.t < jnp.take(best.t, safe_ray))
-        tgt = jnp.where(improved, gidx_j, n)
-
-        def scatter_field(new, old):
-            return old.at[tgt].set(new, mode="drop")
-
-        best = jax.tree.map(scatter_field, h, best)
-        best_inst = best_inst.at[tgt].set(inst_of_slot, mode="drop")
+        # One fused device program per round (each ray occupies exactly one
+        # grouped slot per round, so improvement scatters are unique).
+        best, best_inst = _instanced_round(
+            pscene.packed, iscene.object_from_world, rays, best, best_inst,
+            cand_idx[:, slot], jnp.asarray(gidx), jnp.asarray(roots),
+            interpret=interpret)
 
     return best, best_inst

@@ -111,7 +111,7 @@ def _popcount8(v):
 
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
-                 interpret=False):
+                 interpret=False, ordered=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -281,6 +281,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 if narrow:
                     n3 = nrows.reshape(P, W, 8)
                     hitbits = jnp.zeros((P, 1), jnp.int32)
+                    dists = []
                     for w in range(W):
                         c = n3[:, w, :]  # (P, 8): child w of every packet
                         mnx, mny, mnz = (bf(c[:, 0:1]), bf(c[:, 1:2]),
@@ -297,9 +298,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                             jnp.maximum(nz, mint))
                         exit_ = jnp.minimum(jnp.minimum(fx, fy),
                                             jnp.minimum(fz, hit_t_in))
-                        anyw = jnp.max((enter <= exit_).astype(jnp.int32),
+                        hitw = enter <= exit_
+                        anyw = jnp.max(hitw.astype(jnp.int32),
                                        axis=1, keepdims=True)  # (P, 1)
                         hitbits = hitbits | (anyw << w)
+                        if ordered:
+                            # Packet entry distance of child w: nearest
+                            # entering ray (the packet analogue of rtk's
+                            # per-child t, rtk.c:489-536).
+                            dists.append(jnp.min(
+                                jnp.where(hitw, enter, _BIG),
+                                axis=1, keepdims=True))
                     hit8 = (hitbits >> iota_w) & 1  # (P, W)
                 else:
                     mnx, mny, mnz = (bf(nrows[:, 0:1]), bf(nrows[:, 1:2]),
@@ -335,6 +344,31 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                     -(fl + lrank) - 2)
                 hitv = (hit8 == 1) & int_vec
 
+                if ordered and narrow:
+                    # Sort children far-to-near by packet entry distance
+                    # (descending; misses sink to the end with key -BIG):
+                    # the stack pops from the top, so the nearest child is
+                    # visited first and hit_t tightens earliest.  19-
+                    # comparator optimal sorting network on (P, 1) columns.
+                    key = [jnp.where(hitv[:, w:w + 1], dists[w], -_BIG)
+                           for w in range(W)]
+                    ent = [entries[:, w:w + 1] for w in range(W)]
+                    net = [(0, 1), (2, 3), (4, 5), (6, 7),
+                           (0, 2), (1, 3), (4, 6), (5, 7),
+                           (1, 2), (5, 6), (0, 4), (3, 7),
+                           (1, 5), (2, 6), (1, 4), (3, 6),
+                           (2, 4), (3, 5), (3, 4)]
+                    for a, b in net:
+                        sw = key[a] < key[b]
+                        key[a], key[b] = (jnp.where(sw, key[b], key[a]),
+                                          jnp.where(sw, key[a], key[b]))
+                        ent[a], ent[b] = (jnp.where(sw, ent[b], ent[a]),
+                                          jnp.where(sw, ent[a], ent[b]))
+                    entries = jnp.concatenate(ent, axis=1)
+                    validm = jnp.concatenate(key, axis=1) > -_BIG * 0.5
+                else:
+                    validm = hitv
+
                 def compact(valid):
                     # Left-compact valid entries (slot order) via bitmask
                     # ranks + a where-chain scatter — no lane shuffles.
@@ -349,11 +383,23 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     return out, _popcount8(vbits)
 
                 if dual:
-                    comp_i, cnt_i = compact(hitv & (is_i == 1))
-                    comp_l, cnt_l = compact(hitv & (is_l == 1))
+                    if ordered and narrow:
+                        comp_i, cnt_i = compact(validm & (entries >= 0))
+                        comp_l, cnt_l = compact(validm & (entries <= -2))
+                    else:
+                        comp_i, cnt_i = compact(validm & (is_i == 1))
+                        comp_l, cnt_l = compact(validm & (is_l == 1))
                     counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
+                elif ordered and narrow:
+                    # Valid entries are already contiguous at the front
+                    # after the sort; no rank compaction needed.
+                    comp_i = jnp.where(validm, entries, -1)
+                    vbits = jnp.sum(validm.astype(jnp.int32) << iota_w,
+                                    axis=1, keepdims=True)
+                    counts = _popcount8(vbits)
+                    comp_l = comp_i
                 else:
-                    comp_i, counts = compact(hitv & ((is_i | is_l) == 1))
+                    comp_i, counts = compact(validm & ((is_i | is_l) == 1))
                     comp_l = comp_i
                 return (comp_i.astype(jnp.int32), comp_l.astype(jnp.int32),
                         counts.astype(jnp.int32))
@@ -630,11 +676,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
-                     "pkt", "narrow"),
+                     "pkt", "narrow", "ordered"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
                 interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
-                hbm_tris=False, dual=False, pkt=PKT, narrow=True):
+                hbm_tris=False, dual=False, pkt=PKT, narrow=True,
+                ordered=False):
     P = p_pk
     PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
@@ -648,7 +695,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
                 else full())
     kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
-                          narrow=narrow, interpret=interpret)
+                          narrow=narrow, interpret=interpret,
+                          ordered=ordered)
     n_out = 5 if stats else 4
     roots3 = jnp.broadcast_to(
         roots.reshape(grid, P, 1), (grid, P, PKT))
@@ -682,11 +730,11 @@ VMEM_TRI_BUDGET_BYTES = 8 * 1024 * 1024
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
-                     "dual", "pkt", "narrow", "sort_rays"),
+                     "dual", "pkt", "narrow", "sort_rays", "ordered"),
 )
 def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
                 watertight, interpret, p_pk, hbm_tris, dual, pkt, narrow,
-                sort_rays):
+                sort_rays, ordered=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -727,6 +775,7 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
+        ordered=ordered,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]
@@ -759,7 +808,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   p_pk: int = DEFAULT_P, hbm_tris: bool | None = None,
                   packet_roots=None, dual: bool = False,
                   pkt: int | None = None, narrow: bool = True,
-                  sort_rays: bool | None = None) -> Hits:
+                  sort_rays: bool | None = None,
+                  ordered: bool = False) -> Hits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -772,7 +822,10 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     """
     n = rays.count
     if pkt is None:
-        pkt = 512 if n >= p_pk * 512 else 128
+        # Explicit per-packet roots are laid out by the caller in units of
+        # the default 128-ray packet; widening would misalign them.
+        pkt = (128 if packet_roots is not None
+               else (512 if n >= p_pk * 512 else 128))
     if pkt % 128 != 0:
         raise ValueError("pkt must be a multiple of 128 (VPU lane width)")
     if sort_rays is None:
@@ -806,4 +859,4 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
-        sort_rays=sort_rays)
+        sort_rays=sort_rays, ordered=ordered)
