@@ -128,12 +128,16 @@ def main():
     packed_d = pack_scene(scene_d)
     frames = [jnp.asarray(scenes.deforming_grid(t, n=96))
               for t in (0.1, 0.2, 0.3)]
-    cam_d = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 256, 256)
+    cam_d = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 256, 256,
+                               order="morton")
+
+    from rtk_tpu.ops.pallas_trace import trace_packets_refit
 
     def frame(i):
-        s = refit(scene_d, frames[i % 3])
-        pk = repack_bounds(packed_d, s)
-        return trace_packets(pk, cam_d)
+        # one fused device program: refit -> repack -> trace
+        hits, _, _ = trace_packets_refit(packed_d, scene_d, frames[i % 3],
+                                         cam_d, sort_rays=False)
+        return hits
 
     dt = timeit(lambda: frame(1), iters=5)
     log(f"deforming refit+trace: {dt*1e3:.1f} ms/frame "

@@ -474,23 +474,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 return t, u * rcp_det, v * rcp_det, ok
 
             if hbm_tris:
+                # DMA waits must pair with the unconditional starts above,
+                # so they stay outside the leaf-phase gating branch.
                 for dma in dmas:
                     dma.wait()
-                # staged as (P*rows_per_leaf, 128): 8 tri records per row.
-                rpl = k_tris // 8
-                st3 = stage_tris[:].reshape(P, rpl, 128)
-                for k in range(k_tris):
-                    r, s16 = k // 8, (k % 8) * 16
-                    verts = [st3[:, r, s16 + c:s16 + c + 1] for c in range(9)]
-                    tk, uk, vk, okk = leaf_uvwt(
-                        verts, kx, ky, kz, sx, sy, sz, o_kx, o_ky, o_kz,
-                        mint)
-                    upd = okk & leaf_vec & (tk < hit_t)
-                    hit_t = jnp.where(upd, tk, hit_t)
-                    hit_u = jnp.where(upd, uk, hit_u)
-                    hit_v = jnp.where(upd, vk, hit_v)
-                    hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
-            elif narrow:
+            if hbm_tris or narrow:
                 # One triangle slot per iteration on (P, PKT) register-
                 # resident tiles.  The exact-sign recompute is deferred:
                 # the cheap pass records which lanes had an exact-zero edge
@@ -536,14 +524,26 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     ok = ~((lo < 0.0) & (hi > 0.0)) & (t > mint)
                     return t, u * rcp_det, v * rcp_det, ok, need
 
+                if hbm_tris:
+                    # staged as (P*rows_per_leaf, 128): 8 records per row.
+                    st3 = stage_tris[:].reshape(P, k_tris // 8, 128)
+
+                    def verts_of(k):
+                        r, s16 = k // 8, (k % 8) * 16
+                        return [st3[:, r, s16 + c:s16 + c + 1]
+                                for c in range(9)]
+                else:
+                    t3 = stage_tris[:].reshape(P, k_tris, 16)
+
+                    def verts_of(k):
+                        r = t3[:, k, :]  # (P, 16)
+                        return [r[:, c:c + 1] for c in range(9)]
+
                 def leaf_pass(hits_in, exact):
                     h_t, h_u, h_v, h_s = hits_in
-                    t3 = stage_tris[:].reshape(P, k_tris, 16)
                     needv = jnp.zeros((P, PKT), jnp.int32)
                     for k in range(k_tris):
-                        r = t3[:, k, :]  # (P, 16)
-                        verts = [r[:, c:c + 1] for c in range(9)]
-                        tk, uk, vk, okk, need = tri_test(verts, exact)
+                        tk, uk, vk, okk, need = tri_test(verts_of(k), exact)
                         if watertight and not exact:
                             needv = needv | need.astype(jnp.int32)
                         upd = okk & leaf_vec & (tk < h_t)
@@ -860,3 +860,54 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
+                     "dual", "pkt", "narrow", "sort_rays"),
+)
+def _refit_trace_jit(scene, packed, new_tri_pos, origin, direction, min_t,
+                     max_t, roots, *, mode, watertight, interpret, p_pk,
+                     hbm_tris, dual, pkt, narrow, sort_rays):
+    from rtk_tpu.scene import refit as _refit
+    from rtk_tpu.trace.packed import repack_bounds
+
+    scene2 = _refit(scene, new_tri_pos)
+    packed2 = repack_bounds(packed, scene2)
+    hits = _trace_impl(
+        packed2, origin, direction, min_t, max_t, roots,
+        mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
+        hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
+        sort_rays=sort_rays)
+    return hits, scene2, packed2
+
+
+def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
+                        mode: str = "closest", watertight: bool = True,
+                        interpret: bool = False, p_pk: int = DEFAULT_P,
+                        hbm_tris: bool | None = None, dual: bool = False,
+                        pkt: int | None = None, narrow: bool = True,
+                        sort_rays: bool | None = None):
+    """Per-frame dynamic-scene step as ONE device program: refit the BVH to
+    deformed vertices (same topology), regather the packed tables, trace.
+
+    Returns (hits, refit_scene, repacked_scene).  The deforming-mesh config
+    is dispatch-bound when refit/repack/trace run as separate programs.
+    """
+    n = rays.count
+    if pkt is None:
+        pkt = 512 if n >= p_pk * 512 else 128
+    if sort_rays is None:
+        sort_rays = n >= 16384
+    if hbm_tris is None:
+        hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
+    pad = (-n) % (p_pk * pkt)
+    roots = jnp.zeros(((n + pad) // pkt,), jnp.int32)
+    return _refit_trace_jit(
+        scene, packed, jnp.asarray(new_tri_pos, jnp.float32),
+        jnp.asarray(rays.origin), jnp.asarray(rays.direction),
+        jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
+        mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
+        hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
+        sort_rays=sort_rays)
