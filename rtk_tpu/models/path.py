@@ -13,6 +13,7 @@ sorted by a Morton key of origin+direction octant to restore coherence.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -93,6 +94,48 @@ def _round_up_bucket(n: int, minimum: int) -> int:
     return max(minimum, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
 
 
+@functools.partial(jax.jit, static_argnames=("epsilon", "sort_rays", "last"))
+def _shade_sample(hits, cur, throughput, index, radiance, materials, k_dir,
+                  bg, lo, hi, *, epsilon, sort_rays, last):
+    """Shade + importance-sample + build the sort permutation for one
+    bounce as a single device program (per-op dispatch is expensive on
+    this runtime once Pallas is in play)."""
+    hit = hits.hit
+    mesh = jnp.clip(hits.mesh_index, 0, materials.albedo.shape[0] - 1)
+    emis = jnp.where(hit[:, None], materials.emission[mesh], 0.0)
+    miss_rad = jnp.where(hit[:, None], 0.0, bg[None, :])
+    radiance = radiance.at[index].add(throughput * (emis + miss_rad))
+    if last:
+        return radiance
+
+    normal = geometric_normal(hits, cur.direction)
+    new_dir = cosine_sample(k_dir, normal)
+    origin = hits.position() + epsilon * normal
+    throughput = throughput * jnp.where(
+        hit[:, None], materials.albedo[mesh], 0.0)
+    alive = hit & (jnp.max(throughput, axis=1) > 1e-5)
+    nxt = Rays(
+        origin=origin,
+        direction=new_dir,
+        min_t=jnp.full((cur.count,), epsilon, jnp.float32),
+        max_t=jnp.where(alive, np.float32(3.4e38), 0.0),
+    )
+    # Dead rays to the back; optionally Morton-sorted within the live run.
+    order_key = (~alive).astype(jnp.uint32)
+    if sort_rays:
+        order_key = (order_key << 28) | (_ray_sort_key(nxt, lo, hi) >> 4)
+    perm = jnp.argsort(order_key, stable=True)
+    return radiance, nxt, throughput, perm, jnp.sum(alive)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _compact_take(cur, throughput, index, perm, *, m):
+    take = lambda a: jnp.take(a, perm, axis=0)[:m]
+    nxt = Rays(origin=take(cur.origin), direction=take(cur.direction),
+               min_t=take(cur.min_t), max_t=take(cur.max_t))
+    return nxt, take(throughput), take(index)
+
+
 def render_path(
     tracer: Tracer,
     rays: Rays,
@@ -107,7 +150,9 @@ def render_path(
     """Path-trace a ray batch; returns (N, 3) linear radiance.
 
     Lambertian BRDF with cosine importance sampling; emission accumulated at
-    every hit; constant background radiance on miss.
+    every hit; constant background radiance on miss.  Each bounce is a
+    handful of device programs: trace, fused shade/sample/sort, compaction
+    gather (ray counts bucketed to powers of two to bound recompiles).
     """
     n = rays.count
     radiance = jnp.zeros((n, 3), jnp.float32)
@@ -123,50 +168,24 @@ def render_path(
         # hint selects the packet engine's split dual-queue stepping there.
         hits = tracer.closest(cur, coherent=(bounce == 0))
         key, k_dir = jax.random.split(key)
-        hit = hits.hit
-        mesh = jnp.clip(hits.mesh_index, 0, materials.albedo.shape[0] - 1)
-        emis = jnp.where(hit[:, None], materials.emission[mesh], 0.0)
-        miss_rad = jnp.where(hit[:, None], 0.0, bg[None, :])
-        contrib = throughput * (emis + miss_rad)
-        radiance = radiance.at[index].add(contrib)
-        if bounce == bounces:
+        last = bounce == bounces
+        out = _shade_sample(hits, cur, throughput, index, radiance,
+                            materials, k_dir, bg, lo, hi, epsilon=epsilon,
+                            sort_rays=sort_rays, last=last)
+        if last:
+            radiance = out
             break
-
-        normal = geometric_normal(hits, cur.direction)
-        new_dir = cosine_sample(k_dir, normal)
-        origin = hits.position() + epsilon * normal
-        throughput = throughput * jnp.where(
-            hit[:, None], materials.albedo[mesh], 0.0)
-        alive = hit & (jnp.max(throughput, axis=1) > 1e-5)
-
-        cur = Rays(
-            origin=origin,
-            direction=new_dir,
-            min_t=jnp.full((cur.count,), epsilon, jnp.float32),
-            max_t=jnp.where(alive, np.float32(3.4e38), 0.0),
-        )
+        radiance, nxt, throughput, perm, n_alive_dev = out
 
         if compact:
-            # Stream compaction: live rays to the front; slice to a
-            # power-of-two bucket so dead slots cost nothing.
-            order_key = (~alive).astype(jnp.uint32)
-            if sort_rays:
-                order_key = (order_key << 28) | (
-                    _ray_sort_key(cur, lo, hi) >> 4)
-            perm = jnp.argsort(order_key, stable=True)
-            n_alive = int(jnp.sum(alive))
+            n_alive = int(n_alive_dev)  # one host sync per bounce
             if n_alive == 0:
                 break
             m = min(cur.count, _round_up_bucket(n_alive, 1024))
-            take = lambda a: jnp.take(a, perm, axis=0)[:m]
-            cur = Rays(
-                origin=take(cur.origin),
-                direction=take(cur.direction),
-                min_t=take(cur.min_t),
-                max_t=take(cur.max_t),
-            )
-            throughput = take(throughput)
-            index = take(index)
+            cur, throughput, index = _compact_take(
+                nxt, throughput, index, perm, m=m)
+        else:
+            cur = nxt
 
     return radiance
 
