@@ -73,6 +73,17 @@ def _decode_strided(buf, count, n_comp, dtype, stride) -> np.ndarray:
     return out
 
 
+# Raw-buffer decodes above this element count route through the threaded
+# C++ host runtime (native/rtk_host.cpp) when the toolchain is available.
+NATIVE_DECODE_MIN = 1 << 18
+
+
+def _native():
+    from rtk_tpu.utils import native_host
+
+    return native_host if native_host.available() else None
+
+
 def decode_indices(mesh: MeshDesc) -> np.ndarray:
     """-> (T, 3) u32 original vertex indices."""
     t = mesh.num_triangles
@@ -90,6 +101,12 @@ def decode_indices(mesh: MeshDesc) -> np.ndarray:
     dtype = _IDX_DTYPES[mesh.index_type]
     # Raw buffer: stride applies between consecutive *indices* to match
     # rtk_buffer semantics (rtk.h:54-58).
+    nh = _native() if t * 3 >= NATIVE_DECODE_MIN else None
+    if nh is not None:
+        stride = mesh.index_stride or np.dtype(dtype).itemsize
+        kind = "u16" if dtype == np.uint16 else "u32"
+        return nh.decode_indices(bytes(mesh.indices), t * 3, stride,
+                                 kind).reshape(t, 3)
     idx = _decode_strided(mesh.indices, t * 3, 1, dtype, mesh.index_stride)
     return idx.reshape(t, 3).astype(np.uint32)
 
@@ -110,9 +127,19 @@ def decode_positions(mesh: MeshDesc, indices: np.ndarray) -> np.ndarray:
         # Tail record may be tightly packed even with a larger stride.
         if nbytes - (count - 1) * stride >= np.dtype(dtype).itemsize * 3:
             pass
-        verts = _decode_strided(mesh.positions, count, 3, dtype, stride)
-        verts = verts.astype(np.float32)
-    return verts[indices.reshape(-1)].reshape(indices.shape[0], 3, 3)
+        nh = _native() if count >= NATIVE_DECODE_MIN else None
+        if nh is not None:
+            kind = "f64" if dtype == np.float64 else "f32"
+            verts = nh.decode_positions(bytes(mesh.positions), count,
+                                        stride, kind)
+        else:
+            verts = _decode_strided(mesh.positions, count, 3, dtype, stride)
+            verts = verts.astype(np.float32)
+    flat = indices.reshape(-1)
+    nh = _native() if flat.shape[0] >= NATIVE_DECODE_MIN else None
+    if nh is not None:
+        return nh.gather_soup(verts, flat).reshape(indices.shape[0], 3, 3)
+    return verts[flat].reshape(indices.shape[0], 3, 3)
 
 
 @dataclasses.dataclass

@@ -64,3 +64,36 @@ def test_native_random_soup():
     assert same.sum() / max(wh.sum(), 1) > 0.95
     np.testing.assert_allclose(u[same], np.asarray(want.u)[same], atol=1e-3)
     np.testing.assert_allclose(v[same], np.asarray(want.v)[same], atol=1e-3)
+
+
+def test_native_host_decode_matches_numpy():
+    """Threaded C++ decode (native/rtk_host.cpp) must agree bit-for-bit
+    with the NumPy strided decode across types/strides."""
+    import numpy as np
+
+    from rtk_tpu.utils import native_host
+
+    if not native_host.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    # f32 strided (vertex records with 4 bytes of padding)
+    v = rng.normal(size=(5000, 3)).astype(np.float32)
+    rec = np.zeros((5000, 4), np.float32)
+    rec[:, :3] = v
+    got = native_host.decode_positions(rec.tobytes(), 5000, 16, "f32")
+    np.testing.assert_array_equal(got, v)
+    # f64 tightly packed
+    v64 = rng.normal(size=(3000, 3))
+    got = native_host.decode_positions(v64.tobytes(), 3000, 24, "f64")
+    np.testing.assert_array_equal(got, v64.astype(np.float32))
+    # u16 indices with stride 8
+    idx = rng.integers(0, 60000, size=4096).astype(np.uint16)
+    buf = np.zeros((4096, 4), np.uint16)
+    buf[:, 0] = idx
+    got = native_host.decode_indices(buf.tobytes(), 4096, 8, "u16")
+    np.testing.assert_array_equal(got, idx.astype(np.uint32))
+    # gather
+    gi = rng.integers(0, 5000, size=9999).astype(np.uint32)
+    np.testing.assert_array_equal(native_host.gather_soup(v, gi), v[gi])
