@@ -9,6 +9,7 @@ lockstep wide-BVH wavefront traversal. See SURVEY.md for the blueprint.
 from rtk_tpu.api import (
     BuildConfig,
     Hits,
+    PacketHits,
     MeshDesc,
     Rays,
     Scene,

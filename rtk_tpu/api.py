@@ -15,7 +15,7 @@ from rtk_tpu.mesh import MeshDesc, TriangleSoup, build_soup
 from rtk_tpu.scene import Scene, build_from_soup, refit
 from rtk_tpu.tracer import Tracer
 from rtk_tpu.trace.stack import trace_any, trace_closest
-from rtk_tpu.types import Hits, Rays
+from rtk_tpu.types import Hits, PacketHits, Rays
 from rtk_tpu.utils.serialize import load_scene, save_scene
 
 
@@ -42,6 +42,7 @@ __all__ = [
     "TriangleSoup",
     "Rays",
     "Hits",
+    "PacketHits",
     "Scene",
     "Tracer",
     "build_scene",

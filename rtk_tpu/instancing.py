@@ -315,7 +315,10 @@ def _instanced_round(packed, object_from_world, rays, best, best_inst,
     """One candidate round as a single device program: gather the grouped
     rays, transform to object space, trace the merged BLAS, scatter
     improvements back.  (Eager per-round ops each pay this runtime's fixed
-    post-Pallas dispatch cost, which dominated the instanced path.)"""
+    post-Pallas dispatch cost, which dominated the instanced path.)
+
+    `best` is the slim running state dict (t, u, v, slot) — full hit
+    records are materialised once after the last round, not per round."""
     from rtk_tpu.ops.pallas_trace import trace_packets
 
     n = rays.count
@@ -331,17 +334,15 @@ def _instanced_round(packed, object_from_world, rays, best, best_inst,
         origin=o,
         direction=d,
         min_t=jnp.take(rays.min_t, safe_ray),
-        max_t=jnp.where(gidx >= 0, jnp.take(best.t, safe_ray), 0.0),
+        max_t=jnp.where(gidx >= 0, jnp.take(best["t"], safe_ray), 0.0),
     )
     h = trace_packets(packed, grouped, packet_roots=roots,
                       interpret=interpret)
-    improved = h.hit & (gidx >= 0) & (h.t < jnp.take(best.t, safe_ray))
+    improved = h.hit & (gidx >= 0) & (h.t < jnp.take(best["t"], safe_ray))
     tgt = jnp.where(improved, gidx, n)
-
-    def scatter_field(new, old):
-        return old.at[tgt].set(new, mode="drop")
-
-    best = jax.tree.map(scatter_field, h, best)
+    best = {k: best[k].at[tgt].set(v, mode="drop")
+            for k, v in (("t", h.t), ("u", h.u), ("v", h.v),
+                         ("slot", h.slot))}
     best_inst = best_inst.at[tgt].set(inst_of_slot, mode="drop")
     return best, best_inst
 
@@ -360,6 +361,8 @@ def trace_closest_instanced_packets(
     """
     from rtk_tpu.ops.pallas_trace import PKT, trace_packets
 
+    from rtk_tpu.types import PacketHits
+
     iscene = pscene.iscene
     n = rays.count
     cand_idx, cand_t = _instance_candidates(iscene, rays, max_candidates)
@@ -367,21 +370,17 @@ def trace_closest_instanced_packets(
     packed_roots_h = np.asarray(pscene.packed_roots)
     inst_blas_h = np.asarray(iscene.instance_blas)
 
-    best = Hits(
-        hit=jnp.zeros((n,), bool),
-        t=rays.max_t,
-        u=jnp.zeros((n,), jnp.float32),
-        v=jnp.zeros((n,), jnp.float32),
-        mesh_index=jnp.full((n,), -1, jnp.int32),
-        triangle_index=jnp.full((n,), -1, jnp.int32),
-        vertex_position=jnp.zeros((n, 3, 3), jnp.float32),
-        vertex_index=jnp.full((n, 3), -1, jnp.int32),
-    )
+    best = {
+        "t": jnp.asarray(rays.max_t),
+        "u": jnp.zeros((n,), jnp.float32),
+        "v": jnp.zeros((n,), jnp.float32),
+        "slot": jnp.full((n,), -1, jnp.int32),
+    }
     best_inst = jnp.full((n,), -1, jnp.int32)
 
     for slot in range(cand_idx.shape[1]):
         inst = cand_idx[:, slot]
-        live_dev = (inst >= 0) & (cand_t[:, slot] < best.t)
+        live_dev = (inst >= 0) & (cand_t[:, slot] < best["t"])
         live = np.asarray(live_dev)
         if not live.any():
             break
@@ -416,4 +415,21 @@ def trace_closest_instanced_packets(
             cand_idx[:, slot], jnp.asarray(gidx), jnp.asarray(roots),
             interpret=interpret)
 
-    return best, best_inst
+    packed = pscene.packed
+    hits = PacketHits(
+        hit=best["slot"] >= 0,
+        t=best["t"],
+        u=best["u"],
+        v=best["v"],
+        slot=best["slot"],
+        # World rays: position() yields the world-space hit point (t is a
+        # world-space distance).  vertex_position stays in the hit
+        # instance's object space — see the docstring.
+        origin=jnp.asarray(rays.origin),
+        direction=jnp.asarray(rays.direction),
+        tri_v=packed.tri_v,
+        tri_vidx=packed.tri_vidx,
+        tri_mesh=packed.tri_mesh,
+        tri_prim=packed.tri_prim,
+    )
+    return hits, best_inst

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rtk_tpu.trace.packed import PackedScene
-from rtk_tpu.types import Hits, Rays
+from rtk_tpu.types import PacketHits, Rays
 
 DEFAULT_P = 8  # packets per block (best measured on v5e; more packets
                # amortize fixed per-step costs but add divergence)
@@ -691,7 +691,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
     roots_spec = pl.BlockSpec((1, P, PKT), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_tris
+    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tris
                 else full())
     kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
@@ -788,18 +788,18 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
         _, t, u, v, slot = jax.lax.sort((idx, t, u, v, slot), num_keys=1)
 
     hit = slot >= 0
-    safe = jnp.clip(slot, 0, packed.num_padded_tris - 1)
-    return Hits(
+    return PacketHits(
         hit=hit,
         t=t,
         u=jnp.where(hit, u, 0.0),
         v=jnp.where(hit, v, 0.0),
-        mesh_index=jnp.where(hit, jnp.take(packed.tri_mesh, safe), -1),
-        triangle_index=jnp.where(hit, jnp.take(packed.tri_prim, safe), -1),
-        vertex_position=jnp.where(
-            hit[:, None, None], jnp.take(packed.tri_v, safe, axis=0), 0.0),
-        vertex_index=jnp.where(
-            hit[:, None], jnp.take(packed.tri_vidx, safe, axis=0), -1),
+        slot=slot,
+        origin=origin,
+        direction=direction,
+        tri_v=packed.tri_v,
+        tri_vidx=packed.tri_vidx,
+        tri_mesh=packed.tri_mesh,
+        tri_prim=packed.tri_prim,
     )
 
 
@@ -809,11 +809,14 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   packet_roots=None, dual: bool = False,
                   pkt: int | None = None, narrow: bool = True,
                   sort_rays: bool | None = None,
-                  ordered: bool = False) -> Hits:
+                  ordered: bool = False) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
-    vertex records, mesh/triangle indices; miss leaves t = max_t.
+    vertex records, mesh/triangle indices; miss leaves t = max_t.  The
+    record comes back as a lazy PacketHits — the expensive index/vertex
+    gathers only run for consumers that read those fields (`.full()`
+    materialises a plain Hits).
 
     pkt=None picks the packet width: 512 rays for large batches (amortises
     per-visit control costs ~2.4x vs 128), 128 for small ones.

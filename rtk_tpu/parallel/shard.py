@@ -115,6 +115,7 @@ def trace_packets_sharded(
     parallelism in the reference (rtk.c:543-577 purity).
     """
     from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.types import PacketHits
 
     if mesh is None:
         mesh = default_mesh()
@@ -127,14 +128,20 @@ def trace_packets_sharded(
             packed_local, rays_local, mode=mode, watertight=watertight,
             interpret=interpret, pkt=pkt, dual=dual, sort_rays=sort_rays)
 
+    # PacketHits is lazy: per-ray leaves shard over the ray axis, the packed
+    # triangle tables it carries stay replicated (identical on every chip).
+    out_specs = PacketHits(
+        hit=P(axis), t=P(axis), u=P(axis), v=P(axis), slot=P(axis),
+        origin=P(axis), direction=P(axis),
+        tri_v=P(), tri_vidx=P(), tri_mesh=P(), tri_prim=P())
     sharded = jax.shard_map(
         local_trace,
         mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=P(axis),
+        out_specs=out_specs,
         check_vma=False,
     )
     hits = jax.jit(sharded)(packed, padded)
     if padded.count != n:
-        hits = jax.tree.map(lambda a: a[:n], hits)
+        hits = hits[:n]
     return hits

@@ -99,6 +99,88 @@ class Hits(struct.PyTreeNode):
         return jax.tree.map(lambda a: a[idx], self)
 
 
+class PacketHits(struct.PyTreeNode):
+    """Lazily-assembled hit records from the packet kernel.
+
+    The kernel returns (t, u, v, slot) per ray; materialising the rest of
+    the rtk_hit record (mesh/triangle indices, the three full vertex
+    records — rtk.h:36-43) costs large device gathers that most consumers
+    never need (shading wants position+normal; occlusion wants `hit`).
+    PacketHits defers those gathers to property access — inside a jitted
+    consumer they fuse into that program; a consumer that never touches
+    them never pays.  `.full()` materialises a plain Hits.
+
+    Field-compatible with Hits via properties; `slot` indexes the packed
+    triangle tables carried alongside (same device buffers as the scene —
+    no copies).
+    """
+
+    hit: Array  # (N,) bool
+    t: Array  # (N,) f32
+    u: Array  # (N,) f32
+    v: Array  # (N,) f32
+    slot: Array  # (N,) i32 packed triangle slot, -1 = miss
+    origin: Array  # (N, 3) f32 — the traced rays (for position())
+    direction: Array  # (N, 3) f32
+    tri_v: Array  # (Tp, 3, 3) f32 packed tables
+    tri_vidx: Array  # (Tp, 3) i32
+    tri_mesh: Array  # (Tp,) i32
+    tri_prim: Array  # (Tp,) i32
+
+    @property
+    def count(self) -> int:
+        return self.t.shape[0]
+
+    @property
+    def w(self) -> Array:
+        return 1.0 - self.u - self.v
+
+    @property
+    def _safe_slot(self) -> Array:
+        return jnp.clip(self.slot, 0, self.tri_mesh.shape[0] - 1)
+
+    @property
+    def mesh_index(self) -> Array:
+        return jnp.where(self.hit, jnp.take(self.tri_mesh, self._safe_slot),
+                         -1)
+
+    @property
+    def triangle_index(self) -> Array:
+        return jnp.where(self.hit, jnp.take(self.tri_prim, self._safe_slot),
+                         -1)
+
+    @property
+    def vertex_position(self) -> Array:
+        return jnp.where(self.hit[:, None, None],
+                         jnp.take(self.tri_v, self._safe_slot, axis=0), 0.0)
+
+    @property
+    def vertex_index(self) -> Array:
+        return jnp.where(self.hit[:, None],
+                         jnp.take(self.tri_vidx, self._safe_slot, axis=0),
+                         -1)
+
+    def position(self) -> Array:
+        """Hit position o + t*d (cheaper than barycentric interpolation and
+        identical up to rounding: the kernel's t comes from the same
+        watertight test). (N, 3)."""
+        return jnp.where(self.hit[:, None],
+                         self.origin + self.t[:, None] * self.direction, 0.0)
+
+    def full(self) -> Hits:
+        """Materialise a plain Hits record (pays the assembly gathers)."""
+        return Hits(hit=self.hit, t=self.t, u=self.u, v=self.v,
+                    mesh_index=self.mesh_index,
+                    triangle_index=self.triangle_index,
+                    vertex_position=self.vertex_position,
+                    vertex_index=self.vertex_index)
+
+    def __getitem__(self, idx) -> "PacketHits":
+        per_ray = ("hit", "t", "u", "v", "slot", "origin", "direction")
+        return self.replace(
+            **{f: getattr(self, f)[idx] for f in per_ray})
+
+
 def miss_hits(n: int) -> Hits:
     """An all-miss Hits batch (t initialised to +inf sentinel by caller)."""
     return Hits(
