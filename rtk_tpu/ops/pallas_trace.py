@@ -111,7 +111,7 @@ def _popcount8(v):
 
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
-                 interpret=False, ordered=False):
+                 interpret=False, ordered=False, islab=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -119,6 +119,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     k_tris = leaf_size
     P = p_pk
     PKT = pkt
+    # Stale-subtree pruning rides the ordered sort (needs per-child entry
+    # keys kept aligned with entries; the dual compaction drops them).
+    prune = ordered and not dual and (narrow or islab)
+    import numpy as _np
+
+    NEG_BIG_BITS = int(_np.float32(-_BIG).view(_np.int32))
 
     def kernel(nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -174,11 +180,50 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             mintK = _rep(mint, k_tris)
         xpos, ypos, zpos = rcpx >= 0, rcpy >= 0, rcpz >= 0
 
+        # Loop-invariant shear-axis masks for the leaf phase (hoisted out of
+        # the per-triangle axis selects: k is a ray constant).
+        kx0, kx1 = kx == 0, kx == 1
+        ky0, ky1 = ky == 0, ky == 1
+        kz0, kz1 = kz == 0, kz == 1
+
+        def selk(m0, m1, ax, ay, az):
+            return jnp.where(m0, ax, jnp.where(m1, ay, az))
+
+        if islab:
+            # Packet-interval (frustum) bounds: the slab phase only needs
+            # "could ANY ray in the packet hit child w", so test the
+            # packet's ORIGIN/1-over-DIRECTION intervals against each child
+            # box with interval arithmetic on (P, W) mini-tiles — ~8x
+            # cheaper than the per-ray (P, PKT) tile test, conservative
+            # (never culls a hit child).  Exact per-ray culling still
+            # happens in the leaf phase via the t-window.  Incoherent
+            # packets should keep the per-ray test (their direction
+            # intervals are too wide): islab is selected by the caller.
+            olo_x = jnp.min(ox, axis=1, keepdims=True)
+            ohi_x = jnp.max(ox, axis=1, keepdims=True)
+            olo_y = jnp.min(oy, axis=1, keepdims=True)
+            ohi_y = jnp.max(oy, axis=1, keepdims=True)
+            olo_z = jnp.min(oz, axis=1, keepdims=True)
+            ohi_z = jnp.max(oz, axis=1, keepdims=True)
+            rlo_x = jnp.min(rcpx, axis=1, keepdims=True)
+            rhi_x = jnp.max(rcpx, axis=1, keepdims=True)
+            rlo_y = jnp.min(rcpy, axis=1, keepdims=True)
+            rhi_y = jnp.max(rcpy, axis=1, keepdims=True)
+            rlo_z = jnp.min(rcpz, axis=1, keepdims=True)
+            rhi_z = jnp.max(rcpz, axis=1, keepdims=True)
+            mint_lo = jnp.min(mint, axis=1, keepdims=True)
+
         for p in range(P):  # only the root rows need init (garbage above
             # each packet's sp is never read); per-packet roots support
             # multi-root (instanced/merged-BLAS) tables.
-            stack_ref[pl.ds(p * STACK_D, 1), :] = jnp.full(
-                (1, 8), roots_ref[0, p, 0], jnp.int32)
+            root_row = jnp.full((1, 8), roots_ref[0, p, 0], jnp.int32)
+            if prune:
+                # Column 1 carries the entry distance; the root must never
+                # look stale.
+                root_row = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 1,
+                    NEG_BIG_BITS, root_row)
+            stack_ref[pl.ds(p * STACK_D, 1), :] = root_row
 
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
         assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
@@ -199,11 +244,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             int_pack = jnp.int32(0)
             leaf_pack = jnp.int32(0)
             tri0s = []
+            pop_rows = []
             for p in range(P):
                 spi = sps_i[p]
                 active = spi > 0
                 row = stack_ref[
                     pl.ds(p * STACK_D + jnp.maximum(spi - 1, 0), 1), :]
+                pop_rows.append(row)
                 raw = row[0, 0]
                 # Overflow-clamped pushes can leave -1 fillers on the stack;
                 # treat them as inactive (a negative id would index the node
@@ -268,6 +315,15 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
             tri0_col = _scalars_to_col(tri0s, P)
             below = (1 << iota_w) - 1  # bits strictly below lane w
+            if prune:
+                # Stale-subtree pruning (the packet analogue of rtk's
+                # pop-cull loop, rtk.c:432-437): every pushed entry carries
+                # its packet entry-distance lower bound in stack column 1;
+                # if by pop time it can no longer beat ANY ray's current
+                # hit (entry_lb >= max hit_t), suppress all child pushes —
+                # the subtree dies.  Pure vector ops, no scalar syncs.
+                pop_t = pltpu.bitcast(
+                    jnp.concatenate(pop_rows, axis=0)[:, 1:2], jnp.float32)
 
             # ---- slab tests; the whole phase is skipped (scalar branch,
             # predicate already on the scalar core) on steps where no packet
@@ -278,7 +334,51 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             def slab_phase(hit_t_in):
                 nrows = stage_nodes[:]  # (P*W, 8) i32 (bounds bitcast)
                 bf = lambda s: pltpu.bitcast(s, jnp.float32)
-                if narrow:
+                if islab:
+                    # Frustum test on (P, W) mini-tiles: child w of packet p
+                    # is lane (p, w).  Sign-aware interval arithmetic; mixed
+                    # sign-direction packets fall back to the conservative
+                    # 8-product envelope.  Inverted (empty-slot) bounds pass
+                    # this test and are culled by the child masks below.
+                    def colf(c):
+                        return bf(nrows[:, c:c + 1]).reshape(P, W)
+
+                    mnx, mny, mnz = colf(0), colf(1), colf(2)
+                    mxx, mxy, mxz = colf(3), colf(4), colf(5)
+                    hmax = jnp.max(hit_t_in, axis=1, keepdims=True)
+
+                    def axis_iv(mn, mx, olo, ohi, rlo, rhi):
+                        a0, a1 = mn - ohi, mn - olo
+                        b0, b1 = mx - ohi, mx - olo
+                        pa = (a0 * rlo, a0 * rhi, a1 * rlo, a1 * rhi)
+                        pb = (b0 * rlo, b0 * rhi, b1 * rlo, b1 * rhi)
+                        min4 = lambda t: jnp.minimum(jnp.minimum(t[0], t[1]),
+                                                     jnp.minimum(t[2], t[3]))
+                        max4 = lambda t: jnp.maximum(jnp.maximum(t[0], t[1]),
+                                                     jnp.maximum(t[2], t[3]))
+                        pos = rlo >= 0  # (P,1): all-ray-positive axis dir
+                        neg = rhi <= 0
+                        near_lo = jnp.where(
+                            pos, min4(pa),
+                            jnp.where(neg, min4(pb),
+                                      jnp.minimum(min4(pa), min4(pb))))
+                        far_hi = jnp.where(
+                            pos, max4(pb),
+                            jnp.where(neg, max4(pa),
+                                      jnp.maximum(max4(pa), max4(pb))))
+                        return near_lo, far_hi
+
+                    nlx, fhx = axis_iv(mnx, mxx, olo_x, ohi_x, rlo_x, rhi_x)
+                    nly, fhy = axis_iv(mny, mxy, olo_y, ohi_y, rlo_y, rhi_y)
+                    nlz, fhz = axis_iv(mnz, mxz, olo_z, ohi_z, rlo_z, rhi_z)
+                    enter_lb = jnp.maximum(jnp.maximum(nlx, nly),
+                                           jnp.maximum(nlz, mint_lo))
+                    exit_ub = jnp.minimum(jnp.minimum(fhx, fhy),
+                                          jnp.minimum(fhz, hmax))
+                    hit8 = (enter_lb <= exit_ub).astype(jnp.int32)  # (P, W)
+                    if ordered:
+                        dists = [enter_lb[:, w:w + 1] for w in range(W)]
+                elif narrow:
                     n3 = nrows.reshape(P, W, 8)
                     hitbits = jnp.zeros((P, 1), jnp.int32)
                     dists = []
@@ -342,9 +442,15 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 lrank = _popcount8(lm & below)
                 entries = jnp.where(is_i == 1, fc + irank,
                                     -(fl + lrank) - 2)
-                hitv = (hit8 == 1) & int_vec
+                # The interval test passes inverted (empty-slot) bounds;
+                # the slot masks cull them (per-ray slab tests reject them
+                # via the inverted slabs themselves, so the and is free).
+                hitv = (hit8 == 1) & int_vec & ((is_i | is_l) == 1)
+                if prune:
+                    hmax_pop = jnp.max(hit_t_in, axis=1, keepdims=True)
+                    hitv = hitv & ~(pop_t >= hmax_pop)
 
-                if ordered and narrow:
+                if ordered and (narrow or islab):
                     # Sort children far-to-near by packet entry distance
                     # (descending; misses sink to the end with key -BIG):
                     # the stack pops from the top, so the nearest child is
@@ -383,14 +489,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     return out, _popcount8(vbits)
 
                 if dual:
-                    if ordered and narrow:
+                    if ordered and (narrow or islab):
                         comp_i, cnt_i = compact(validm & (entries >= 0))
                         comp_l, cnt_l = compact(validm & (entries <= -2))
                     else:
                         comp_i, cnt_i = compact(validm & (is_i == 1))
                         comp_l, cnt_l = compact(validm & (is_l == 1))
                     counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
-                elif ordered and narrow:
+                elif ordered and (narrow or islab):
                     # Valid entries are already contiguous at the front
                     # after the sort; no rank compaction needed.
                     comp_i = jnp.where(validm, entries, -1)
@@ -401,24 +507,46 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 else:
                     comp_i, counts = compact(validm & ((is_i | is_l) == 1))
                     comp_l = comp_i
-                return (comp_i.astype(jnp.int32), comp_l.astype(jnp.int32),
-                        counts.astype(jnp.int32))
+                out = (comp_i.astype(jnp.int32), comp_l.astype(jnp.int32),
+                       counts.astype(jnp.int32))
+                if prune:
+                    # Sorted entry keys ride along so pushes can store them.
+                    out += (jnp.concatenate(key, axis=1),)
+                return out
 
             def slab_skip(hit_t_in):
                 none = jnp.full((P, W), -1, jnp.int32)
-                return none, none, jnp.zeros((P, 1), jnp.int32)
+                out = (none, none, jnp.zeros((P, 1), jnp.int32))
+                if prune:
+                    out += (jnp.full((P, W), -_BIG, jnp.float32),)
+                return out
 
-            comp_i, comp_l, counts = jax.lax.cond(
-                int_pack != 0, slab_phase, slab_skip, hit_t)
+            if prune:
+                comp_i, comp_l, counts, comp_k = jax.lax.cond(
+                    int_pack != 0, slab_phase, slab_skip, hit_t)
+            else:
+                comp_i, comp_l, counts = jax.lax.cond(
+                    int_pack != 0, slab_phase, slab_skip, hit_t)
 
-            # counts -> scalars (one packed sum per 4 packets: the only
-            # vector->scalar syncs per step)
+            # counts -> scalars: the only vector->scalar syncs per step.
+            # Non-dual counts fit 4 bits (<= 8 pushes), so all 8 packets
+            # pack into ONE 32-bit sum; dual carries two nibbles per packet
+            # and needs one sum per 4 packets.
             pcol = _iota_col(P)
             grp = pcol // 4
-            c_packed = []
-            for g in range(P // 4):
-                c_packed.append(jnp.sum(jnp.where(
-                    grp == g, counts << (8 * (pcol % 4)), 0)))
+            if not dual and P <= 8:
+                c_all = jnp.sum(counts << (4 * pcol))
+
+                def cnt_of(p):
+                    return (c_all >> (4 * p)) & 0xF
+            else:
+                c_packed = []
+                for g in range(P // 4):
+                    c_packed.append(jnp.sum(jnp.where(
+                        grp == g, counts << (8 * (pcol % 4)), 0)))
+
+                def cnt_of(p):
+                    return (c_packed[p // 4] >> (8 * (p % 4))) & 0xFF
 
             # ---- leaf tests ----
             def leaf_uvwt(verts, kx_, ky_, kz_, sx_, sy_, sz_,
@@ -489,9 +617,9 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     for j in range(3):
                         vx, vy, vz = (verts[3 * j], verts[3 * j + 1],
                                       verts[3 * j + 2])
-                        px = _axis_sel(kx, vx, vy, vz) - o_kx
-                        py = _axis_sel(ky, vx, vy, vz) - o_ky
-                        pz = _axis_sel(kz, vx, vy, vz) - o_kz
+                        px = selk(kx0, kx1, vx, vy, vz) - o_kx
+                        py = selk(ky0, ky1, vx, vy, vz) - o_ky
+                        pz = selk(kz0, kz1, vx, vy, vz) - o_kz
                         xs.append(px + sx * pz)
                         ys.append(py + sy * pz)
                         zs.append(sz * pz)
@@ -602,26 +730,33 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             if mode == "any":
                 found = jnp.min((hit_slot >= 0).astype(jnp.int32), axis=1,
                                 keepdims=True)  # (P,1)
-                f_packed = []
-                for g in range(P // 4):
-                    f_packed.append(jnp.sum(jnp.where(
-                        grp == g, found << (8 * (pcol % 4)), 0)))
+                f_all = jnp.sum(found << pcol)  # one bit per packet
 
             # ---- vector push: one (8,8) block store per packet per queue
             # (stack rows hold one entry each, value broadcast across lanes;
             # entries transposed so packet p's pushes are column p) ----
             comp_i_t = comp_i.T  # (W, P)
             comp_l_t = comp_l.T if dual else None
+            if prune:
+                comp_k_t = pltpu.bitcast(comp_k, jnp.int32).T  # (W, P)
+                iota8 = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 1)
             max_i = D_INT if dual else STACK_D
             total = jnp.int32(0)
             final_spi = []
             final_spl = []
             for p in range(P):
-                cnt = (c_packed[p // 4] >> (8 * (p % 4))) & 0xFF
+                cnt = cnt_of(p)
                 spi = new_spi[p]
                 pos = jnp.minimum(spi, max_i - W)
-                stack_ref[pl.ds(p * STACK_D + pos, W), :] = jnp.broadcast_to(
-                    comp_i_t[:, p:p + 1], (W, 8))
+                if prune:
+                    # Column 0: entry id; column 1: entry-distance bits.
+                    push_tile = jnp.where(
+                        iota8 == 1, comp_k_t[:, p:p + 1],
+                        comp_i_t[:, p:p + 1])
+                else:
+                    push_tile = jnp.broadcast_to(
+                        comp_i_t[:, p:p + 1], (W, 8))
+                stack_ref[pl.ds(p * STACK_D + pos, W), :] = push_tile
                 # Clamp: overflowing pushes overwrite the top entries (a
                 # bounded-stack policy like rtk's fixed 64-deep stack);
                 # unclamped counters would make later pops read out of
@@ -636,7 +771,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 else:
                     spl = jnp.int32(0)
                 if mode == "any":
-                    done = (f_packed[p // 4] >> (8 * (p % 4))) & 0xFF
+                    done = (f_all >> p) & 1
                     spi = jnp.where(done == 1, 0, spi).astype(jnp.int32)
                     spl = jnp.where(done == 1, 0, spl).astype(jnp.int32)
                 final_spi.append(spi)
@@ -676,12 +811,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
-                     "pkt", "narrow", "ordered"),
+                     "pkt", "narrow", "ordered", "islab"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
                 interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
                 hbm_tris=False, dual=False, pkt=PKT, narrow=True,
-                ordered=False):
+                ordered=False, islab=False):
     P = p_pk
     PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
@@ -696,7 +831,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
     kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
                           narrow=narrow, interpret=interpret,
-                          ordered=ordered)
+                          ordered=ordered, islab=islab)
     n_out = 5 if stats else 4
     roots3 = jnp.broadcast_to(
         roots.reshape(grid, P, 1), (grid, P, PKT))
@@ -730,11 +865,12 @@ VMEM_TRI_BUDGET_BYTES = 8 * 1024 * 1024
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
-                     "dual", "pkt", "narrow", "sort_rays", "ordered"),
+                     "dual", "pkt", "narrow", "sort_rays", "ordered",
+                     "islab"),
 )
 def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
                 watertight, interpret, p_pk, hbm_tris, dual, pkt, narrow,
-                sort_rays, ordered=False):
+                sort_rays, ordered=False, islab=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -760,14 +896,20 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
     pad = (-n) % (p_pk * PKT)
     npad = n + pad
 
-    def comp(a, fill):
+    def comp(a, fill, edge):
         if pad:
-            a = jnp.concatenate(
-                [a, jnp.full((pad,), fill, a.dtype)], axis=0)
+            # Edge-replicate origin/direction (a constant-fill ray would
+            # blow up the last packet's interval bounds under islab);
+            # max_t pads with 0 so padding rays stay dead.
+            tail = (jnp.broadcast_to(a[n - 1:n], (pad,)) if edge
+                    else jnp.full((pad,), fill, a.dtype))
+            a = jnp.concatenate([a, tail], axis=0)
         return a.reshape(npad // PKT, PKT)
 
     fills = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
-    ray_comps = tuple(comp(a, f) for a, f in zip(comps8, fills))
+    edges = (True, True, True, True, True, True, False, False)
+    ray_comps = tuple(comp(a, f, e)
+                      for a, f, e in zip(comps8, fills, edges))
     tris_table = (packed.tris.reshape(-1, 128) if hbm_tris
                   else packed.tris)
     out = _run_kernel(
@@ -775,7 +917,7 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots, *, mode,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
-        ordered=ordered,
+        ordered=ordered, islab=islab,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]
@@ -809,7 +951,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   packet_roots=None, dual: bool = False,
                   pkt: int | None = None, narrow: bool = True,
                   sort_rays: bool | None = None,
-                  ordered: bool = False) -> PacketHits:
+                  ordered: bool = False,
+                  islab: bool | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -833,6 +976,12 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         raise ValueError("pkt must be a multiple of 128 (VPU lane width)")
     if sort_rays is None:
         sort_rays = n >= 16384 and packet_roots is None
+    if islab is None:
+        # Measured on v5e: the interval test's conservatism (~10% more
+        # node visits on bunny-class primaries) outweighs its cheaper
+        # per-step cost — the kernel is step-count-bound, not vector-bound.
+        # Off by default; kept as a flag for frustum-style workloads.
+        islab = False
     if sort_rays and packet_roots is not None:
         raise ValueError("sort_rays cannot reorder rays that carry "
                          "per-packet roots; pass sort_rays=False")
@@ -862,7 +1011,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
-        sort_rays=sort_rays, ordered=ordered)
+        sort_rays=sort_rays, ordered=ordered, islab=islab)
 
 
 @functools.partial(

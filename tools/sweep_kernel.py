@@ -59,7 +59,11 @@ def main():
              dict(p_pk=8, pkt=512, ordered=True),
              dict(p_pk=16, pkt=256, ordered=True),
              dict(p_pk=8, pkt=512, narrow=False),
-             dict(p_pk=8, pkt=512, watertight=False)]
+             dict(p_pk=8, pkt=512, watertight=False),
+             dict(p_pk=8, pkt=512, islab=False),
+             dict(p_pk=8, pkt=512, islab=False, ordered=True),
+             dict(p_pk=8, pkt=1024, ordered=True),
+             dict(p_pk=8, pkt=1024, dual=True)]
     variants += extra
 
     results = []
@@ -85,10 +89,10 @@ def main():
                 num_tris=packed.num_tris, leaf_size=packed.leaf_size,
                 stats=True, p_pk=p_pk, dual=kw.get("dual", False),
                 pkt=pkt, narrow=kw.get("narrow", True),
-                ordered=kw.get("ordered", False))
-            steps = np.asarray(out[4])[::pkt // 128, 0]  # per packet-row
-            blocks = steps.reshape(-1, p_pk)[:, 0]  # same within block
-            us_per_step = dt * 1e6 / blocks.sum() * (n // (p_pk * pkt))
+                ordered=kw.get("ordered", False),
+                islab=kw.get("islab", not kw.get("dual", False)))
+            steps = np.asarray(out[4])[:, 0]  # (n_rows,), same within block
+            blocks = steps.reshape(-1, p_pk)[:, 0]
             results.append((dt, tag, blocks))
             log(f"{tag:48s} {n/dt/1e6:8.2f} Mrays/s  {dt*1e3:7.2f} ms  "
                 f"steps/block mean={blocks.mean():.0f} max={blocks.max()} "
