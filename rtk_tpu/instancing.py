@@ -309,16 +309,16 @@ def _object_rays(iscene_obw, rays_o, rays_d, inst_safe):
     return o, d
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _instanced_round(packed, object_from_world, rays, best, best_inst,
-                     cand_col, gidx, roots, *, interpret):
-    """One candidate round as a single device program: gather the grouped
-    rays, transform to object space, trace the merged BLAS, scatter
-    improvements back.  (Eager per-round ops each pay this runtime's fixed
-    post-Pallas dispatch cost, which dominated the instanced path.)
+def _one_round(packed, object_from_world, rays, best, best_inst,
+               cand_col, cand_t_col, gidx, roots, interpret):
+    """One candidate round: gather the grouped rays, transform to object
+    space, trace the merged BLAS, scatter improvements back.
 
     `best` is the slim running state dict (t, u, v, slot) — full hit
-    records are materialised once after the last round, not per round."""
+    records are materialised once after the last round, not per round.
+    Rays whose candidate entry distance can no longer beat their current
+    best get max_t = 0 (dead: their packets finish in a step or two) —
+    the on-device replacement for the old host-synced liveness check."""
     from rtk_tpu.ops.pallas_trace import trace_packets
 
     n = rays.count
@@ -330,20 +330,35 @@ def _instanced_round(packed, object_from_world, rays, best, best_inst,
         jnp.take(rays.origin, safe_ray, axis=0),
         jnp.take(rays.direction, safe_ray, axis=0),
         jnp.clip(inst_of_slot, 0, num_inst - 1))
+    btake = jnp.take(best["t"], safe_ray)
+    live = (gidx >= 0) & (jnp.take(cand_t_col, safe_ray) < btake)
     grouped = Rays(
         origin=o,
         direction=d,
         min_t=jnp.take(rays.min_t, safe_ray),
-        max_t=jnp.where(gidx >= 0, jnp.take(best["t"], safe_ray), 0.0),
+        max_t=jnp.where(live, btake, 0.0),
     )
     h = trace_packets(packed, grouped, packet_roots=roots,
                       interpret=interpret)
-    improved = h.hit & (gidx >= 0) & (h.t < jnp.take(best["t"], safe_ray))
+    improved = h.hit & (gidx >= 0) & (h.t < btake)
     tgt = jnp.where(improved, gidx, n)
     best = {k: best[k].at[tgt].set(v, mode="drop")
             for k, v in (("t", h.t), ("u", h.u), ("v", h.v),
                          ("slot", h.slot))}
     best_inst = best_inst.at[tgt].set(inst_of_slot, mode="drop")
+    return best, best_inst
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
+                      cand_cols, candt_cols, gidxs, rootss, *, interpret):
+    """ALL candidate rounds as one device program (each eager round used to
+    pay this runtime's fixed post-Pallas dispatch cost plus a host sync)."""
+    for cand_col, cand_t_col, gidx, roots in zip(cand_cols, candt_cols,
+                                                 gidxs, rootss):
+        best, best_inst = _one_round(
+            packed, object_from_world, rays, best, best_inst,
+            cand_col, cand_t_col, gidx, roots, interpret)
     return best, best_inst
 
 
@@ -378,14 +393,16 @@ def trace_closest_instanced_packets(
     }
     best_inst = jnp.full((n,), -1, jnp.int32)
 
+    # Host-side grouping for every round comes from the candidate table
+    # alone (one sync); liveness culling happens on-device inside the
+    # rounds, so all rounds fuse into ONE device program.
+    gidxs, rootss, cand_cols, candt_cols = [], [], [], []
     for slot in range(cand_idx.shape[1]):
-        inst = cand_idx[:, slot]
-        live_dev = (inst >= 0) & (cand_t[:, slot] < best["t"])
-        live = np.asarray(live_dev)
-        if not live.any():
-            break
-        idx = np.nonzero(live)[0]
-        inst_h = cand_idx_h[idx, slot]
+        inst_col = cand_idx_h[:, slot]
+        idx = np.nonzero(inst_col >= 0)[0]
+        if idx.size == 0:
+            continue
+        inst_h = inst_col[idx]
         # Group rays by instance; pad each group to whole packets.
         order = np.argsort(inst_h, kind="stable")
         idx = idx[order]
@@ -395,25 +412,28 @@ def trace_closest_instanced_packets(
         # Bucket to powers of two so kernel shapes (and compiles) repeat
         # across rounds/frames.
         padded = max(1024, 1 << int(np.ceil(np.log2(padded))))
-        pos = np.zeros(idx.shape[0], np.int64)
         roots = np.zeros(padded // PKT, np.int32)
         gidx = np.full(padded, -1, np.int64)  # padded slot -> ray index
         cursor = 0
         s = 0
         for g, c in zip(groups, counts):
-            pos[s:s + c] = cursor + np.arange(c)
             gidx[cursor:cursor + c] = idx[s:s + c]
             blk = (c + PKT - 1) // PKT
             roots[cursor // PKT: cursor // PKT + blk] = (
                 packed_roots_h[inst_blas_h[g]])
             cursor += blk * PKT
             s += c
-        # One fused device program per round (each ray occupies exactly one
-        # grouped slot per round, so improvement scatters are unique).
-        best, best_inst = _instanced_round(
+        gidxs.append(jnp.asarray(gidx))
+        rootss.append(jnp.asarray(roots))
+        cand_cols.append(cand_idx[:, slot])
+        candt_cols.append(cand_t[:, slot])
+    if gidxs:
+        # Each ray occupies exactly one grouped slot per round, so the
+        # improvement scatters inside are unique.
+        best, best_inst = _instanced_rounds(
             pscene.packed, iscene.object_from_world, rays, best, best_inst,
-            cand_idx[:, slot], jnp.asarray(gidx), jnp.asarray(roots),
-            interpret=interpret)
+            tuple(cand_cols), tuple(candt_cols), tuple(gidxs),
+            tuple(rootss), interpret=interpret)
 
     packed = pscene.packed
     hits = PacketHits(
