@@ -349,7 +349,12 @@ def _one_round(packed, object_from_world, rays, best, best_inst,
     return best, best_inst
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret",),
+    # XLA's small-tensor VMEM offload sums the many per-round ray blocks
+    # into one scoped allocation and trips the default 16 MB budget; v5e
+    # has 128 MB of VMEM, so give the scheduler room.
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024})
 def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
                       cand_cols, candt_cols, gidxs, rootss, *, interpret):
     """ALL candidate rounds as one device program (each eager round used to

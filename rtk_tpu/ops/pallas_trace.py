@@ -126,9 +126,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
     NEG_BIG_BITS = int(_np.float32(-_BIG).view(_np.int32))
 
-    def kernel(nodes_ref, tris_ref,
+    def kernel(roots_ref,  # (n_packets,) i32 scalar-prefetch (SMEM)
+               nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               mint_ref, maxt_ref, roots_ref,
+               mint_ref, maxt_ref,
                out_t, out_u, out_v, out_slot,
                *rest):
         if stats:
@@ -213,10 +214,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             rhi_z = jnp.max(rcpz, axis=1, keepdims=True)
             mint_lo = jnp.min(mint, axis=1, keepdims=True)
 
+        pid = pl.program_id(0)
         for p in range(P):  # only the root rows need init (garbage above
             # each packet's sp is never read); per-packet roots support
             # multi-root (instanced/merged-BLAS) tables.
-            root_row = jnp.full((1, 8), roots_ref[0, p, 0], jnp.int32)
+            root_row = jnp.full((1, 8), roots_ref[pid * P + p], jnp.int32)
             if prune:
                 # Column 1 carries the entry distance; the root must never
                 # look stale.
@@ -821,10 +823,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
     PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
-    ray_spec = pl.BlockSpec((P, PKT), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots: (i, 0),
                             memory_space=pltpu.VMEM)
-    roots_spec = pl.BlockSpec((1, P, PKT), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tris
                 else full())
@@ -833,27 +833,31 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab)
     n_out = 5 if stats else 4
-    roots3 = jnp.broadcast_to(
-        roots.reshape(grid, P, 1), (grid, P, PKT))
-    out = pl.pallas_call(
-        kernel,
+    # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
+    # packet instead of a (grid, P, PKT) VMEM broadcast.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[full(), tri_spec] + [ray_spec] * 8 + [roots_spec],
+        in_specs=[full(), tri_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * n_out,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32),
-        ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
         scratch_shapes=[
             pltpu.VMEM((P * W, 8), jnp.int32),
             (pltpu.VMEM((P * leaf_size // 8, 128), jnp.float32) if hbm_tris
              else pltpu.VMEM((P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
         ] + ([pltpu.SemaphoreType.DMA((P,))] if hbm_tris else []),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32),
+        ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
         interpret=interpret,
-    )(nodes, tris, *ray_comps, roots3)
+    )(roots, nodes, tris, *ray_comps)
     return out
 
 
