@@ -73,8 +73,8 @@ def main():
     packed = pack_scene(scene)
     rays512 = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                                  512, 512, order="morton")
-    dt = timeit(lambda: trace_packets(packed, rays512, sort_rays=False),
-                iters=5)
+    dt = timeit(lambda: trace_packets(packed, rays512, sort_rays=False,
+                                      dual=True), iters=5)
     log(f"bunny 512x512 primary: {rays512.count/dt/1e6:.2f} Mrays/s "
         f"({dt*1e3:.1f} ms incl. per-dispatch overhead)")
     # Headline at 1M rays: the remote-tunnel runtime charges a large fixed
@@ -82,8 +82,8 @@ def main():
     # so the number reflects kernel throughput.
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                               1024, 1024, order="morton")
-    dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False),
-                iters=5)
+    dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False,
+                                      dual=True), iters=5)
     mrays = rays.count / dt / 1e6
     log(f"bunny 1024x1024 primary: {rays.count} rays in {dt*1e3:.1f} ms "
         f"-> {mrays:.2f} Mrays/s (headline)")
@@ -116,8 +116,8 @@ def main():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
-    dt = timeit(lambda: trace_packets(packed_a, cam, sort_rays=False),
-                iters=5)
+    dt = timeit(lambda: trace_packets(packed_a, cam, sort_rays=False,
+                                      dual=True), iters=5)
     log(f"atrium ({atr.shape[0]} tris) primary: {cam.count/dt/1e6:.2f} Mrays/s")
     dt = timeit(lambda: trace_packets(packed_a, bounce, dual=True), iters=5)
     log(f"atrium incoherent bounce: {cam.count/dt/1e6:.2f} Mrays/s")
@@ -148,10 +148,10 @@ def main():
                                     trace_closest_instanced_packets)
     from rtk_tpu.models.path import cosine_sample, geometric_normal
 
-    blas_tris = scenes.blob(subdivisions=5)[0]  # 20,480 tris
+    blas_tris = scenes.blob(subdivisions=6)[0]  # 81,920 tris
     blas = build_from_soup(jnp.asarray(blas_tris), config=cfg)
-    n_inst = 512  # 512 x 20,480 = 10.5M instanced triangles
-    side = 8
+    n_inst = 125  # 125 x 81,920 = 10.24M instanced triangles
+    side = 5
     tf = np.zeros((n_inst, 3, 4), np.float32)
     rng5 = np.random.default_rng(7)
     for i in range(n_inst):
@@ -162,10 +162,11 @@ def main():
                        + rng5.random(3).astype(np.float32) * 0.2)
     iscene = build_instanced([blas], np.zeros(n_inst, np.int64), tf)
     pscene = pack_instanced(iscene)
-    cam5 = scenes.camera_rays((12, 11, 13), (3.8, 3.8, 3.8), (0, 1, 0), 55,
-                              256, 256, order="morton")
+    cam5 = scenes.camera_rays((7, 6.5, 8), (2.2, 2.2, 2.2), (0, 1, 0), 55,
+                              512, 512, order="morton")
     key5 = jax.random.PRNGKey(5)
     CAND5 = 4  # nearest-candidate rounds per trace (bounds compiles)
+    n5 = cam5.count
 
     def wavefront4():
         rays_b = cam5
@@ -182,18 +183,22 @@ def main():
             alive = np.asarray(hits.hit)
             if not alive.any():
                 break
-            # stream compaction: keep live rays only, pad to packets
+            # Stream compaction: keep live rays only, padded to a pow2
+            # bucket so kernel shapes (and compiles) repeat across frames.
             idx = np.nonzero(alive)[0]
             m = max(1024, 1 << int(np.ceil(np.log2(idx.shape[0]))))
-            sel = jnp.asarray(idx)
+            sel = np.full(m, -1, np.int64)
+            sel[:idx.shape[0]] = idx
+            live = jnp.asarray(sel >= 0)
+            selj = jnp.asarray(np.clip(sel, 0, origin.shape[0] - 1))
             rays_b = Rays(
-                origin=jnp.take(origin, sel, axis=0),
-                direction=jnp.take(nd, sel, axis=0),
-                min_t=jnp.full((idx.shape[0],), 1e-3, jnp.float32),
-                max_t=jnp.full((idx.shape[0],), np.float32(3.4e38)))
+                origin=jnp.take(origin, selj, axis=0),
+                direction=jnp.take(nd, selj, axis=0),
+                min_t=jnp.full((m,), 1e-3, jnp.float32),
+                max_t=jnp.where(live, np.float32(3.4e38), 0.0))
             hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                       max_candidates=CAND5)
-            total += rays_b.count
+            total += idx.shape[0]
         jax.block_until_ready(hits.t)
         return total
 
@@ -202,7 +207,7 @@ def main():
     t1 = _time.perf_counter()
     wavefront4()
     best5 = _time.perf_counter() - t1
-    log(f"instanced 10.5M tris (512 x 20k BLAS) 4-bounce wavefront: "
+    log(f"instanced 10.2M tris (125 x 82k BLAS) 4-bounce wavefront: "
         f"{total5} rays in {best5*1e3:.0f} ms -> {total5/best5/1e6:.2f} Mrays/s")
 
     print(json.dumps({
