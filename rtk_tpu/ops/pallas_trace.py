@@ -238,7 +238,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             # the slab phase) AND one pending LEAF (for the triangle phase),
             # so both vector phases do useful work each iteration; steps per
             # packet ~= max(node visits, leaf visits) instead of their sum.
-            _, sps_i, sps_l, hit_t, hit_u, hit_v, hit_slot = carry
+            # Hit state lives in the OUTPUT refs, not the loop carry: a
+            # (P, PKT) x4 carry spills the whole register file every step.
+            _, sps_i, sps_l = carry
+            hit_t = out_t[:]
 
             ents = []
             new_spi = []
@@ -683,28 +686,30 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         h_s = jnp.where(upd, tri0_col + k, h_s)
                     return (h_t, h_u, h_v, h_s), needv
 
-                def leaf_phase(hits_in):
+                @pl.when(leaf_pack != 0)
+                def _leaf_phase():
+                    hits_in = (hit_t, out_u[:], out_v[:], out_slot[:])
                     if watertight and interpret:
                         # (variable-predicate cond is unreliable under
                         # interpret mode; run the exact pass eagerly)
-                        return leaf_pass(hits_in, exact=True)[0]
-                    out, needv = leaf_pass(hits_in, exact=False)
-                    if not watertight:
-                        return out
-                    return jax.lax.cond(
-                        jnp.max(needv) > 0,
-                        lambda: leaf_pass(hits_in, exact=True)[0],
-                        lambda: out)
-
-                hit_t, hit_u, hit_v, hit_slot = jax.lax.cond(
-                    leaf_pack != 0, leaf_phase, lambda h: h,
-                    (hit_t, hit_u, hit_v, hit_slot))
+                        res = leaf_pass(hits_in, exact=True)[0]
+                    elif not watertight:
+                        res = leaf_pass(hits_in, exact=False)[0]
+                    else:
+                        cheap, needv = leaf_pass(hits_in, exact=False)
+                        res = jax.lax.cond(
+                            jnp.max(needv) > 0,
+                            lambda: leaf_pass(hits_in, exact=True)[0],
+                            lambda: cheap)
+                    out_t[:], out_u[:], out_v[:], out_slot[:] = res
             else:
                 # Whole leaf phase behind a scalar branch: steps where no
                 # packet popped a leaf skip the (P*K, 128) intersection tile
                 # entirely (common while packets descend internal levels).
-                def leaf_phase(hits_in):
-                    hit_t, hit_u, hit_v, hit_slot = hits_in
+                @pl.when(leaf_pack != 0)
+                def _leaf_phase():
+                    h_t, h_u = hit_t, out_u[:]
+                    h_v, h_s = out_v[:], out_slot[:]
                     trows = stage_tris[:]  # (P*K, 16)
                     verts = [trows[:, c:c + 1] for c in range(9)]
                     t, u, v, ok = leaf_uvwt(
@@ -718,20 +723,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     rr_ok = ok.reshape(P, k_tris, PKT)
                     for k in range(k_tris):
                         tk = rr_t[:, k, :]
-                        upd = rr_ok[:, k, :] & (tk < hit_t)
-                        hit_t = jnp.where(upd, tk, hit_t)
-                        hit_u = jnp.where(upd, rr_u[:, k, :], hit_u)
-                        hit_v = jnp.where(upd, rr_v[:, k, :], hit_v)
-                        hit_slot = jnp.where(upd, tri0_col + k, hit_slot)
-                    return hit_t, hit_u, hit_v, hit_slot
-
-                hit_t, hit_u, hit_v, hit_slot = jax.lax.cond(
-                    leaf_pack != 0, leaf_phase, lambda h: h,
-                    (hit_t, hit_u, hit_v, hit_slot))
+                        upd = rr_ok[:, k, :] & (tk < h_t)
+                        h_t = jnp.where(upd, tk, h_t)
+                        h_u = jnp.where(upd, rr_u[:, k, :], h_u)
+                        h_v = jnp.where(upd, rr_v[:, k, :], h_v)
+                        h_s = jnp.where(upd, tri0_col + k, h_s)
+                    out_t[:], out_u[:], out_v[:], out_slot[:] = (
+                        h_t, h_u, h_v, h_s)
 
             if mode == "any":
-                found = jnp.min((hit_slot >= 0).astype(jnp.int32), axis=1,
-                                keepdims=True)  # (P,1)
+                found = jnp.min((out_slot[:] >= 0).astype(jnp.int32),
+                                axis=1, keepdims=True)  # (P,1)
                 f_all = jnp.sum(found << pcol)  # one bit per packet
 
             # ---- vector push: one (8,8) block store per packet per queue
@@ -779,17 +781,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 final_spi.append(spi)
                 final_spl.append(spl)
                 total = (total + spi + spl).astype(jnp.int32)
-            return (total, tuple(final_spi), tuple(final_spl),
-                    hit_t, hit_u, hit_v, hit_slot)
+            return (total, tuple(final_spi), tuple(final_spl))
 
+        # Hit state initialises in the output refs (miss: t = max_t).
+        out_t[:] = maxt
+        out_u[:] = jnp.zeros((P, PKT), jnp.float32)
+        out_v[:] = jnp.zeros((P, PKT), jnp.float32)
+        out_slot[:] = jnp.full((P, PKT), -1, jnp.int32)
         init = (
             jnp.int32(P),
             tuple(jnp.int32(1) for _ in range(P)),  # int stacks hold the root
             tuple(jnp.int32(0) for _ in range(P)),  # leaf queues empty
-            maxt,
-            jnp.zeros((P, PKT), jnp.float32),
-            jnp.zeros((P, PKT), jnp.float32),
-            jnp.full((P, PKT), -1, jnp.int32),
         )
         if stats:
             def body_counted(carry):
@@ -800,11 +802,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 lambda c: cond(c[0]), body_counted, (init, jnp.int32(0)))
             out_steps[:] = jnp.full((P, PKT), steps, jnp.int32)
         else:
-            carry = jax.lax.while_loop(cond, body, init)
-        out_t[:] = carry[3]
-        out_u[:] = carry[4]
-        out_v[:] = carry[5]
-        out_slot[:] = carry[6]
+            jax.lax.while_loop(cond, body, init)
 
     return kernel
 
