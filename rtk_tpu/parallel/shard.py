@@ -1,26 +1,36 @@
-"""Multi-chip scaling: rays data-parallel over the device mesh.
+"""Multi-chip scaling: rays data-parallel, or the scene itself sharded.
 
 The reference scales queries only via host threads over a shared immutable
 scene blob (rtk.c:543-577 is pure w.r.t. the scene; SURVEY §2 parallelism
-table).  The TPU equivalent: the scene pytree is replicated across chips,
-rays are sharded along their batch axis with `shard_map`, and every chip
-runs its own traversal loop independently — no collectives on the hot path
-(the analogue of rtk's zero-synchronisation query parallelism).  Collectives
-only appear in reductions the caller asks for (e.g. hit counts).
+table).  Two TPU modes:
+
+  * **Ray sharding** (v1, `trace_*_sharded`): the scene pytree is
+    replicated across chips, rays are split along their batch axis with
+    `shard_map`, each chip traverses independently — no collectives on the
+    hot path (the analogue of rtk's zero-synchronisation host threads).
+  * **Scene sharding** (v2, `build_scene_sharded` +
+    `trace_closest_scene_sharded`): for scenes larger than one chip's
+    memory, the triangle soup is spatially partitioned (recursive median
+    split) into one sub-scene per chip; rays are REPLICATED, every chip
+    traces against its local subtree (foreign rays die at the sub-scene
+    root box), and the nearest hit is combined across ICI with a pmin on
+    t plus a rank tie-break — two collectives per trace, both riding ICI.
 """
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rtk_tpu.config import TraceConfig
 from rtk_tpu.scene import Scene
 from rtk_tpu.trace import stack as _stack
-from rtk_tpu.types import Hits, Rays
+from rtk_tpu.types import Hits, PacketHits, Rays
 
 
 def default_mesh(devices=None, axis_name: str = "rays") -> Mesh:
@@ -145,3 +155,198 @@ def trace_packets_sharded(
     if padded.count != n:
         hits = hits[:n]
     return hits
+
+
+# ---------------------------------------------------------------------------
+# Scene sharding (v2): spatial partition, one sub-scene per chip.
+# ---------------------------------------------------------------------------
+
+class ShardedScene(struct.PyTreeNode):
+    """Per-chip packed sub-scenes, stacked on a leading device axis.
+
+    Leaves are padded to common shapes so the stack is rectangular; padding
+    triangles are NaN rows (never hit) and padding nodes are never reached
+    (every sub-scene's root is its node 0).
+    """
+
+    nodes: "jax.Array"  # (D, NdMax*8, 8) i32
+    tris: "jax.Array"  # (D, TpMax, 16) f32
+    tri_v: "jax.Array"  # (D, TpMax, 3, 3) f32
+    tri_vidx: "jax.Array"  # (D, TpMax, 3) i32
+    tri_mesh: "jax.Array"  # (D, TpMax) i32
+    tri_prim: "jax.Array"  # (D, TpMax) i32
+    num_tris: int = struct.field(pytree_node=False)  # total real triangles
+    leaf_size: int = struct.field(pytree_node=False)
+
+    @property
+    def num_parts(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def part_tris(self) -> int:
+        return self.tris.shape[1]
+
+
+def partition_soup(tri_pos: np.ndarray, n_parts: int):
+    """Recursive longest-axis median split of triangle centroids.
+
+    Returns a list of n_parts index arrays (disjoint, covering all
+    triangles, each non-empty when T >= n_parts)."""
+    cent = tri_pos.mean(axis=1)  # (T, 3)
+    parts = [np.arange(tri_pos.shape[0])]
+    while len(parts) < n_parts:
+        # split the largest part
+        parts.sort(key=len, reverse=True)
+        idx = parts.pop(0)
+        c = cent[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = idx.shape[0] // 2
+        parts.append(idx[order[:half]])
+        parts.append(idx[order[half:]])
+    return parts
+
+
+def build_scene_sharded(meshes, mesh: Optional[Mesh] = None,
+                        config=None) -> ShardedScene:
+    """Build one packed sub-scene per chip from a spatial partition.
+
+    Accepts the same mesh inputs as rtk_tpu.build_scene.  Sub-scenes are
+    built sequentially (host -> default device) and stacked; pass the
+    result to trace_closest_scene_sharded with the same Mesh.
+    """
+    from rtk_tpu.config import BuildConfig
+    from rtk_tpu.mesh import TriangleSoup, build_soup
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.trace.packed import pack_scene
+
+    if mesh is None:
+        mesh = default_mesh()
+    if config is None:
+        config = BuildConfig(branching=8, leaf_size=8)
+    n_dev = mesh.devices.size
+    soup = meshes if isinstance(meshes, TriangleSoup) else build_soup(meshes)
+    parts = partition_soup(np.asarray(soup.tri_pos), n_dev)
+
+    packs = []
+    for idx in parts:
+        scene = build_from_soup(
+            np.asarray(soup.tri_pos)[idx],
+            tri_vidx=np.asarray(soup.tri_vidx)[idx],
+            tri_mesh=np.asarray(soup.tri_mesh)[idx],
+            tri_prim=np.asarray(soup.tri_prim)[idx],
+            config=config)
+        packs.append(pack_scene(scene))
+
+    nd_max = max(p.nodes.shape[0] for p in packs)
+    tp_max = max(p.tris.shape[0] for p in packs)
+
+    def pad_to(a, n, fill):
+        pad = n - a.shape[0]
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    return ShardedScene(
+        nodes=jnp.stack([pad_to(p.nodes, nd_max, 0) for p in packs]),
+        tris=jnp.stack([pad_to(p.tris, tp_max, jnp.nan) for p in packs]),
+        tri_v=jnp.stack([pad_to(p.tri_v, tp_max, 0.0) for p in packs]),
+        tri_vidx=jnp.stack([pad_to(p.tri_vidx, tp_max, -1) for p in packs]),
+        tri_mesh=jnp.stack([pad_to(p.tri_mesh, tp_max, -1) for p in packs]),
+        tri_prim=jnp.stack([pad_to(p.tri_prim, tp_max, -1) for p in packs]),
+        num_tris=int(soup.tri_pos.shape[0]),
+        leaf_size=config.leaf_size,
+    )
+
+
+def trace_scene_sharded(
+    sscene: ShardedScene,
+    rays: Rays,
+    mesh: Optional[Mesh] = None,
+    mode: str = "closest",
+    watertight: bool = True,
+    interpret: bool = False,
+) -> PacketHits:
+    """Trace against a scene sharded across the chip mesh.
+
+    Rays are replicated; each chip traverses its sub-scene; nearest hits
+    combine across ICI (pmin on t + lowest-rank tie-break + psum of the
+    selected fields).  Returns a lazy PacketHits whose tables are the
+    concatenated per-part tables (slots are globalised as
+    rank * part_tris + local_slot).
+    """
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.trace.packed import PackedScene
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    tp_max = sscene.part_tris
+    k = sscene.leaf_size
+
+    def local_trace(nodes, tris, tri_v, tri_vidx, tri_mesh, tri_prim,
+                    rays_rep):
+        packed = PackedScene(
+            nodes=nodes[0], meta=jnp.zeros((1, 4), jnp.int32),
+            tris=tris[0], tri_v=tri_v[0], tri_vidx=tri_vidx[0],
+            tri_mesh=tri_mesh[0], tri_prim=tri_prim[0],
+            slot_src=jnp.zeros((1, 8), jnp.int32),
+            tri_perm=jnp.zeros((tp_max,), jnp.int32),
+            num_tris=tp_max, leaf_size=k)
+        h = trace_packets(packed, rays_rep, mode=mode,
+                          watertight=watertight, interpret=interpret)
+        rank = jax.lax.axis_index(axis)
+        if mode == "any":
+            hit = jax.lax.pmax(h.hit.astype(jnp.int32), axis) > 0
+            t = jax.lax.pmin(h.t, axis)
+            gslot = jnp.where(h.slot >= 0, rank * tp_max + h.slot, 0)
+            slot = jax.lax.pmax(jnp.where(h.hit, gslot, -1), axis)
+            u = jax.lax.pmax(jnp.where(h.hit, h.u, -1.0), axis)
+            v = jax.lax.pmax(jnp.where(h.hit, h.v, -1.0), axis)
+            return (hit, t, jnp.maximum(u, 0.0), jnp.maximum(v, 0.0), slot)
+        best_t = jax.lax.pmin(h.t, axis)
+        win = (h.t <= best_t)
+        brank = jax.lax.pmin(
+            jnp.where(win, rank, jnp.int32(n_dev)), axis)
+        sel = win & (rank == brank)
+        gslot = jnp.where(h.slot >= 0, rank * tp_max + h.slot, -1)
+        slot = jax.lax.psum(
+            jnp.where(sel, gslot + 1, 0), axis) - 1
+        u = jax.lax.psum(jnp.where(sel, h.u, 0.0), axis)
+        v = jax.lax.psum(jnp.where(sel, h.v, 0.0), axis)
+        return (slot >= 0, best_t, u, v, slot)
+
+    sharded = jax.shard_map(
+        local_trace,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    hit, t, u, v, slot = jax.jit(sharded)(
+        sscene.nodes, sscene.tris, sscene.tri_v, sscene.tri_vidx,
+        sscene.tri_mesh, sscene.tri_prim, rays)
+    return PacketHits(
+        hit=hit, t=t, u=u, v=v, slot=slot,
+        origin=jnp.asarray(rays.origin),
+        direction=jnp.asarray(rays.direction),
+        tri_v=sscene.tri_v.reshape(-1, 3, 3),
+        tri_vidx=sscene.tri_vidx.reshape(-1, 3),
+        tri_mesh=sscene.tri_mesh.reshape(-1),
+        tri_prim=sscene.tri_prim.reshape(-1),
+    )
+
+
+def trace_closest_scene_sharded(sscene, rays, mesh=None, watertight=True,
+                                interpret=False):
+    return trace_scene_sharded(sscene, rays, mesh, "closest", watertight,
+                               interpret)
+
+
+def trace_any_scene_sharded(sscene, rays, mesh=None, watertight=True,
+                            interpret=False):
+    return trace_scene_sharded(sscene, rays, mesh, "any", watertight,
+                               interpret)

@@ -75,3 +75,33 @@ def test_packet_engine_sharded_matches_single():
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
     np.testing.assert_array_equal(np.asarray(got.triangle_index),
                                   np.asarray(want.triangle_index))
+
+
+def test_scene_sharded_matches_single_device():
+    """Scene sharding (v2): spatial partition + ICI hit combine."""
+    from rtk_tpu.config import BuildConfig
+    from rtk_tpu.parallel.shard import (build_scene_sharded,
+                                        trace_any_scene_sharded,
+                                        trace_closest_scene_sharded)
+
+    tris = scenes.blob(subdivisions=3)[0]  # 1280 tris over 8 parts
+    mesh = default_mesh()
+    desc = (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3))
+    sscene = build_scene_sharded(desc, mesh,
+                                 BuildConfig(branching=8, leaf_size=8))
+    assert sscene.num_parts == 8
+    scene = build_scene(desc)
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16)
+    want = trace_closest(scene, rays)
+    got = trace_closest_scene_sharded(sscene, rays, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-4, atol=1e-5)
+    # globalised slots must resolve to the right triangle via the stacked
+    # tables (tri_prim here is the original soup triangle index)
+    np.testing.assert_array_equal(np.asarray(got.triangle_index),
+                                  np.asarray(want.triangle_index))
+    occ = trace_any_scene_sharded(sscene, rays, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(want.hit))
