@@ -349,14 +349,9 @@ def _one_round(packed, object_from_world, rays, best, best_inst,
     return best, best_inst
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret",),
-    # XLA's small-tensor VMEM offload sums the many per-round ray blocks
-    # into one scoped allocation and trips the default 16 MB budget; v5e
-    # has 128 MB of VMEM, so give the scheduler room.
-    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024})
-def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
-                      cand_cols, candt_cols, gidxs, rootss, *, interpret):
+def _instanced_rounds_impl(packed, object_from_world, rays, best, best_inst,
+                           cand_cols, candt_cols, gidxs, rootss, *,
+                           interpret):
     """ALL candidate rounds as one device program (each eager round used to
     pay this runtime's fixed post-Pallas dispatch cost plus a host sync)."""
     for cand_col, cand_t_col, gidx, roots in zip(cand_cols, candt_cols,
@@ -365,6 +360,25 @@ def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
             packed, object_from_world, rays, best, best_inst,
             cand_col, cand_t_col, gidx, roots, interpret)
     return best, best_inst
+
+
+@functools.lru_cache(maxsize=None)
+def _instanced_rounds_jit(interpret: bool, tpu: bool):
+    # XLA's small-tensor VMEM offload sums the many per-round ray blocks
+    # into one scoped allocation and trips the default 16 MB budget; v5e
+    # has 128 MB of VMEM, so give the scheduler room.  The option only
+    # exists on the TPU compiler.
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 100 * 1024} if tpu else None
+    return jax.jit(
+        functools.partial(_instanced_rounds_impl, interpret=interpret),
+        compiler_options=opts)
+
+
+def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
+                      cand_cols, candt_cols, gidxs, rootss, *, interpret):
+    fn = _instanced_rounds_jit(interpret, jax.default_backend() == "tpu")
+    return fn(packed, object_from_world, rays, best, best_inst,
+              cand_cols, candt_cols, gidxs, rootss)
 
 
 def trace_closest_instanced_packets(
