@@ -146,3 +146,53 @@ def test_packet_dual_queue_matches():
             np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
             np.testing.assert_array_equal(np.asarray(a.triangle_index),
                                           np.asarray(b.triangle_index))
+
+
+def test_packet_hits_lazy_surface():
+    """PacketHits: lazy fields match the eager assembly, slicing works."""
+    tris = scenes.blob(subdivisions=3)[0]
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16)
+    scene = build_scene(_soup_of(tris))
+    packed = pack_scene(scene)
+    got = trace_packets(packed, rays, interpret=True)
+    full = got.full()
+    np.testing.assert_array_equal(np.asarray(got.mesh_index),
+                                  np.asarray(full.mesh_index))
+    np.testing.assert_array_equal(np.asarray(got.vertex_index),
+                                  np.asarray(full.vertex_index))
+    np.testing.assert_allclose(np.asarray(got.w),
+                               1.0 - np.asarray(got.u) - np.asarray(got.v))
+    # position(): o + t*d must equal barycentric interpolation of the hit
+    # triangle's vertices (same watertight t)
+    h = np.asarray(got.hit)
+    p_ray = np.asarray(got.position())[h]
+    p_bary = np.asarray(full.position())[h]
+    np.testing.assert_allclose(p_ray, p_bary, atol=5e-3)
+    # slicing keeps the tables intact
+    sub = got[:7]
+    assert sub.count == 7
+    assert sub.tri_v.shape == got.tri_v.shape
+    np.testing.assert_array_equal(np.asarray(sub.triangle_index),
+                                  np.asarray(full.triangle_index)[:7])
+
+
+def test_packet_ordered_and_islab_variants():
+    """Experimental stepping flags keep the hit-record contract: identical
+    t everywhere; triangle ids may differ only at exact-t ties."""
+    tris = scenes.blob(subdivisions=3)[0]
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16)
+    scene = build_scene(_soup_of(tris))
+    packed = pack_scene(scene)
+    ref = trace_packets(packed, rays, interpret=True)
+    for kw in (dict(ordered=True), dict(islab=True),
+               dict(islab=True, ordered=True)):
+        got = trace_packets(packed, rays, interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(ref.hit))
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                                   rtol=1e-6, atol=1e-6)
+        mism = np.asarray(got.triangle_index) != np.asarray(
+            ref.triangle_index)
+        if mism.any():
+            dt = np.abs(np.asarray(got.t)[mism] - np.asarray(ref.t)[mism])
+            assert dt.max() == 0.0, "non-tie triangle mismatch"
