@@ -77,15 +77,21 @@ def main():
                                       dual=True), iters=5)
     log(f"bunny 512x512 primary: {rays512.count/dt/1e6:.2f} Mrays/s "
         f"({dt*1e3:.1f} ms incl. per-dispatch overhead)")
-    # Headline at 1M rays: the remote-tunnel runtime charges a large fixed
-    # per-dispatch cost after any Pallas launch; a 1M-ray batch amortises it
-    # so the number reflects kernel throughput.
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                               1024, 1024, order="morton")
     dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False,
                                       dual=True), iters=5)
-    mrays = rays.count / dt / 1e6
     log(f"bunny 1024x1024 primary: {rays.count} rays in {dt*1e3:.1f} ms "
+        f"-> {rays.count/dt/1e6:.2f} Mrays/s")
+    # Headline at 67M rays: throughput grows with batch size (ray density
+    # tightens each packet's traversal union and the auto packet width
+    # scales up), so the biggest batch reflects sustained chip throughput.
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
+                              8192, 8192, order="morton")
+    dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False,
+                                      dual=True), iters=3, batches=2)
+    mrays = rays.count / dt / 1e6
+    log(f"bunny 8192x8192 primary: {rays.count} rays in {dt*1e3:.1f} ms "
         f"-> {mrays:.2f} Mrays/s (headline)")
     rays = rays512
     hits = trace_packets(packed, rays)
@@ -103,7 +109,7 @@ def main():
     atr = scenes.atrium()
     scene_a = build_from_soup(jnp.asarray(atr), config=cfg)
     packed_a = pack_scene(scene_a)
-    cam = scenes.camera_rays((0, 6, 9), (0, 2, 0), (0, 1, 0), 60, 512, 512,
+    cam = scenes.camera_rays((0, 6, 9), (0, 2, 0), (0, 1, 0), 60, 1024, 1024,
                              order="morton")
     prim = trace_packets(packed_a, cam)
     key = jax.random.PRNGKey(0)
@@ -117,9 +123,10 @@ def main():
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
     dt = timeit(lambda: trace_packets(packed_a, cam, sort_rays=False,
-                                      dual=True), iters=5)
+                                      dual=True), iters=3)
     log(f"atrium ({atr.shape[0]} tris) primary: {cam.count/dt/1e6:.2f} Mrays/s")
-    dt = timeit(lambda: trace_packets(packed_a, bounce, dual=True), iters=5)
+    dt = timeit(lambda: trace_packets(packed_a, bounce, dual=True), iters=2,
+                batches=2)
     log(f"atrium incoherent bounce: {cam.count/dt/1e6:.2f} Mrays/s")
 
     # ---- config 4: deforming mesh refit + trace loop ----
