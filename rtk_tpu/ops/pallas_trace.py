@@ -879,8 +879,12 @@ def _trace_impl_jit(tpu: bool):
 
 
 def _trace_impl(packed, origin, direction, min_t, max_t, roots, **kw):
-    return _trace_impl_jit(jax.default_backend() == "tpu")(
-        packed, origin, direction, min_t, max_t, roots, **kw)
+    args = (packed, origin, direction, min_t, max_t, roots)
+    if any(isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(args)):
+        # Inside an enclosing jit (refit fusion, shard_map, instanced
+        # rounds): inline — compiler_options only attach to top-level jits.
+        return _trace_impl_fn(*args, **kw)
+    return _trace_impl_jit(jax.default_backend() == "tpu")(*args, **kw)
 
 
 def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots, *, mode,
