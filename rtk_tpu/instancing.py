@@ -310,7 +310,7 @@ def _object_rays(iscene_obw, rays_o, rays_d, inst_safe):
 
 
 def _one_round(packed, object_from_world, rays, best, best_inst,
-               cand_col, cand_t_col, gidx, roots, interpret):
+               cand_col, cand_t_col, gidx, roots, interpret, unit):
     """One candidate round: gather the grouped rays, transform to object
     space, trace the merged BLAS, scatter improvements back.
 
@@ -338,7 +338,7 @@ def _one_round(packed, object_from_world, rays, best, best_inst,
         min_t=jnp.take(rays.min_t, safe_ray),
         max_t=jnp.where(live, btake, 0.0),
     )
-    h = trace_packets(packed, grouped, packet_roots=roots,
+    h = trace_packets(packed, grouped, packet_roots=roots, pkt=unit,
                       interpret=interpret)
     improved = h.hit & (gidx >= 0) & (h.t < btake)
     tgt = jnp.where(improved, gidx, n)
@@ -351,32 +351,35 @@ def _one_round(packed, object_from_world, rays, best, best_inst,
 
 def _instanced_rounds_impl(packed, object_from_world, rays, best, best_inst,
                            cand_cols, candt_cols, gidxs, rootss, *,
-                           interpret):
+                           interpret, unit):
     """ALL candidate rounds as one device program (each eager round used to
     pay this runtime's fixed post-Pallas dispatch cost plus a host sync)."""
     for cand_col, cand_t_col, gidx, roots in zip(cand_cols, candt_cols,
                                                  gidxs, rootss):
         best, best_inst = _one_round(
             packed, object_from_world, rays, best, best_inst,
-            cand_col, cand_t_col, gidx, roots, interpret)
+            cand_col, cand_t_col, gidx, roots, interpret, unit)
     return best, best_inst
 
 
 @functools.lru_cache(maxsize=None)
-def _instanced_rounds_jit(interpret: bool, tpu: bool):
+def _instanced_rounds_jit(interpret: bool, tpu: bool, unit: int):
     # XLA's small-tensor VMEM offload sums the many per-round ray blocks
     # into one scoped allocation and trips the default 16 MB budget; v5e
     # has 128 MB of VMEM, so give the scheduler room.  The option only
     # exists on the TPU compiler.
     opts = {"xla_tpu_scoped_vmem_limit_kib": 100 * 1024} if tpu else None
     return jax.jit(
-        functools.partial(_instanced_rounds_impl, interpret=interpret),
+        functools.partial(_instanced_rounds_impl, interpret=interpret,
+                          unit=unit),
         compiler_options=opts)
 
 
 def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
-                      cand_cols, candt_cols, gidxs, rootss, *, interpret):
-    fn = _instanced_rounds_jit(interpret, jax.default_backend() == "tpu")
+                      cand_cols, candt_cols, gidxs, rootss, *, interpret,
+                      unit):
+    fn = _instanced_rounds_jit(interpret, jax.default_backend() == "tpu",
+                               unit)
     return fn(packed, object_from_world, rays, best, best_inst,
               cand_cols, candt_cols, gidxs, rootss)
 
@@ -393,12 +396,17 @@ def trace_closest_instanced_packets(
     bucketing), padded to 128-ray packets sharing that instance's BLAS root,
     transformed to object space, and traced with per-packet roots.
     """
-    from rtk_tpu.ops.pallas_trace import PKT, trace_packets
-
+    from rtk_tpu.ops.pallas_trace import PKT
     from rtk_tpu.types import PacketHits
 
     iscene = pscene.iscene
     n = rays.count
+    # Packet unit: per-instance ray groups pad to whole packets.  Unlike
+    # flat scenes (where wider packets win with batch size), instanced
+    # traversal stays union-footprint-bound — a 512-ray per-instance
+    # packet spans most of its object and measured 20-30% SLOWER than
+    # 128 at 512^2..1024^2; keep the narrow unit.
+    unit = PKT
     cand_idx, cand_t = _instance_candidates(iscene, rays, max_candidates)
     cand_idx_h = np.asarray(cand_idx)
     packed_roots_h = np.asarray(pscene.packed_roots)
@@ -427,20 +435,20 @@ def trace_closest_instanced_packets(
         idx = idx[order]
         inst_sorted = inst_h[order]
         groups, counts = np.unique(inst_sorted, return_counts=True)
-        padded = int(np.sum((counts + PKT - 1) // PKT) * PKT)
+        padded = int(np.sum((counts + unit - 1) // unit) * unit)
         # Bucket to powers of two so kernel shapes (and compiles) repeat
         # across rounds/frames.
-        padded = max(1024, 1 << int(np.ceil(np.log2(padded))))
-        roots = np.zeros(padded // PKT, np.int32)
+        padded = max(8 * unit, 1 << int(np.ceil(np.log2(padded))))
+        roots = np.zeros(padded // unit, np.int32)
         gidx = np.full(padded, -1, np.int64)  # padded slot -> ray index
         cursor = 0
         s = 0
         for g, c in zip(groups, counts):
             gidx[cursor:cursor + c] = idx[s:s + c]
-            blk = (c + PKT - 1) // PKT
-            roots[cursor // PKT: cursor // PKT + blk] = (
+            blk = (c + unit - 1) // unit
+            roots[cursor // unit: cursor // unit + blk] = (
                 packed_roots_h[inst_blas_h[g]])
-            cursor += blk * PKT
+            cursor += blk * unit
             s += c
         gidxs.append(jnp.asarray(gidx))
         rootss.append(jnp.asarray(roots))
@@ -452,7 +460,7 @@ def trace_closest_instanced_packets(
         best, best_inst = _instanced_rounds(
             pscene.packed, iscene.object_from_world, rays, best, best_inst,
             tuple(cand_cols), tuple(candt_cols), tuple(gidxs),
-            tuple(rootss), interpret=interpret)
+            tuple(rootss), interpret=interpret, unit=unit)
 
     packed = pscene.packed
     hits = PacketHits(
