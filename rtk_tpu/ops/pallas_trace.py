@@ -1011,11 +1011,12 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     if sort_rays is None:
         sort_rays = n >= 16384 and packet_roots is None
     if islab is None:
-        # Measured on v5e: the interval test's conservatism (~10% more
-        # node visits on bunny-class primaries) outweighs its cheaper
-        # per-step cost — the kernel is step-count-bound, not vector-bound.
-        # Off by default; kept as a flag for frustum-style workloads.
-        islab = False
+        # Measured on v5e: at narrow packet widths the interval test's
+        # conservatism (~10% more node visits) outweighs its cheaper
+        # per-step cost (the kernel is step-latency bound there), but at
+        # 2048-ray packets the vector phases dominate and the cheap
+        # frustum test wins (+4% at 67M rays).
+        islab = pkt >= 2048
     if sort_rays and packet_roots is not None:
         raise ValueError("sort_rays cannot reorder rays that carry "
                          "per-packet roots; pass sort_rays=False")
