@@ -184,7 +184,8 @@ class ShardedScene(struct.PyTreeNode):
 
     @property
     def part_tris(self) -> int:
-        return self.tris.shape[1]
+        """Padded triangle slots per part (slot globalisation stride)."""
+        return self.tri_v.shape[1]
 
 
 def partition_soup(tri_pos: np.ndarray, n_parts: int):
@@ -239,7 +240,11 @@ def build_scene_sharded(meshes, mesh: Optional[Mesh] = None,
         packs.append(pack_scene(scene))
 
     nd_max = max(p.nodes.shape[0] for p in packs)
-    tp_max = max(p.tris.shape[0] for p in packs)
+    tp_max = max(p.tri_v.shape[0] for p in packs)
+    # The kernel table's row count tracks the padded triangle count but
+    # its shape depends on the layout (Pluecker scenes pack lane-dense
+    # 128-wide rows; legacy shear scenes use one 16-col row per tri).
+    trow_max = max(p.tris.shape[0] for p in packs)
 
     def pad_to(a, n, fill):
         pad = n - a.shape[0]
@@ -250,7 +255,7 @@ def build_scene_sharded(meshes, mesh: Optional[Mesh] = None,
 
     return ShardedScene(
         nodes=jnp.stack([pad_to(p.nodes, nd_max, 0) for p in packs]),
-        tris=jnp.stack([pad_to(p.tris, tp_max, jnp.nan) for p in packs]),
+        tris=jnp.stack([pad_to(p.tris, trow_max, jnp.nan) for p in packs]),
         tri_v=jnp.stack([pad_to(p.tri_v, tp_max, 0.0) for p in packs]),
         tri_vidx=jnp.stack([pad_to(p.tri_vidx, tp_max, -1) for p in packs]),
         tri_mesh=jnp.stack([pad_to(p.tri_mesh, tp_max, -1) for p in packs]),

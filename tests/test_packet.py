@@ -82,7 +82,11 @@ def test_packet_anyhit():
     got = trace_packets(packed, rays, mode="any", interpret=True)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(closest.hit))
     h = np.asarray(got.hit)
-    assert (np.asarray(got.t)[h] >= np.asarray(closest.t)[h] - 1e-6).all()
+    # any-hit t can never beat closest-hit t (up to cross-formula
+    # rounding: the packet engine computes t in Pluecker form, the stack
+    # engine in shear space)
+    ct = np.asarray(closest.t)[h]
+    assert (np.asarray(got.t)[h] >= ct - 1e-5 * (1.0 + np.abs(ct))).all()
 
 
 def test_packet_t_window():
