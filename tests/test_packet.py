@@ -82,9 +82,8 @@ def test_packet_anyhit():
     got = trace_packets(packed, rays, mode="any", interpret=True)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(closest.hit))
     h = np.asarray(got.hit)
-    # any-hit t can never beat closest-hit t (up to cross-formula
-    # rounding: the packet engine computes t in Pluecker form, the stack
-    # engine in shear space)
+    # any-hit t can never beat closest-hit t (relative tolerance: the two
+    # engines may associate the shear-space arithmetic differently)
     ct = np.asarray(closest.t)[h]
     assert (np.asarray(got.t)[h] >= ct - 1e-5 * (1.0 + np.abs(ct))).all()
 
@@ -200,3 +199,32 @@ def test_packet_ordered_and_islab_variants():
         if mism.any():
             dt = np.abs(np.asarray(got.t)[mism] - np.asarray(ref.t)[mism])
             assert dt.max() == 0.0, "non-tie triangle mismatch"
+
+
+def test_packet_watertight_closed_mesh():
+    """Watertightness through the FULL packet engine (BVH + kernel): rays
+    from inside a closed icosphere aimed at every edge midpoint, vertex,
+    and random edge points must all hit (the property rtk's f64 fallback
+    exists to guarantee, rtk.c:294-336)."""
+    from rtk_tpu.testing.scenes import icosphere
+
+    verts, faces = icosphere(2)  # 320 tris, closed
+    tris = verts[faces].astype(np.float32)
+    scene = build_scene(_soup_of(tris))
+    packed = pack_scene(scene)
+
+    rng = np.random.default_rng(7)
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    lam = rng.uniform(0.0, 1.0, size=(edges.shape[0], 1)).astype(np.float32)
+    edge_pts = verts[edges[:, 0]] * (1 - lam) + verts[edges[:, 1]] * lam
+    mids = (verts[edges[:, 0]] + verts[edges[:, 1]]) * 0.5
+    targets = np.concatenate([mids, edge_pts, verts], axis=0)
+
+    rays = Rays.make(np.zeros_like(targets), targets)  # inside, aimed out
+    got = trace_packets(packed, rays, interpret=True)
+    leaks = int((~np.asarray(got.hit)).sum())
+    assert leaks == 0, f"{leaks}/{rays.count} edge/vertex rays leaked"
+    # any-hit must agree (occlusion can never leak either)
+    occ = trace_packets(packed, rays, mode="any", interpret=True)
+    assert int((~np.asarray(occ.hit)).sum()) == 0
