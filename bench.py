@@ -93,8 +93,9 @@ def main():
     mrays = rays.count / dt / 1e6
     log(f"bunny 8192x8192 primary: {rays.count} rays in {dt*1e3:.1f} ms "
         f"-> {mrays:.2f} Mrays/s (headline)")
-    rays = rays512
-    hits = trace_packets(packed, rays)
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
+                              2048, 2048, order="morton")
+    hits = trace_packets(packed, rays, sort_rays=False, dual=True)
     p = np.asarray(hits.position())
     light = np.array([3.0, 4.0, 2.0], np.float32)
     d = light[None] - p
@@ -102,8 +103,8 @@ def main():
     shadow = Rays.make(p, d / np.maximum(dist[:, None], 1e-9), min_t=1e-3,
                        max_t=np.where(np.asarray(hits.hit), dist, 0.0))
     dt = timeit(lambda: trace_packets(packed, shadow, mode="any"),
-                iters=10)
-    log(f"bunny shadow (any-hit): {shadow.count/dt/1e6:.2f} Mrays/s")
+                iters=5)
+    log(f"bunny shadow (any-hit, 4M rays): {shadow.count/dt/1e6:.2f} Mrays/s")
 
     # ---- config 3: Sponza-class 1-bounce diffuse ----
     atr = scenes.atrium()
