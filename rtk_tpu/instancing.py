@@ -47,6 +47,8 @@ class InstancedScene(struct.PyTreeNode):
     object_from_world: Array  # (I, 3, 4) affine inverse
     inst_lo: Array  # (I, 3) world AABB of each instance
     inst_hi: Array  # (I, 3)
+    # Real (unpadded) triangle count per unique BLAS, static host-side.
+    blas_tris: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_instances(self) -> int:
@@ -54,8 +56,11 @@ class InstancedScene(struct.PyTreeNode):
 
     @property
     def total_triangles(self) -> int:
-        """Effective triangle count (instanced)."""
-        return int(self.num_instances and self.merged.num_tris)
+        """Effective triangle count: sum over instances of their BLAS size."""
+        if not self.blas_tris:
+            return 0
+        counts = np.asarray(self.blas_tris)
+        return int(counts[np.asarray(self.instance_blas)].sum())
 
 
 def _affine_inverse(m: np.ndarray) -> np.ndarray:
@@ -157,6 +162,7 @@ def build_instanced(
         object_from_world=jnp.asarray(inv),
         inst_lo=jnp.asarray(world.min(axis=1), jnp.float32),
         inst_hi=jnp.asarray(world.max(axis=1), jnp.float32),
+        blas_tris=tuple(int(s.num_tris) for s in blas),
     )
 
 

@@ -122,11 +122,12 @@ def decode_positions(mesh: MeshDesc, indices: np.ndarray) -> np.ndarray:
     else:
         dtype = _POS_DTYPES[mesh.position_type]
         nbytes = len(mesh.positions)
-        stride = mesh.position_stride or np.dtype(dtype).itemsize * 3
-        count = nbytes // stride if stride else 0
-        # Tail record may be tightly packed even with a larger stride.
-        if nbytes - (count - 1) * stride >= np.dtype(dtype).itemsize * 3:
-            pass
+        natural = np.dtype(dtype).itemsize * 3
+        stride = mesh.position_stride or natural
+        # The final record only needs its 3 components present, not a full
+        # stride of padding after it (rtk_buffer semantics, rtk.h:54-58):
+        # count = #records r with (r-1)*stride + natural <= nbytes.
+        count = (nbytes - natural) // stride + 1 if nbytes >= natural else 0
         nh = _native() if count >= NATIVE_DECODE_MIN else None
         if nh is not None:
             kind = "f64" if dtype == np.float64 else "f32"

@@ -45,9 +45,17 @@ W = 8  # wide-node arity (branching=8 scenes only)
 PKT = 128  # default rays per packet (one VPU lane row); bigger packets
            # amortize the scalar-issue cost of each node visit over more
            # rays at the price of a wider traversal union
-STACK_D = 160  # per-packet stack rows: D_INT internal + D_LEAF leaf queue
 D_INT = 96  # internal-node stack bound (wide depth ~21 * <=7 pushes)
 D_LEAF = 64  # pending-leaf queue bound (rtk caps its stack similarly, rtk.c:401)
+# Per-packet stack rows.  Each region carries W rows of WRITE SLACK beyond
+# its logical capacity: the push block-store writes W rows unconditionally
+# at min(sp, capacity), so without slack a store issued while sp sits in
+# (capacity-W, capacity] would land BELOW the top and clobber pending
+# entries with fillers (dropped leaves == missed hits; found by the
+# islab+dual parity test).  Layout: [0, D_INT+W) internal (mixed mode uses
+# the whole allocation minus slack), [D_INT+W, D_INT+W+D_LEAF+W) leaves.
+STACK_D = D_INT + W + D_LEAF + W
+LEAF_BASE = D_INT + W
 
 _BIG = 3.0e38
 
@@ -111,7 +119,8 @@ def _popcount8(v):
 
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
-                 interpret=False, ordered=False, islab=False):
+                 interpret=False, ordered=False, islab=False, lesion=None,
+                 use_mask=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -122,11 +131,16 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys kept aligned with entries; the dual compaction drops them).
     prune = ordered and not dual and (narrow or islab)
+    # `lesion` (perf diagnosis only — WRONG RESULTS): a set of component
+    # names to disable so a TPU sweep attributes step time to kernel
+    # phases.  Supported: noselk noupdv nodiv noleaf noslab.
+    lesion = frozenset((lesion or "").split())
     import numpy as _np
 
     NEG_BIG_BITS = int(_np.float32(-_BIG).view(_np.int32))
 
     def kernel(roots_ref,  # (n_packets,) i32 scalar-prefetch (SMEM)
+               qmask_ref,  # (1,) i32 scalar-prefetch: filter query mask
                nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
@@ -230,6 +244,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
         assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
 
+        # Dead rays (max_t <= min_t: padding and wavefront-compaction
+        # convention) must contribute NOTHING to a packet's traversal
+        # union.  The closed slab test enter <= exit treats their empty
+        # (0, 0) t-window as a hit for any box containing the origin, so
+        # a dead ray would drag the packet down its origin's whole box
+        # chain.  Loop-invariant mask; applied to the slab cull t below.
+        deadm = maxt <= mint
+
         def cond(carry):
             return carry[0] > 0
 
@@ -242,6 +264,15 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             # (P, PKT) x4 carry spills the whole register file every step.
             _, sps_i, sps_l = carry
             hit_t = out_t[:]
+            # Slab-phase cull t: dead rays never extend the union; in
+            # any-hit mode, lanes that already found a hit drop out too —
+            # the packet's traversal shrinks to its unfinished rays
+            # (VERDICT r1 item 6: one slow lane used to pin the whole
+            # packet at full per-lane cost).  hit_t itself stays true so
+            # the leaf phase's output updates are unaffected.
+            cull_t = jnp.where(deadm, -_BIG, hit_t)
+            if mode == "any":
+                cull_t = jnp.where(out_slot[:] >= 0, -_BIG, cull_t)
 
             ents = []
             new_spi = []
@@ -253,6 +284,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             for p in range(P):
                 spi = sps_i[p]
                 active = spi > 0
+                if dual:
+                    # Backpressure: an internal pop can push up to W leaves
+                    # while the leaf queue drains only one per step, so a
+                    # deep traversal union would overflow D_LEAF and the
+                    # clamp would silently DROP leaves (missed hits — found
+                    # by the islab+dual parity test).  Pause internal pops
+                    # for this packet until the queue has room.
+                    active = active & (sps_l[p] <= D_LEAF - W)
                 row = stack_ref[
                     pl.ds(p * STACK_D + jnp.maximum(spi - 1, 0), 1), :]
                 pop_rows.append(row)
@@ -269,7 +308,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     spl = sps_l[p]
                     al = spl > 0
                     lrow = stack_ref[
-                        pl.ds(p * STACK_D + D_INT
+                        pl.ds(p * STACK_D + LEAF_BASE
                               + jnp.maximum(spl - 1, 0), 1), :]
                     lraw = lrow[0, 0]
                     al = al & (lraw <= -2)
@@ -528,10 +567,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
             if prune:
                 comp_i, comp_l, counts, comp_k = jax.lax.cond(
-                    int_pack != 0, slab_phase, slab_skip, hit_t)
+                    int_pack != 0, slab_phase, slab_skip, cull_t)
             else:
                 comp_i, comp_l, counts = jax.lax.cond(
-                    int_pack != 0, slab_phase, slab_skip, hit_t)
+                    int_pack != 0, slab_phase, slab_skip, cull_t)
 
             # counts -> scalars: the only vector->scalar syncs per step.
             # Non-dual counts fit 4 bits (<= 8 pushes), so all 8 packets
@@ -622,9 +661,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     for j in range(3):
                         vx, vy, vz = (verts[3 * j], verts[3 * j + 1],
                                       verts[3 * j + 2])
-                        px = selk(kx0, kx1, vx, vy, vz) - o_kx
-                        py = selk(ky0, ky1, vx, vy, vz) - o_ky
-                        pz = selk(kz0, kz1, vx, vy, vz) - o_kz
+                        if "noselk" in lesion:
+                            px, py, pz = vx - o_kx, vy - o_ky, vz - o_kz
+                        else:
+                            px = selk(kx0, kx1, vx, vy, vz) - o_kx
+                            py = selk(ky0, ky1, vx, vy, vz) - o_ky
+                            pz = selk(kz0, kz1, vx, vy, vz) - o_kz
                         xs.append(px + sx * pz)
                         ys.append(py + sy * pz)
                         zs.append(sz * pz)
@@ -652,9 +694,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                 w_)
                     lo = jnp.minimum(jnp.minimum(u, v), w_)
                     hi = jnp.maximum(jnp.maximum(u, v), w_)
-                    rcp_det = 1.0 / (u + v + w_)
+                    rcp_det = (1.0 if "nodiv" in lesion
+                               else 1.0 / (u + v + w_))
                     t = (u * zs[0] + v * zs[1] + w_ * zs[2]) * rcp_det
                     ok = ~((lo < 0.0) & (hi > 0.0)) & (t > mint)
+                    if use_mask:
+                        # Built-in filter family (rtk.h:117,130 intent):
+                        # the mask column holds exact-integer float bits.
+                        tm = verts[9].astype(jnp.int32)
+                        ok = ok & ((tm & qmask_ref[0]) != 0)
+                    if "noupdv" in lesion:
+                        return t, u, v, ok, need
                     return t, u * rcp_det, v * rcp_det, ok, need
 
                 if hbm_tris:
@@ -664,13 +714,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     def verts_of(k):
                         r, s16 = k // 8, (k % 8) * 16
                         return [st3[:, r, s16 + c:s16 + c + 1]
-                                for c in range(9)]
+                                for c in range(10)]
                 else:
                     t3 = stage_tris[:].reshape(P, k_tris, 16)
 
                     def verts_of(k):
                         r = t3[:, k, :]  # (P, 16)
-                        return [r[:, c:c + 1] for c in range(9)]
+                        return [r[:, c:c + 1] for c in range(10)]
 
                 def leaf_pass(hits_in, exact):
                     h_t, h_u, h_v, h_s = hits_in
@@ -681,13 +731,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                             needv = needv | need.astype(jnp.int32)
                         upd = okk & leaf_vec & (tk < h_t)
                         h_t = jnp.where(upd, tk, h_t)
-                        h_u = jnp.where(upd, uk, h_u)
-                        h_v = jnp.where(upd, vk, h_v)
+                        if "noupdv" not in lesion:
+                            h_u = jnp.where(upd, uk, h_u)
+                            h_v = jnp.where(upd, vk, h_v)
                         h_s = jnp.where(upd, tri0_col + k, h_s)
                     return (h_t, h_u, h_v, h_s), needv
 
-                @pl.when(leaf_pack != 0)
-                def _leaf_phase():
+                if "noleaf" in lesion:
+                    def _leaf_skipped():
+                        pass
+                else:
+                  @pl.when(leaf_pack != 0)
+                  def _leaf_phase():
                     hits_in = (hit_t, out_u[:], out_v[:], out_slot[:])
                     if watertight and interpret:
                         # (variable-predicate cond is unreliable under
@@ -715,6 +770,9 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     t, u, v, ok = leaf_uvwt(
                         verts, kxK, kyK, kzK, sxK, syK, szK, oxK, oyK, ozK,
                         mintK, lazy=True)
+                    if use_mask:
+                        tm = trows[:, 9:10].astype(jnp.int32)
+                        ok = ok & ((tm & qmask_ref[0]) != 0)
                     ok = ok & _rep(leaf_vec.astype(jnp.float32),
                                    k_tris).astype(bool)
                     rr_t = t.reshape(P, k_tris, PKT)
@@ -744,14 +802,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             if prune:
                 comp_k_t = pltpu.bitcast(comp_k, jnp.int32).T  # (W, P)
                 iota8 = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 1)
-            max_i = D_INT if dual else STACK_D
+            max_i = D_INT if dual else (STACK_D - W)
             total = jnp.int32(0)
             final_spi = []
             final_spl = []
             for p in range(P):
                 cnt = cnt_of(p)
                 spi = new_spi[p]
-                pos = jnp.minimum(spi, max_i - W)
+                pos = jnp.minimum(spi, max_i)
                 if prune:
                     # Column 0: entry id; column 1: entry-distance bits.
                     push_tile = jnp.where(
@@ -768,8 +826,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 spi = jnp.minimum(spi + (cnt & 0xF), max_i).astype(jnp.int32)
                 if dual:
                     spl = new_spl[p]
-                    posl = jnp.minimum(spl, D_LEAF - W)
-                    stack_ref[pl.ds(p * STACK_D + D_INT + posl, W), :] = (
+                    posl = jnp.minimum(spl, D_LEAF)
+                    stack_ref[pl.ds(p * STACK_D + LEAF_BASE + posl, W), :] = (
                         jnp.broadcast_to(comp_l_t[:, p:p + 1], (W, 8)))
                     spl = jnp.minimum(spl + (cnt >> 4), D_LEAF).astype(jnp.int32)
                 else:
@@ -811,17 +869,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
-                     "pkt", "narrow", "ordered", "islab"),
+                     "pkt", "narrow", "ordered", "islab", "lesion",
+                     "use_mask"),
 )
-def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
+def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode, watertight,
                 interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
                 hbm_tris=False, dual=False, pkt=PKT, narrow=True,
-                ordered=False, islab=False):
+                ordered=False, islab=False, lesion=None, use_mask=False):
     P = p_pk
     PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
-    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots: (i, 0),
+    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tris
@@ -829,12 +888,13 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
     kernel = _make_kernel(leaf_size, mode, watertight, P, stats=stats,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
                           narrow=narrow, interpret=interpret,
-                          ordered=ordered, islab=islab)
+                          ordered=ordered, islab=islab, lesion=lesion,
+                          use_mask=use_mask)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[full(), tri_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * n_out,
@@ -855,7 +915,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, *, mode, watertight,
             jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
         interpret=interpret,
-    )(roots, nodes, tris, *ray_comps)
+    )(roots, qmask, nodes, tris, *ray_comps)
     return out
 
 
@@ -869,17 +929,18 @@ def _trace_impl_jit(tpu: bool):
     # XLA's small-tensor VMEM offload counts the trace's ray operands into
     # one scoped allocation; megaray batches trip the default 16 MB budget
     # by a hair.  The option only exists on the TPU compiler.
-    opts = {"xla_tpu_scoped_vmem_limit_kib": 100 * 1024} if tpu else None
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         _trace_impl_fn,
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
-                         "ordered", "islab"),
+                         "ordered", "islab", "lesion", "use_mask"),
         compiler_options=opts)
 
 
-def _trace_impl(packed, origin, direction, min_t, max_t, roots, **kw):
-    args = (packed, origin, direction, min_t, max_t, roots)
+def _trace_impl(packed, origin, direction, min_t, max_t, roots,
+                qmask=None, **kw):
+    args = (packed, origin, direction, min_t, max_t, roots, qmask)
     if any(isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(args)):
         # Inside an enclosing jit (refit fusion, shard_map, instanced
         # rounds): inline — compiler_options only attach to top-level jits.
@@ -887,9 +948,10 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots, **kw):
     return _trace_impl_jit(jax.default_backend() == "tpu")(*args, **kw)
 
 
-def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots, *, mode,
-                   watertight, interpret, p_pk, hbm_tris, dual, pkt, narrow,
-                   sort_rays, ordered=False, islab=False):
+def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
+                   qmask=None, *, mode, watertight, interpret, p_pk,
+                   hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
+                   islab=False, lesion=None, use_mask=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -931,12 +993,14 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots, *, mode,
                       for a, f, e in zip(comps8, fills, edges))
     tris_table = (packed.tris.reshape(-1, 128) if hbm_tris
                   else packed.tris)
+    if qmask is None:
+        qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
     out = _run_kernel(
-        packed.nodes, tris_table, ray_comps, roots,
+        packed.nodes, tris_table, ray_comps, roots, qmask,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
-        ordered=ordered, islab=islab,
+        ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]
@@ -971,7 +1035,9 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   pkt: int | None = None, narrow: bool = True,
                   sort_rays: bool | None = None,
                   ordered: bool = False,
-                  islab: bool | None = None) -> PacketHits:
+                  islab: bool | None = None,
+                  lesion: str | None = None,
+                  filter_mask: int | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1041,12 +1107,16 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             roots = jnp.concatenate(
                 [roots, jnp.zeros((n_packets - roots.shape[0],),
                                   jnp.int32)])
+    qmask = None
+    if filter_mask is not None:
+        qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)
     return _trace_impl(
         packed, jnp.asarray(rays.origin), jnp.asarray(rays.direction),
-        jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
+        jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots, qmask,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
-        sort_rays=sort_rays, ordered=ordered, islab=islab)
+        sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
+        use_mask=filter_mask is not None)
 
 
 @functools.partial(

@@ -193,6 +193,11 @@ def partition_soup(tri_pos: np.ndarray, n_parts: int):
 
     Returns a list of n_parts index arrays (disjoint, covering all
     triangles, each non-empty when T >= n_parts)."""
+    if tri_pos.shape[0] < n_parts:
+        raise ValueError(
+            f"partition_soup: {tri_pos.shape[0]} triangles cannot fill "
+            f"{n_parts} non-empty parts — scene sharding needs at least "
+            "one triangle per device (use ray sharding for tiny scenes)")
     cent = tri_pos.mean(axis=1)  # (T, 3)
     parts = [np.arange(tri_pos.shape[0])]
     while len(parts) < n_parts:
@@ -304,13 +309,24 @@ def trace_scene_sharded(
                           watertight=watertight, interpret=interpret)
         rank = jax.lax.axis_index(axis)
         if mode == "any":
+            # Pick ONE winning chip (lowest rank among hitting chips) and
+            # take its entire record, so (t, u, v, slot) always describe a
+            # single real intersection — same rank-select pattern as the
+            # closest path below (ADVICE r1: pmax-per-field produced
+            # chimera records mixing fields from different chips).
             hit = jax.lax.pmax(h.hit.astype(jnp.int32), axis) > 0
-            t = jax.lax.pmin(h.t, axis)
-            gslot = jnp.where(h.slot >= 0, rank * tp_max + h.slot, 0)
-            slot = jax.lax.pmax(jnp.where(h.hit, gslot, -1), axis)
-            u = jax.lax.pmax(jnp.where(h.hit, h.u, -1.0), axis)
-            v = jax.lax.pmax(jnp.where(h.hit, h.v, -1.0), axis)
-            return (hit, t, jnp.maximum(u, 0.0), jnp.maximum(v, 0.0), slot)
+            brank = jax.lax.pmin(
+                jnp.where(h.hit, rank, jnp.int32(n_dev)), axis)
+            sel = h.hit & (rank == brank)
+            gslot = jnp.where(h.slot >= 0, rank * tp_max + h.slot, -1)
+            slot = jax.lax.psum(jnp.where(sel, gslot + 1, 0), axis) - 1
+            # Miss keeps the local miss t (== ray max_t, identical on every
+            # chip since rays are replicated).
+            t = jnp.where(hit, jax.lax.psum(jnp.where(sel, h.t, 0.0), axis),
+                          h.t)
+            u = jax.lax.psum(jnp.where(sel, h.u, 0.0), axis)
+            v = jax.lax.psum(jnp.where(sel, h.v, 0.0), axis)
+            return (hit, t, u, v, slot)
         best_t = jax.lax.pmin(h.t, axis)
         win = (h.t <= best_t)
         brank = jax.lax.pmin(

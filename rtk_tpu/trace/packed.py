@@ -157,19 +157,39 @@ def _gather_rows(bin_min, bin_max, leaf_min, leaf_max, slot_src, meta, *,
     return rows.reshape(n_rows * W, 8)
 
 
+MASK_COL = 9  # filter-mask column in the kernel tri row (float VALUE,
+              # not bitcast: TPU flushes denormals, so integer bits in a
+              # float table get destroyed; exact integers <= 2^24 survive)
+MASK_ALL = float(0xFFFFFF)  # 24-bit all-pass mask
+
+
 @functools.partial(jax.jit, static_argnames=())
-def _tri_rows(tri_v, valid):
+def _tri_rows(tri_v, valid, mask=None):
     """Kernel triangle table rows.  Padding slots (valid=False) become NaN
     vertices: the intersector rejects them via the t-window without ever
     triggering the exact-sign zero-edge path (NaN == 0 is false), unlike
-    zero-filled rows whose edge functions are exactly zero."""
+    zero-filled rows whose edge functions are exactly zero.
+
+    Column MASK_COL carries the per-triangle filter-mask bits (the packet
+    engine's built-in filter family, rtk.h:117,130 intent) as an exact
+    float value; all-pass when no mask is given."""
     tp = tri_v.shape[0]
     flat = jnp.where(valid[:, None], tri_v.reshape(tp, 9), jnp.nan)
-    return jnp.concatenate([flat, jnp.zeros((tp, 7), jnp.float32)], axis=1)
+    if mask is None:
+        mcol = jnp.full((tp, 1), MASK_ALL, jnp.float32)
+    else:
+        mcol = jnp.asarray(mask, jnp.float32).reshape(tp, 1)
+    return jnp.concatenate(
+        [flat, mcol, jnp.zeros((tp, 6), jnp.float32)], axis=1)
 
 
-def pack_scene(scene: Scene) -> PackedScene:
-    """Pack a built Scene for the Pallas packet kernel."""
+def pack_scene(scene: Scene, tri_mask=None) -> PackedScene:
+    """Pack a built Scene for the Pallas packet kernel.
+
+    tri_mask: optional (num_tris,) uint32 per-triangle filter-mask bits in
+    ORIGINAL soup order (24 bits used).  A trace with filter_mask=m tests
+    only triangles with (tri_mask & m) != 0 — the packet-kernel filter
+    family (arbitrary callables stay on the XLA stack engine)."""
     k = scene.leaf_size
     if scene.num_leaves == 1:
         slot_src = np.full((1, W), -1, np.int64)
@@ -192,10 +212,21 @@ def pack_scene(scene: Scene) -> PackedScene:
     perm = jnp.asarray(tri_perm)
     tri_v = jnp.take(scene.tri_v, perm, axis=0)
     tri_prim_p = jnp.take(scene.tri_prim, perm, axis=0)
+    mask_p = None
+    if tri_mask is not None:
+        tri_mask = np.asarray(tri_mask, np.int64)
+        if (tri_mask >> 24).any():
+            raise ValueError("tri_mask uses more than 24 bits")
+        # soup order -> Morton-sorted order -> packed order.
+        soup_of_sorted = np.asarray(scene.perm)
+        sorted_mask = np.where(
+            soup_of_sorted >= 0,
+            tri_mask[np.clip(soup_of_sorted, 0, tri_mask.shape[0] - 1)], 0)
+        mask_p = sorted_mask[np.asarray(tri_perm)].astype(np.float64)
     return PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=_tri_rows(tri_v, tri_prim_p >= 0),
+        tris=_tri_rows(tri_v, tri_prim_p >= 0, mask_p),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
         tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
@@ -213,9 +244,11 @@ def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:
                          scene.leaf_max, packed.slot_src, packed.meta,
                          n_rows=packed.num_nodes)
     tri_v = jnp.take(scene.tri_v, packed.tri_perm, axis=0)
-    return packed.replace(nodes=nodes,
-                          tris=_tri_rows(tri_v, packed.tri_prim >= 0),
-                          tri_v=tri_v)
+    return packed.replace(
+        nodes=nodes,
+        tris=_tri_rows(tri_v, packed.tri_prim >= 0,
+                       packed.tris[:, MASK_COL]),  # mask col rides along
+        tri_v=tri_v)
 
 
 def pack_forest(scene: Scene, roots) -> tuple[PackedScene, np.ndarray]:

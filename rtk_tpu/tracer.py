@@ -15,22 +15,35 @@ code — only the XLA engine can do that).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 import jax
 
 from rtk_tpu.config import TraceConfig
 from rtk_tpu.scene import Scene
-from rtk_tpu.types import Hits, Rays
+from rtk_tpu.types import Hits, PacketHits, Rays
+
+# The packet engine returns a lazy PacketHits; the XLA engines return an
+# eager Hits.  Both satisfy the same hit-record property surface, but the
+# pytree structures differ (PacketHits carries ray + triangle-table
+# leaves) — call .full() on a PacketHits if you need the stable Hits
+# pytree for jax.tree.map.
+AnyHits = Union[Hits, PacketHits]
 
 
 class Tracer:
     def __init__(self, scene: Scene, engine: str = "auto",
-                 config: TraceConfig = TraceConfig()):
+                 config: TraceConfig = TraceConfig(), tri_mask=None):
+        """tri_mask: optional (num_tris,) uint32 per-triangle filter bits
+        (soup order, 24 bits).  Queries passing filter_mask=m then test
+        only triangles with (tri_mask & m) != 0 on the packet fast path —
+        the built-in filter family; arbitrary filter_fn callables still
+        route to the XLA stack engine (rtk.h:117,130)."""
         if engine not in ("auto", "packet", "stack", "stackless"):
             raise ValueError(f"unknown engine {engine!r}")
         self.scene = scene
         self.config = config
+        self.tri_mask = tri_mask
         self._packed = None
         self._stackless = None
         on_tpu = jax.default_backend() == "tpu"
@@ -47,7 +60,7 @@ class Tracer:
         if self._packed is None:
             from rtk_tpu.trace.packed import pack_scene
 
-            self._packed = pack_scene(self.scene)
+            self._packed = pack_scene(self.scene, tri_mask=self.tri_mask)
         return self._packed
 
     def refresh(self, scene: Scene) -> "Tracer":
@@ -55,6 +68,7 @@ class Tracer:
         t = Tracer.__new__(Tracer)
         t.scene = scene
         t.config = self.config
+        t.tri_mask = self.tri_mask
         t.engine = self.engine
         t._packed = None
         t._stackless = None
@@ -66,7 +80,8 @@ class Tracer:
 
     def _trace(self, rays: Rays, mode: str,
                filter_fn: Optional[Callable],
-               coherent: Optional[bool] = None) -> Hits:
+               coherent: Optional[bool] = None,
+               filter_mask: Optional[int] = None) -> AnyHits:
         if self.engine == "packet" and filter_fn is None:
             from rtk_tpu.ops.pallas_trace import trace_packets
 
@@ -78,7 +93,11 @@ class Tracer:
                 dual = coherent is False
             return trace_packets(self.packed, rays, mode=mode,
                                  watertight=self.config.watertight,
-                                 dual=dual)
+                                 dual=dual, filter_mask=filter_mask)
+        if filter_mask is not None:
+            raise ValueError(
+                "filter_mask runs on the packet engine only; use "
+                "engine='packet' (or filter_fn on the stack engine)")
         if self.engine == "stackless" and filter_fn is None:
             from rtk_tpu.trace.stackless import build_stackless, trace_stackless
 
@@ -92,12 +111,16 @@ class Tracer:
         return fn(self.scene, rays, filter_fn=filter_fn, config=self.config)
 
     def closest(self, rays: Rays, filter_fn: Optional[Callable] = None,
-                coherent: Optional[bool] = None) -> Hits:
+                coherent: Optional[bool] = None,
+                filter_mask: Optional[int] = None) -> AnyHits:
         """Nearest-hit query (rtk_trace_ray).  `coherent` hints the packet
-        engine's stepping policy (False selects split dual queues)."""
-        return self._trace(rays, "closest", filter_fn, coherent)
+        engine's stepping policy (False selects split dual queues);
+        `filter_mask` runs the built-in mask filter on the fast path."""
+        return self._trace(rays, "closest", filter_fn, coherent,
+                           filter_mask)
 
     def any(self, rays: Rays, filter_fn: Optional[Callable] = None,
-            coherent: Optional[bool] = None) -> Hits:
+            coherent: Optional[bool] = None,
+            filter_mask: Optional[int] = None) -> AnyHits:
         """Any-hit query (the intended rtk_trace_ray_filter semantics)."""
-        return self._trace(rays, "any", filter_fn, coherent)
+        return self._trace(rays, "any", filter_fn, coherent, filter_mask)

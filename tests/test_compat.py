@@ -63,3 +63,30 @@ def test_filter_rejects_nearest():
     assert found
     assert hit.triangle_index != nearest.triangle_index
     assert hit.t >= nearest.t
+
+
+def test_strided_positions_unpadded_tail():
+    """A strided position buffer whose FINAL record has no trailing stride
+    padding must not lose its last vertex (r1 fix: count = nbytes//stride
+    silently dropped it)."""
+    import numpy as np
+
+    from rtk_tpu.mesh import MeshDesc, decode_indices, decode_positions
+
+    verts = np.arange(12, dtype=np.float32).reshape(4, 3)
+    stride = 20  # 12 natural bytes + 8 padding between records
+    buf = bytearray()
+    for i, v in enumerate(verts):
+        buf += v.tobytes()
+        if i != len(verts) - 1:
+            buf += b"\x00" * (stride - 12)  # tail record: NO padding
+    desc = MeshDesc(
+        num_triangles=2,
+        positions=bytes(buf),
+        position_stride=stride,
+        position_type="f32",
+        indices=np.array([[0, 1, 2], [1, 2, 3]], np.uint32),
+    )
+    idx = decode_indices(desc)
+    pos = decode_positions(desc, idx)
+    np.testing.assert_array_equal(pos[1, 2], verts[3])

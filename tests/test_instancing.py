@@ -103,3 +103,25 @@ def test_instanced_packet_kernel_matches_brute():
     np.testing.assert_allclose(
         np.asarray(hits.t)[wh], np.asarray(want.t)[wh], rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(inst) >= 0, wh)
+
+
+def test_total_triangles_counts_instances():
+    """total_triangles = sum over instances of their BLAS's real triangle
+    count (r1 fix: it returned the merged count regardless of instances)."""
+    import numpy as np
+
+    from rtk_tpu import build_scene
+    from rtk_tpu.config import BuildConfig
+    from rtk_tpu.instancing import build_instanced
+    from rtk_tpu.testing import scenes
+
+    tris_a = scenes.blob(subdivisions=2)[0]  # 320 tris
+    tris_b = scenes.cornell_box()
+    cfg = BuildConfig(branching=8, leaf_size=8)
+    soup = lambda t: (t.reshape(-1, 3),
+                      np.arange(t.shape[0] * 3).reshape(-1, 3))
+    blas = [build_scene(soup(tris_a), cfg), build_scene(soup(tris_b), cfg)]
+    eye = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    iscene = build_instanced(blas, [0, 0, 1], np.stack([eye] * 3))
+    assert iscene.total_triangles == (
+        2 * tris_a.shape[0] + tris_b.shape[0])

@@ -187,8 +187,11 @@ def test_packet_ordered_and_islab_variants():
     scene = build_scene(_soup_of(tris))
     packed = pack_scene(scene)
     ref = trace_packets(packed, rays, interpret=True)
+    # islab+dual is the exact config the headline bench auto-selects at
+    # pkt>=2048 (ADVICE r1) — it must be covered on CPU.
     for kw in (dict(ordered=True), dict(islab=True),
-               dict(islab=True, ordered=True)):
+               dict(islab=True, ordered=True), dict(islab=True, dual=True),
+               dict(islab=True, dual=True, ordered=True)):
         got = trace_packets(packed, rays, interpret=True, **kw)
         np.testing.assert_array_equal(np.asarray(got.hit),
                                       np.asarray(ref.hit))
@@ -228,3 +231,47 @@ def test_packet_watertight_closed_mesh():
     # any-hit must agree (occlusion can never leak either)
     occ = trace_packets(packed, rays, mode="any", interpret=True)
     assert int((~np.asarray(occ.hit)).sum()) == 0
+
+
+def test_packet_filter_mask_matches_stack_filter():
+    """Built-in filter family on the packet fast path (VERDICT r1 item 7):
+    (tri_mask & query_mask) != 0 in the leaf phase must agree with an
+    equivalent filter callable on the XLA stack engine (rtk.h:117,130)."""
+    from rtk_tpu.config import TraceConfig
+    from rtk_tpu.trace import stack as _stack
+
+    tris = scenes.blob(subdivisions=3)[0]
+    t = tris.shape[0]
+    scene = build_scene(_soup_of(tris))
+    tri_mask = np.where(np.arange(t) % 2 == 1, 1, 2).astype(np.uint32)
+    packed = pack_scene(scene, tri_mask=tri_mask)
+
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16)
+    ref = trace_packets(packed, rays, interpret=True)
+    h_all = trace_packets(packed, rays, interpret=True, filter_mask=3)
+    np.testing.assert_array_equal(np.asarray(h_all.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(h_all.t), np.asarray(ref.t))
+
+    h_odd = trace_packets(packed, rays, interpret=True, filter_mask=1)
+    hs = _stack.trace_closest(
+        scene, rays, filter_fn=lambda cand: cand.triangle_index % 2 == 1,
+        config=TraceConfig())
+    np.testing.assert_array_equal(np.asarray(h_odd.hit), np.asarray(hs.hit))
+    np.testing.assert_allclose(np.asarray(h_odd.t), np.asarray(hs.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h_odd.triangle_index),
+                                  np.asarray(hs.triangle_index))
+    # any-hit respects the mask too
+    occ = trace_packets(packed, rays, interpret=True, mode="any",
+                        filter_mask=1)
+    oc = np.asarray(occ.hit)
+    ti = np.asarray(occ.triangle_index)
+    assert (ti[oc] % 2 == 1).all()
+    # refit keeps the mask column
+    from rtk_tpu import refit
+    from rtk_tpu.trace.packed import repack_bounds
+
+    scene2 = refit(scene, tris + np.float32(0.01))
+    packed2 = repack_bounds(packed, scene2)
+    h2 = trace_packets(packed2, rays, interpret=True, filter_mask=1)
+    assert (np.asarray(h2.triangle_index)[np.asarray(h2.hit)] % 2 == 1).all()

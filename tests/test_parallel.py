@@ -105,3 +105,50 @@ def test_scene_sharded_matches_single_device():
                                   np.asarray(want.triangle_index))
     occ = trace_any_scene_sharded(sscene, rays, mesh, interpret=True)
     np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(want.hit))
+
+
+def test_scene_sharded_any_hit_record_consistent():
+    """Scene-sharded any-hit must return a SELF-CONSISTENT record: the
+    reported (t, u, v) must reproduce the reported slot's triangle hit
+    point (r1 fix: per-field pmax combines produced chimera records
+    mixing fields from different chips)."""
+    from rtk_tpu.config import BuildConfig
+    from rtk_tpu.parallel.shard import (build_scene_sharded,
+                                        trace_any_scene_sharded)
+
+    tris = scenes.blob(subdivisions=3)[0]
+    mesh = default_mesh()
+    desc = (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3))
+    sscene = build_scene_sharded(desc, mesh,
+                                 BuildConfig(branching=8, leaf_size=8))
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16)
+    occ = trace_any_scene_sharded(sscene, rays, mesh, interpret=True)
+    h = np.asarray(occ.hit)
+    assert h.any()
+    # o + t*d == barycentric(slot triangle, u, v) for every hit ray: only
+    # holds when all four fields come from the same chip's intersection.
+    slot = np.asarray(occ.slot)[h]
+    t = np.asarray(occ.t)[h]
+    u = np.asarray(occ.u)[h]
+    v = np.asarray(occ.v)[h]
+    o = np.asarray(rays.origin)[h]
+    d = np.asarray(rays.direction)[h]
+    tv = np.asarray(sscene.tri_v.reshape(-1, 3, 3))[slot]
+    # Barycentric convention (rtk.c:363-375): u weights v0, v weights v1.
+    p_bary = u[:, None] * tv[:, 0] + v[:, None] * tv[:, 1] \
+        + (1.0 - u - v)[:, None] * tv[:, 2]
+    np.testing.assert_allclose(o + t[:, None] * d, p_bary, atol=5e-3)
+    # misses keep the contract: t == max_t, slot == -1
+    np.testing.assert_array_equal(np.asarray(occ.slot)[~h], -1)
+    np.testing.assert_allclose(np.asarray(occ.t)[~h],
+                               np.asarray(rays.max_t)[~h])
+
+
+def test_partition_soup_rejects_tiny_scenes():
+    import pytest
+
+    from rtk_tpu.parallel.shard import partition_soup
+
+    tri_pos = np.zeros((5, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="non-empty parts"):
+        partition_soup(tri_pos, 8)

@@ -60,3 +60,68 @@ def test_validation():
         load_scene(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         load_scene(bytes(data[:256]))
+
+
+def test_packed_roundtrip(tmp_path):
+    """PackedScene round-trip: the packed blob is the runtime format —
+    load-and-trace with NO repack (VERDICT r1 item 9; rtk.c:1732-1774)."""
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.utils.serialize import load_packed_scene, save_packed_scene
+
+    scene = _scene()
+    packed = pack_scene(scene)
+    path = str(tmp_path / "scene.rtk8p")
+    n = save_packed_scene(packed, path)
+    assert n % 128 == 0
+    loaded = load_packed_scene(path)
+    assert loaded.num_tris == packed.num_tris
+    assert loaded.leaf_size == packed.leaf_size
+    rays = scenes.cornell_camera(16, 16)
+    a = trace_packets(packed, rays, interpret=True)
+    b = trace_packets(loaded, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.slot), np.asarray(b.slot))
+    np.testing.assert_array_equal(np.asarray(a.triangle_index),
+                                  np.asarray(b.triangle_index))
+
+
+def test_instanced_roundtrip(tmp_path):
+    """InstancedScene round-trip incl. nested merged Scene + blas_tris."""
+    from rtk_tpu import BuildConfig, build_scene
+    from rtk_tpu.instancing import build_instanced
+    from rtk_tpu.utils.serialize import (load_any, load_instanced_scene,
+                                         save_instanced_scene)
+
+    tris = scenes.cornell_box()
+    cfg = BuildConfig(branching=8, leaf_size=8)
+    blas = build_scene(
+        (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)),
+        cfg)
+    eye = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    tf = np.stack([eye, eye + np.array([[0, 0, 0, 2.0]] * 3)])
+    iscene = build_instanced([blas], [0, 0], tf.astype(np.float32))
+    path = str(tmp_path / "scene.rtk8i")
+    save_instanced_scene(iscene, path)
+    loaded = load_instanced_scene(path)
+    assert loaded.blas_tris == iscene.blas_tris
+    assert loaded.total_triangles == iscene.total_triangles
+    np.testing.assert_array_equal(np.asarray(loaded.roots),
+                                  np.asarray(iscene.roots))
+    np.testing.assert_array_equal(np.asarray(loaded.world_from_object),
+                                  np.asarray(iscene.world_from_object))
+    np.testing.assert_array_equal(np.asarray(loaded.merged.tri_v),
+                                  np.asarray(iscene.merged.tri_v))
+    # load_any dispatches on the header kind byte.
+    any_loaded = load_any(path)
+    assert type(any_loaded).__name__ == "InstancedScene"
+
+
+def test_kind_mismatch_rejected(tmp_path):
+    from rtk_tpu.utils.serialize import load_packed_scene
+
+    scene = _scene()
+    path = str(tmp_path / "scene.rtk8")
+    save_scene(scene, path)
+    with pytest.raises(ValueError, match="kind"):
+        load_packed_scene(path)
