@@ -355,39 +355,73 @@ def _one_round(packed, object_from_world, rays, best, best_inst,
     return best, best_inst
 
 
-def _instanced_rounds_impl(packed, object_from_world, rays, best, best_inst,
-                           cand_cols, candt_cols, gidxs, rootss, *,
-                           interpret, unit):
-    """ALL candidate rounds as one device program (each eager round used to
-    pay this runtime's fixed post-Pallas dispatch cost plus a host sync)."""
-    for cand_col, cand_t_col, gidx, roots in zip(cand_cols, candt_cols,
-                                                 gidxs, rootss):
+def _group_round(cand_col, n_inst, unit, M):
+    """On-device per-round grouping: rays sorted by candidate instance,
+    each instance's run padded to whole `unit`-ray packets.
+
+    Replaces the r1 host-side bucketing (np.unique + python loop + one
+    device sync per trace).  Returns (gidx (M,) padded slot -> ray index
+    or -1, binst (M//unit,) instance id per packet block).  Dead padded
+    slots carry max_t = 0 rays, which the kernel's dead-ray cull
+    terminates in a step — the static-M padding waste is tiny."""
+    n = cand_col.shape[0]
+    valid = cand_col >= 0
+    key = jnp.where(valid, cand_col, n_inst).astype(jnp.int32)
+    ridx = jnp.arange(n, dtype=jnp.int32)
+    key_s, ray_s = jax.lax.sort((key, ridx), num_keys=1)
+    # Rank within the instance run = position - first index of that key.
+    starts = jnp.searchsorted(key_s, key_s, side="left")
+    rank = ridx - starts.astype(jnp.int32)
+    counts = jnp.bincount(key_s, length=n_inst + 1)
+    padded = ((counts + unit - 1) // unit) * unit
+    base = jnp.concatenate([jnp.zeros((1,), padded.dtype),
+                            jnp.cumsum(padded[:-1])]).astype(jnp.int32)
+    slot = jnp.take(base, key_s) + rank
+    slot = jnp.where(key_s < n_inst, slot, M)  # invalid -> dropped
+    gidx = jnp.full((M,), -1, jnp.int32).at[slot].set(ray_s, mode="drop")
+    binst = jnp.zeros((M // unit,), jnp.int32).at[slot // unit].set(
+        key_s, mode="drop")
+    return gidx, binst
+
+
+def _instanced_packets_impl(packed, object_from_world, packed_roots,
+                            inst_blas, inst_lo, inst_hi, origin, direction,
+                            min_t, max_t, *, unit, M, C, n_inst, chunk,
+                            interpret):
+    """Candidates + all grouped rounds as ONE device program (no host
+    syncs; the r1 version synced the candidate table per trace)."""
+    rays = Rays(origin=origin, direction=direction, min_t=min_t,
+                max_t=max_t)
+    cand_idx, cand_t = _instance_candidates_impl(
+        inst_lo, inst_hi, origin, direction, min_t, max_t, c=C,
+        chunk=chunk)
+    n = origin.shape[0]
+    best = {
+        "t": max_t,
+        "u": jnp.zeros((n,), jnp.float32),
+        "v": jnp.zeros((n,), jnp.float32),
+        "slot": jnp.full((n,), -1, jnp.int32),
+    }
+    best_inst = jnp.full((n,), -1, jnp.int32)
+    for s in range(C):
+        gidx, binst = _group_round(cand_idx[:, s], n_inst, unit, M)
+        roots = jnp.take(packed_roots, jnp.take(inst_blas, binst))
         best, best_inst = _one_round(
             packed, object_from_world, rays, best, best_inst,
-            cand_col, cand_t_col, gidx, roots, interpret, unit)
+            cand_idx[:, s], cand_t[:, s], gidx, roots, interpret, unit)
     return best, best_inst
 
 
 @functools.lru_cache(maxsize=None)
-def _instanced_rounds_jit(interpret: bool, tpu: bool, unit: int):
-    # XLA's small-tensor VMEM offload sums the many per-round ray blocks
-    # into one scoped allocation and trips the default 16 MB budget; v5e
-    # has 128 MB of VMEM, so give the scheduler room.  The option only
-    # exists on the TPU compiler.
-    opts = {"xla_tpu_scoped_vmem_limit_kib": 100 * 1024} if tpu else None
+def _instanced_packets_jit(interpret: bool, tpu: bool, unit: int, M: int,
+                           C: int, n_inst: int, chunk: int):
+    # See _instanced_rounds_jit note in r1: many per-round ray blocks trip
+    # the default 16 MB scoped-vmem budget; v5e has 128 MB.
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
-        functools.partial(_instanced_rounds_impl, interpret=interpret,
-                          unit=unit),
+        functools.partial(_instanced_packets_impl, unit=unit, M=M, C=C,
+                          n_inst=n_inst, chunk=chunk, interpret=interpret),
         compiler_options=opts)
-
-
-def _instanced_rounds(packed, object_from_world, rays, best, best_inst,
-                      cand_cols, candt_cols, gidxs, rootss, *, interpret,
-                      unit):
-    fn = _instanced_rounds_jit(interpret, jax.default_backend() == "tpu",
-                               unit)
-    return fn(packed, object_from_world, rays, best, best_inst,
-              cand_cols, candt_cols, gidxs, rootss)
 
 
 def trace_closest_instanced_packets(
@@ -398,9 +432,11 @@ def trace_closest_instanced_packets(
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
-    Per candidate round, live rays are grouped by instance (host-side
-    bucketing), padded to 128-ray packets sharing that instance's BLAS root,
-    transformed to object space, and traced with per-packet roots.
+    Per candidate round, live rays are grouped by instance ON DEVICE
+    (sort + searchsorted ranks + padded scatter), padded to 128-ray
+    packets sharing that instance's BLAS root, transformed to object
+    space, and traced with per-packet roots.  Candidates, grouping and
+    all rounds fuse into one device program with zero host syncs.
     """
     from rtk_tpu.ops.pallas_trace import PKT
     from rtk_tpu.types import PacketHits
@@ -413,60 +449,34 @@ def trace_closest_instanced_packets(
     # packet spans most of its object and measured 20-30% SLOWER than
     # 128 at 512^2..1024^2; keep the narrow unit.
     unit = PKT
-    cand_idx, cand_t = _instance_candidates(iscene, rays, max_candidates)
-    cand_idx_h = np.asarray(cand_idx)
-    packed_roots_h = np.asarray(pscene.packed_roots)
-    inst_blas_h = np.asarray(iscene.instance_blas)
+    n_inst = iscene.num_instances
+    C = min(max_candidates, n_inst)
+    chunk = min(16384, max(1, n))
+    pad = (-n) % chunk
+    np_ = n + pad
 
-    best = {
-        "t": jnp.asarray(rays.max_t),
-        "u": jnp.zeros((n,), jnp.float32),
-        "v": jnp.zeros((n,), jnp.float32),
-        "slot": jnp.full((n,), -1, jnp.int32),
-    }
-    best_inst = jnp.full((n,), -1, jnp.int32)
+    def padded(a, fill):
+        if pad == 0:
+            return jnp.asarray(a)
+        a = jnp.asarray(a)
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
 
-    # Host-side grouping for every round comes from the candidate table
-    # alone (one sync); liveness culling happens on-device inside the
-    # rounds, so all rounds fuse into ONE device program.
-    gidxs, rootss, cand_cols, candt_cols = [], [], [], []
-    for slot in range(cand_idx.shape[1]):
-        inst_col = cand_idx_h[:, slot]
-        idx = np.nonzero(inst_col >= 0)[0]
-        if idx.size == 0:
-            continue
-        inst_h = inst_col[idx]
-        # Group rays by instance; pad each group to whole packets.
-        order = np.argsort(inst_h, kind="stable")
-        idx = idx[order]
-        inst_sorted = inst_h[order]
-        groups, counts = np.unique(inst_sorted, return_counts=True)
-        padded = int(np.sum((counts + unit - 1) // unit) * unit)
-        # Bucket to powers of two so kernel shapes (and compiles) repeat
-        # across rounds/frames.
-        padded = max(8 * unit, 1 << int(np.ceil(np.log2(padded))))
-        roots = np.zeros(padded // unit, np.int32)
-        gidx = np.full(padded, -1, np.int64)  # padded slot -> ray index
-        cursor = 0
-        s = 0
-        for g, c in zip(groups, counts):
-            gidx[cursor:cursor + c] = idx[s:s + c]
-            blk = (c + unit - 1) // unit
-            roots[cursor // unit: cursor // unit + blk] = (
-                packed_roots_h[inst_blas_h[g]])
-            cursor += blk * unit
-            s += c
-        gidxs.append(jnp.asarray(gidx))
-        rootss.append(jnp.asarray(roots))
-        cand_cols.append(cand_idx[:, slot])
-        candt_cols.append(cand_t[:, slot])
-    if gidxs:
-        # Each ray occupies exactly one grouped slot per round, so the
-        # improvement scatters inside are unique.
-        best, best_inst = _instanced_rounds(
-            pscene.packed, iscene.object_from_world, rays, best, best_inst,
-            tuple(cand_cols), tuple(candt_cols), tuple(gidxs),
-            tuple(rootss), interpret=interpret, unit=unit)
+    # Static grouped size: every ray + <= unit-1 padding per nonempty
+    # instance run, rounded to whole 8-packet blocks.
+    blk = 8 * unit
+    M = (np_ + n_inst * unit + blk - 1) // blk * blk
+
+    fn = _instanced_packets_jit(interpret, jax.default_backend() == "tpu",
+                                unit, M, C, n_inst, chunk)
+    best, best_inst = fn(
+        pscene.packed, iscene.object_from_world, pscene.packed_roots,
+        iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,
+        padded(rays.origin, 0.0), padded(rays.direction, 1.0),
+        padded(rays.min_t, 0.0), padded(rays.max_t, 0.0))
+    if pad:
+        best = {k: v[:n] for k, v in best.items()}
+        best_inst = best_inst[:n]
 
     packed = pscene.packed
     hits = PacketHits(

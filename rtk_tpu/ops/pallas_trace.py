@@ -934,7 +934,8 @@ def _trace_impl_jit(tpu: bool):
         _trace_impl_fn,
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
-                         "ordered", "islab", "lesion", "use_mask"),
+                         "ordered", "islab", "lesion", "use_mask",
+                         "stats"),
         compiler_options=opts)
 
 
@@ -951,7 +952,7 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots,
 def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    qmask=None, *, mode, watertight, interpret, p_pk,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
-                   islab=False, lesion=None, use_mask=False):
+                   islab=False, lesion=None, use_mask=False, stats=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1001,6 +1002,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
+        stats=stats,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n]
@@ -1013,6 +1015,18 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         _, t, u, v, slot = jax.lax.sort((idx, t, u, v, slot), num_keys=1)
 
     hit = slot >= 0
+    if stats:
+        # Per-ray kernel step count of the ray's block (observability:
+        # the packet analogue of rtk's per-node build logging hooks).
+        steps = out[4].reshape(-1)[:n]
+        if sort_rays:
+            _, steps = jax.lax.sort((idx, steps), num_keys=1)
+        return PacketHits(
+            hit=hit, t=t, u=jnp.where(hit, u, 0.0),
+            v=jnp.where(hit, v, 0.0), slot=slot, origin=origin,
+            direction=direction, tri_v=packed.tri_v,
+            tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
+            tri_prim=packed.tri_prim), steps
     return PacketHits(
         hit=hit,
         t=t,
@@ -1037,7 +1051,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   ordered: bool = False,
                   islab: bool | None = None,
                   lesion: str | None = None,
-                  filter_mask: int | None = None) -> PacketHits:
+                  filter_mask: int | None = None,
+                  stats: bool = False) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1116,7 +1131,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
-        use_mask=filter_mask is not None)
+        use_mask=filter_mask is not None, stats=stats)
 
 
 @functools.partial(

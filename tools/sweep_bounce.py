@@ -75,6 +75,31 @@ def main():
         except Exception as e:
             log(f"{name:28s} FAILED: {type(e).__name__}: {e}")
 
+    # Alternative coherence key: origin-Morton + direction octant
+    # (models/path.py key) instead of the probe-point key.
+    try:
+        import numpy as _np
+
+        from rtk_tpu.models.path import _ray_sort_key
+
+        lo = jnp.asarray(atr.reshape(-1, 3).min(axis=0))
+        hi = jnp.asarray(atr.reshape(-1, 3).max(axis=0))
+        k32 = _ray_sort_key(bounce, lo, hi)
+        order = jnp.argsort(k32)
+        b2 = Rays(origin=jnp.take(bounce.origin, order, axis=0),
+                  direction=jnp.take(bounce.direction, order, axis=0),
+                  min_t=jnp.take(bounce.min_t, order),
+                  max_t=jnp.take(bounce.max_t, order))
+        for name, kw in [("octant-key dual pkt=128",
+                          dict(dual=True, pkt=128)),
+                         ("octant-key dual pkt=512",
+                          dict(dual=True, pkt=512))]:
+            dt = timeit(lambda: trace_packets(packed, b2, sort_rays=False,
+                                              **kw))
+            log(f"{name:28s} {dt*1e3:8.1f} ms  {nrays/dt/1e6:7.2f} Mrays/s")
+    except Exception as e:
+        log(f"octant-key FAILED: {type(e).__name__}: {e}")
+
     # Stackless skip-link engine (per-ray, no union waste).
     try:
         from rtk_tpu.trace.stackless import build_stackless, trace_stackless
