@@ -120,7 +120,7 @@ def _popcount8(v):
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
-                 use_mask=False):
+                 use_mask=False, kz_tables=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -141,6 +141,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
     def kernel(roots_ref,  # (n_packets,) i32 scalar-prefetch (SMEM)
                qmask_ref,  # (1,) i32 scalar-prefetch: filter query mask
+               kzs_ref,  # (n_packets,) i32 scalar-prefetch: packet kz bin
                nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
@@ -280,6 +281,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             int_pack = jnp.int32(0)
             leaf_pack = jnp.int32(0)
             tri0s = []
+            kz_rows = []
             pop_rows = []
             for p in range(P):
                 spi = sps_i[p]
@@ -322,6 +324,16 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     new_spl.append(jnp.int32(0))
                 leaf_pack = leaf_pack | (al.astype(jnp.int32) << p)
                 tri0s.append((-lent - 2) * k_tris)
+                if kz_tables:
+                    # tris_ref stacks 3 rotated tables; packets are
+                    # kz-uniform by construction (trace-layer binning).
+                    # Tail padding packets carry kz=3 -> clamp to table 2
+                    # (dead rays never record hits).
+                    kzp = jnp.minimum(kzs_ref[pid * P + p], 2)
+                    if hbm_tris:
+                        kz_rows.append(kzp * ((tris_ref.shape[0] // 3)))
+                    else:
+                        kz_rows.append(kzp * (tris_ref.shape[0] // 3))
 
             # ---- stage node child rows + leaf triangle rows ----
             if hbm_tris:
@@ -333,9 +345,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 rows_per_leaf = k_tris // 8
                 dmas = []
                 for p in range(P):
+                    row0 = tri0s[p] // 8
+                    if kz_tables:
+                        row0 = row0 + kz_rows[p]
                     dma = pltpu.make_async_copy(
                         tris_ref.at[
-                            pl.ds(tri0s[p] // 8, rows_per_leaf), :],
+                            pl.ds(row0, rows_per_leaf), :],
                         stage_tris.at[
                             pl.ds(p * rows_per_leaf, rows_per_leaf), :],
                         tri_sems.at[p],
@@ -352,8 +367,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 @pl.when(leaf_pack != 0)
                 def _stage_tri_rows():
                     for p in range(P):
+                        src0 = tri0s[p]
+                        if kz_tables:
+                            src0 = src0 + kz_rows[p]
                         stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
-                            pl.ds(tri0s[p], k_tris), :]
+                            pl.ds(src0, k_tris), :]
 
             int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
@@ -656,12 +674,20 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 # the cheap pass records which lanes had an exact-zero edge
                 # function; only if any exist (rare) does a scalar branch
                 # redo the pass with the double-word products applied.
+                # NOTE: translate-before-shear (px = v - o first) is kept
+                # deliberately: folding the origin into hoisted constants
+                # (xs = sel_x(v) + sx*sel_z(v) - c) saves ~9 ops/tri but
+                # loses precision by cancellation when |v| >> |v - o| —
+                # the reference orders it this way for the same reason
+                # (rtk.c:228-240).
                 def tri_test(verts, exact):
                     xs, ys, zs = [], [], []
                     for j in range(3):
                         vx, vy, vz = (verts[3 * j], verts[3 * j + 1],
                                       verts[3 * j + 2])
-                        if "noselk" in lesion:
+                        if kz_tables or "noselk" in lesion:
+                            # kz_tables: vertex coords arrive pre-rotated
+                            # to (kx, ky, kz) for this packet's bin.
                             px, py, pz = vx - o_kx, vy - o_ky, vz - o_kz
                         else:
                             px = selk(kx0, kx1, vx, vy, vz) - o_kx
@@ -870,17 +896,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
-                     "use_mask"),
+                     "use_mask", "kz_tables"),
 )
-def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode, watertight,
-                interpret, num_tris, leaf_size, stats=False, p_pk=DEFAULT_P,
-                hbm_tris=False, dual=False, pkt=PKT, narrow=True,
-                ordered=False, islab=False, lesion=None, use_mask=False):
+def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
+                watertight, interpret, num_tris, leaf_size, stats=False,
+                p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
+                narrow=True, ordered=False, islab=False, lesion=None,
+                use_mask=False, kz_tables=False):
     P = p_pk
     PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
-    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask: (i, 0),
+    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask, kzs: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tris
@@ -889,12 +916,12 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode, watertight,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab, lesion=lesion,
-                          use_mask=use_mask)
+                          use_mask=use_mask, kz_tables=kz_tables)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(grid,),
         in_specs=[full(), tri_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * n_out,
@@ -915,7 +942,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode, watertight,
             jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
         interpret=interpret,
-    )(roots, qmask, nodes, tris, *ray_comps)
+    )(roots, qmask, kzs, nodes, tris, *ray_comps)
     return out
 
 
@@ -960,7 +987,49 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     n = origin.shape[0]
     PKT = pkt
     idx = None
-    if sort_rays:
+    kzb = packed.kz_tables
+    n2 = n
+    kz_keys = None
+    if kzb:
+        # Bin rays by shear dominant axis so every packet is kz-uniform
+        # (the pre-rotated triangle tables assume it).  3*PKT synthetic
+        # pad rows get runtime-assigned bins so each bin's run is a whole
+        # number of packets; leftovers sort behind everything as
+        # pseudo-bin 3 (dead rays; the kernel clamps the table index).
+        from rtk_tpu.ops.morton import ray_coherence_key
+
+        ad = jnp.abs(direction)
+        maxc = jnp.max(ad, axis=1)
+        # must match the kernel's per-ray rule exactly
+        kzr = jnp.where(ad[:, 0] == maxc, 0,
+                        jnp.where(ad[:, 1] == maxc, 1, 2)).astype(jnp.uint32)
+        sub = (ray_coherence_key(origin, direction) >> 2 if sort_rays
+               else jnp.zeros((n,), jnp.uint32))
+        key = (kzr << jnp.uint32(30)) | sub
+        counts = jnp.bincount(kzr.astype(jnp.int32), length=3)
+        need = ((-counts) % PKT).astype(jnp.int32)
+        cum = jnp.cumsum(need)
+        j = jnp.arange(3 * PKT, dtype=jnp.int32)
+        pk = jnp.where(j < cum[0], 0,
+                       jnp.where(j < cum[1], 1,
+                                 jnp.where(j < cum[2], 2, 3))).astype(
+                                     jnp.uint32)
+        pad_key = (pk << jnp.uint32(30)) | jnp.uint32(0x2FFFFFFF)
+        key = jnp.concatenate([key, pad_key])
+        n2 = n + 3 * PKT
+
+        def ext(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((3 * PKT,), fill, a.dtype)])
+
+        idx = jnp.arange(n2, dtype=jnp.int32)
+        (kz_keys, idx, c0, c1, c2, c3, c4, c5, c6, c7) = jax.lax.sort(
+            (key, idx, ext(origin[:, 0], 0.0), ext(origin[:, 1], 0.0),
+             ext(origin[:, 2], 0.0), ext(direction[:, 0], 1.0),
+             ext(direction[:, 1], 0.0), ext(direction[:, 2], 0.0),
+             ext(min_t, 0.0), ext(max_t, 0.0)), num_keys=1)
+        comps8 = (c0, c1, c2, c3, c4, c5, c6, c7)
+    elif sort_rays:
         from rtk_tpu.ops.morton import ray_coherence_key
 
         key = ray_coherence_key(origin, direction)
@@ -975,15 +1044,15 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                   direction[:, 0], direction[:, 1], direction[:, 2],
                   min_t, max_t)
 
-    pad = (-n) % (p_pk * PKT)
-    npad = n + pad
+    pad = (-n2) % (p_pk * PKT)
+    npad = n2 + pad
 
     def comp(a, fill, edge):
         if pad:
             # Edge-replicate origin/direction (a constant-fill ray would
             # blow up the last packet's interval bounds under islab);
             # max_t pads with 0 so padding rays stay dead.
-            tail = (jnp.broadcast_to(a[n - 1:n], (pad,)) if edge
+            tail = (jnp.broadcast_to(a[n2 - 1:n2], (pad,)) if edge
                     else jnp.full((pad,), fill, a.dtype))
             a = jnp.concatenate([a, tail], axis=0)
         return a.reshape(npad // PKT, PKT)
@@ -996,31 +1065,42 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                   else packed.tris)
     if qmask is None:
         qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
+    n_packets = npad // PKT
+    if kzb:
+        kzs = jnp.full((n_packets,), 3, jnp.int32)
+        n_full = n2 // PKT
+        kzs = kzs.at[:n_full].set(
+            (kz_keys[:n_full * PKT:PKT] >> jnp.uint32(30)).astype(jnp.int32))
+    else:
+        kzs = jnp.zeros((n_packets,), jnp.int32)
     out = _run_kernel(
-        packed.nodes, tris_table, ray_comps, roots, qmask,
+        packed.nodes, tris_table, ray_comps, roots, qmask, kzs,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
-        stats=stats,
+        kz_tables=kzb, stats=stats,
     )
     out_t, out_u, out_v, out_slot = out[:4]
-    t = out_t.reshape(-1)[:n]
-    u = out_u.reshape(-1)[:n]
-    v = out_v.reshape(-1)[:n]
-    slot = out_slot.reshape(-1)[:n]
-    if sort_rays:
+    t = out_t.reshape(-1)[:n2]
+    u = out_u.reshape(-1)[:n2]
+    v = out_v.reshape(-1)[:n2]
+    slot = out_slot.reshape(-1)[:n2]
+    if idx is not None:
         # Unscatter to caller order: one multi-operand sort by original
         # index (sorts are fast on TPU; 1M-element gathers are not).
+        # kz-bin pads carry idx >= n and sort behind the real rays.
         _, t, u, v, slot = jax.lax.sort((idx, t, u, v, slot), num_keys=1)
+    t, u, v, slot = t[:n], u[:n], v[:n], slot[:n]
 
     hit = slot >= 0
     if stats:
         # Per-ray kernel step count of the ray's block (observability:
         # the packet analogue of rtk's per-node build logging hooks).
-        steps = out[4].reshape(-1)[:n]
-        if sort_rays:
+        steps = out[4].reshape(-1)[:n2]
+        if idx is not None:
             _, steps = jax.lax.sort((idx, steps), num_keys=1)
+        steps = steps[:n]
         return PacketHits(
             hit=hit, t=t, u=jnp.where(hit, u, 0.0),
             v=jnp.where(hit, v, 0.0), slot=slot, origin=origin,
@@ -1101,6 +1181,9 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     if sort_rays and packet_roots is not None:
         raise ValueError("sort_rays cannot reorder rays that carry "
                          "per-packet roots; pass sort_rays=False")
+    if packed.kz_tables and packet_roots is not None:
+        raise ValueError("kz-binned scenes reorder rays and cannot carry "
+                         "per-packet roots; pack with kz_tables=False")
     if hbm_tris is None:
         hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
     if hbm_tris and packed.leaf_size % 8 != 0:

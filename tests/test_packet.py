@@ -275,3 +275,33 @@ def test_packet_filter_mask_matches_stack_filter():
     packed2 = repack_bounds(packed, scene2)
     h2 = trace_packets(packed2, rays, interpret=True, filter_mask=1)
     assert (np.asarray(h2.triangle_index)[np.asarray(h2.hit)] % 2 == 1).all()
+
+
+def test_packet_kz_tables_bit_exact():
+    """kz-binned pre-rotated triangle tables (3x table, per-packet scalar
+    rotation) must reproduce the baseline kernel BIT-EXACTLY — the
+    rotation changes data layout, not arithmetic."""
+    tris = scenes.blob(subdivisions=3)[0]
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    packed_kz = pack_scene(scene, kz_tables=True)
+    assert packed_kz.tris.shape[0] == 3 * packed.tris.shape[0]
+
+    rng = np.random.default_rng(5)
+    from rtk_tpu.types import Rays
+
+    batches = [
+        scenes.camera_rays((2, 1, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16),
+        Rays.make(rng.normal(size=(300, 3)).astype(np.float32) * 0.5,
+                  rng.normal(size=(300, 3)).astype(np.float32)),
+    ]
+    for rays in batches:
+        ref = trace_packets(packed, rays, interpret=True)
+        for kw in (dict(), dict(sort_rays=True), dict(dual=True)):
+            got = trace_packets(packed_kz, rays, interpret=True, **kw)
+            np.testing.assert_array_equal(np.asarray(got.hit),
+                                          np.asarray(ref.hit))
+            np.testing.assert_array_equal(np.asarray(got.t),
+                                          np.asarray(ref.t))
+            np.testing.assert_array_equal(np.asarray(got.slot),
+                                          np.asarray(ref.slot))
