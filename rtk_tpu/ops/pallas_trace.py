@@ -120,7 +120,7 @@ def _popcount8(v):
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
-                 use_mask=False, kz_tables=False):
+                 use_mask=False, kz_tables=False, pair_pops=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -283,6 +283,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             tri0s = []
             kz_rows = []
             pop_rows = []
+            raw0 = None
             for p in range(P):
                 spi = sps_i[p]
                 active = spi > 0
@@ -297,7 +298,30 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 row = stack_ref[
                     pl.ds(p * STACK_D + jnp.maximum(spi - 1, 0), 1), :]
                 pop_rows.append(row)
-                raw = row[0, 0]
+                if dual and pair_pops:
+                    # Paired pop: both queues' tops are u16-encoded (see
+                    # push below), combined vectorially and pulled to the
+                    # scalar core with ONE vector->scalar extract instead
+                    # of two — the extract chain is the dominant per-step
+                    # scalar cost (PERF_NOTES r2 lesion attribution).
+                    spl = sps_l[p]
+                    lrow = stack_ref[
+                        pl.ds(p * STACK_D + LEAF_BASE
+                              + jnp.maximum(spl - 1, 0), 1), :]
+                    comb = (row & 0xFFFF) | (lrow << 16)
+                    cv = comb[0, 0]
+                    iv16 = cv & 0xFFFF
+                    raw = jnp.where(iv16 >= 0x8000, -1, iv16)
+                    lv16 = (cv >> 16) & 0xFFFF
+                    lraw = jnp.where(
+                        lv16 == 0xFFFF, -1,
+                        -(lv16 & 0x7FFF) - 2).astype(jnp.int32)
+                elif "onepop" in lesion and p > 0:
+                    raw = raw0  # DIAGNOSTIC ONLY: wrong traversal
+                else:
+                    raw = row[0, 0]
+                if p == 0:
+                    raw0 = raw
                 # Overflow-clamped pushes can leave -1 fillers on the stack;
                 # treat them as inactive (a negative id would index the node
                 # table out of bounds and fault the chip).
@@ -309,10 +333,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 if dual:
                     spl = sps_l[p]
                     al = spl > 0
-                    lrow = stack_ref[
-                        pl.ds(p * STACK_D + LEAF_BASE
-                              + jnp.maximum(spl - 1, 0), 1), :]
-                    lraw = lrow[0, 0]
+                    if not pair_pops:
+                        lrow = stack_ref[
+                            pl.ds(p * STACK_D + LEAF_BASE
+                                  + jnp.maximum(spl - 1, 0), 1), :]
+                        lraw = lrow[0, 0]
                     al = al & (lraw <= -2)
                     lent = jnp.where(al, lraw, -2)
                     new_spl.append(spl - (spl > 0).astype(jnp.int32))
@@ -823,6 +848,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             # ---- vector push: one (8,8) block store per packet per queue
             # (stack rows hold one entry each, value broadcast across lanes;
             # entries transposed so packet p's pushes are column p) ----
+            if dual and pair_pops:
+                # u16-encode stack entries so paired pops can pull both
+                # queue tops through one extract.  Internal ids stay raw
+                # (< 0x8000, gated by the caller); leaf codes fold to
+                # 0x8000 | leaf_id; fillers become 0xFFFF.
+                comp_i = jnp.where(comp_i >= 0, comp_i, 0xFFFF)
+                comp_l = jnp.where(comp_l <= -2,
+                                   0x8000 | (-comp_l - 2), 0xFFFF)
             comp_i_t = comp_i.T  # (W, P)
             comp_l_t = comp_l.T if dual else None
             if prune:
@@ -896,13 +929,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
-                     "use_mask", "kz_tables"),
+                     "use_mask", "kz_tables", "pair_pops"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
-                use_mask=False, kz_tables=False):
+                use_mask=False, kz_tables=False, pair_pops=False):
     P = p_pk
     PKT = pkt
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
@@ -916,7 +949,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab, lesion=lesion,
-                          use_mask=use_mask, kz_tables=kz_tables)
+                          use_mask=use_mask, kz_tables=kz_tables,
+                          pair_pops=pair_pops)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -962,7 +996,7 @@ def _trace_impl_jit(tpu: bool):
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
-                         "stats"),
+                         "stats", "pair_pops"),
         compiler_options=opts)
 
 
@@ -979,7 +1013,8 @@ def _trace_impl(packed, origin, direction, min_t, max_t, roots,
 def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    qmask=None, *, mode, watertight, interpret, p_pk,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
-                   islab=False, lesion=None, use_mask=False, stats=False):
+                   islab=False, lesion=None, use_mask=False, stats=False,
+                   pair_pops=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1079,7 +1114,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
-        kz_tables=kzb, stats=stats,
+        kz_tables=kzb, stats=stats, pair_pops=pair_pops,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1132,7 +1167,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   islab: bool | None = None,
                   lesion: str | None = None,
                   filter_mask: int | None = None,
-                  stats: bool = False) -> PacketHits:
+                  stats: bool = False,
+                  pair_pops: bool | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1205,6 +1241,14 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             roots = jnp.concatenate(
                 [roots, jnp.zeros((n_packets - roots.shape[0],),
                                   jnp.int32)])
+    if pair_pops is None:
+        # Paired u16-encoded pops need every internal id < 0x8000 and
+        # every leaf id < 0x7FFF; only meaningful in dual mode.
+        pair_pops = (dual and packed.num_nodes < 0x8000
+                     and packed.num_padded_tris // packed.leaf_size
+                     < 0x7FFF)
+    else:
+        pair_pops = bool(pair_pops) and dual
     qmask = None
     if filter_mask is not None:
         qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)
@@ -1214,7 +1258,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
-        use_mask=filter_mask is not None, stats=stats)
+        use_mask=filter_mask is not None, stats=stats,
+        pair_pops=pair_pops)
 
 
 @functools.partial(

@@ -156,3 +156,40 @@ def measure_trace(tracer, rays, iters: int = 5, mode: str = "closest",
     return TraceStats(rays=rays.count, seconds=dt,
                       mrays_per_s=rays.count / dt / 1e6,
                       steps_per_block=steps)
+
+
+# ---------------------------------------------------------------------------
+# Profiler integration (SURVEY §5: "jax.profiler traces + per-kernel
+# timing" — the planned-but-missing piece flagged in VERDICT r1).
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str, annotation: Optional[str] = None):
+    """Capture a jax.profiler trace of everything inside the block.
+
+    Wraps jax.profiler.trace (works on CPU and TPU; view with
+    TensorBoard or xprof).  Optionally nests a TraceAnnotation so the
+    enclosed dispatches are grouped under one label.
+    """
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        if annotation is None:
+            yield
+        else:
+            with jax.profiler.TraceAnnotation(annotation):
+                yield
+
+
+def annotate(name: str):
+    """Decorator: group a function's device dispatches under `name` in
+    profiler traces (jax.profiler.annotate_function)."""
+    import jax
+
+    def wrap(fn):
+        return jax.profiler.annotate_function(fn, name=name)
+
+    return wrap
