@@ -193,14 +193,17 @@ def _instance_candidates_impl(inst_lo, inst_hi, origin, direction, min_t,
             idxs.append(jnp.where(ok, j, -1).astype(jnp.int32))
             ts.append(v)
             score = jnp.where(iota == j[:, None], jnp.inf, score)
-        return jnp.stack(idxs, axis=1), jnp.stack(ts, axis=1)
+        # (c+1)-th entry distance: the exactness bound for the candidate
+        # cap (rays whose best hit is farther must re-trace exhaustively).
+        overflow = jnp.min(score, axis=1)
+        return jnp.stack(idxs, axis=1), jnp.stack(ts, axis=1), overflow
 
     n = origin.shape[0]
     sh = (n // chunk, chunk)
-    ci, ct = jax.lax.map(block, (origin.reshape(sh + (3,)),
-                                 direction.reshape(sh + (3,)),
-                                 min_t.reshape(sh), max_t.reshape(sh)))
-    return ci.reshape(n, -1), ct.reshape(n, -1)
+    ci, ct, ov = jax.lax.map(block, (origin.reshape(sh + (3,)),
+                                     direction.reshape(sh + (3,)),
+                                     min_t.reshape(sh), max_t.reshape(sh)))
+    return ci.reshape(n, -1), ct.reshape(n, -1), ov.reshape(n)
 
 
 def _instance_candidates(iscene: InstancedScene, rays: Rays, c: int,
@@ -219,14 +222,14 @@ def _instance_candidates(iscene: InstancedScene, rays: Rays, c: int,
     pad = (-n) % chunk
     pad_one = lambda a, fill: (jnp.concatenate(
         [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a)
-    ci, ct = _instance_candidates_impl(
+    ci, ct, ov = _instance_candidates_impl(
         iscene.inst_lo, iscene.inst_hi,
         pad_one(jnp.asarray(rays.origin), 0.0),
         pad_one(jnp.asarray(rays.direction), 1.0),
         pad_one(jnp.asarray(rays.min_t), 0.0),
         pad_one(jnp.asarray(rays.max_t), 0.0),
         c=c, chunk=chunk)
-    return ci[:n], ct[:n]
+    return ci[:n], ct[:n], ov[:n]
 
 
 def trace_closest_instanced(
@@ -243,7 +246,8 @@ def trace_closest_instanced(
     usual contract and t is a world-space distance.
     """
     n = rays.count
-    cand_idx, cand_t = _instance_candidates(iscene, rays, max_candidates)
+    cand_idx, cand_t, _ = _instance_candidates(iscene, rays,
+                                               max_candidates)
 
     best = Hits(  # running best, start as all-miss
         hit=jnp.zeros((n,), bool),
@@ -392,7 +396,7 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
     syncs; the r1 version synced the candidate table per trace)."""
     rays = Rays(origin=origin, direction=direction, min_t=min_t,
                 max_t=max_t)
-    cand_idx, cand_t = _instance_candidates_impl(
+    cand_idx, cand_t, overflow = _instance_candidates_impl(
         inst_lo, inst_hi, origin, direction, min_t, max_t, c=C,
         chunk=chunk)
     n = origin.shape[0]
@@ -409,7 +413,10 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         best, best_inst = _one_round(
             packed, object_from_world, rays, best, best_inst,
             cand_idx[:, s], cand_t[:, s], gidx, roots, interpret, unit)
-    return best, best_inst
+    # A ray whose (C+1)-th instance-AABB entry is still closer than its
+    # best hit is unproven; the caller re-traces those exhaustively.
+    unproven = overflow < best["t"]
+    return best, best_inst, unproven
 
 
 @functools.lru_cache(maxsize=None)
@@ -424,11 +431,54 @@ def _instanced_packets_jit(interpret: bool, tpu: bool, unit: int, M: int,
         compiler_options=opts)
 
 
+def _residual_exhaustive(pscene, rays, best, best_inst, unproven):
+    """Exhaustive candidate rounds over ALL instances for unproven rays,
+    via the XLA stack engine (eager, early-breaking python loop — the
+    residual batch is small by construction)."""
+    iscene = pscene.iscene
+    packed = pscene.packed
+    n = rays.count
+    n_inst = iscene.num_instances
+    cand_idx, cand_t, _ = _instance_candidates(iscene, rays, n_inst)
+    inv = jnp.zeros((packed.tri_perm.shape[0],), jnp.int32).at[
+        packed.tri_perm].set(jnp.arange(packed.tri_perm.shape[0],
+                                        dtype=jnp.int32))
+    cfg = TraceConfig()
+    best_t = best["t"]
+    for s_ in range(cand_idx.shape[1]):
+        inst = cand_idx[:, s_]
+        live = unproven & (inst >= 0) & (cand_t[:, s_] < best_t)
+        if not bool(jnp.any(live)):
+            break
+        safe = jnp.clip(inst, 0, n_inst - 1)
+        inv_m = jnp.take(iscene.object_from_world, safe, axis=0)
+        o = (jnp.einsum("nab,nb->na", inv_m[:, :, :3], rays.origin)
+             + inv_m[:, :, 3])
+        d = jnp.einsum("nab,nb->na", inv_m[:, :, :3], rays.direction)
+        start = jnp.take(iscene.roots, jnp.take(iscene.instance_blas, safe))
+        obj_rays = Rays(origin=o, direction=d, min_t=rays.min_t,
+                        max_t=jnp.where(live, best_t, 0.0))
+        h, sorted_slot = _stack._trace_loop(
+            iscene.merged, obj_rays, mode="closest", filter_fn=None,
+            config=cfg, start_node=start, return_slot=True)
+        better = h.hit & (h.t < best_t) & live
+        best_t = jnp.where(better, h.t, best_t)
+        best["u"] = jnp.where(better, h.u, best["u"])
+        best["v"] = jnp.where(better, h.v, best["v"])
+        pslot = jnp.take(inv, jnp.clip(sorted_slot, 0,
+                                       inv.shape[0] - 1))
+        best["slot"] = jnp.where(better, pslot, best["slot"])
+        best_inst = jnp.where(better, inst, best_inst)
+    best["t"] = best_t
+    return best, best_inst
+
+
 def trace_closest_instanced_packets(
     pscene: PackedInstancedScene,
     rays: Rays,
     max_candidates: int = 8,
     interpret: bool = False,
+    exact: bool = True,
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
@@ -469,7 +519,7 @@ def trace_closest_instanced_packets(
 
     fn = _instanced_packets_jit(interpret, jax.default_backend() == "tpu",
                                 unit, M, C, n_inst, chunk)
-    best, best_inst = fn(
+    best, best_inst, unproven = fn(
         pscene.packed, iscene.object_from_world, pscene.packed_roots,
         iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,
         padded(rays.origin, 0.0), padded(rays.direction, 1.0),
@@ -477,6 +527,19 @@ def trace_closest_instanced_packets(
     if pad:
         best = {k: v[:n] for k, v in best.items()}
         best_inst = best_inst[:n]
+        unproven = unproven[:n]
+
+    if exact:
+        # Exactness residual: rays the C-candidate cap cannot prove get an
+        # exhaustive re-trace (all-instance candidates through the XLA
+        # stack path, which exposes its internal sorted slot -> mapped to
+        # a packed slot so the lazy PacketHits record stays consistent).
+        # One scalar host sync; the residual batch is tiny unless C is
+        # far below the scene's instance-overlap depth.
+        n_res = int(jnp.sum(unproven))
+        if n_res:
+            best, best_inst = _residual_exhaustive(
+                pscene, rays, best, best_inst, unproven)
 
     packed = pscene.packed
     hits = PacketHits(

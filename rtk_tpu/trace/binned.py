@@ -134,8 +134,8 @@ def _bin_candidates(lo, hi, origin, direction, min_t, max_t, *, c, chunk):
 
 
 def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
-                 min_t, max_t, *, unit, M, C, R, chunk, mode, watertight,
-                 interpret):
+                 min_t, max_t, *, unit, M, C, R, chunk, mode,
+                 watertight, interpret, filter_mask=None):
     from rtk_tpu.instancing import _group_round
     from rtk_tpu.ops.pallas_trace import trace_packets
 
@@ -164,7 +164,8 @@ def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
         )
         h = trace_packets(packed, grouped, mode=mode,
                           watertight=watertight, packet_roots=roots,
-                          pkt=unit, interpret=interpret)
+                          pkt=unit, interpret=interpret,
+                          filter_mask=filter_mask)
         improved = h.hit & (gidx >= 0) & (h.t < btake)
         tgt = jnp.where(improved, gidx, n)
         best = {k: best[k].at[tgt].set(v, mode="drop")
@@ -182,7 +183,8 @@ def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
         max_t=jnp.where(resid, best["t"], 0.0))
     hr = trace_packets(packed, resid_rays, mode=mode,
                        watertight=watertight, interpret=interpret,
-                       pkt=unit, sort_rays=False)
+                       pkt=unit, sort_rays=False,
+                       filter_mask=filter_mask)
     improved = hr.hit & (hr.t < best["t"])
     best = {k: jnp.where(improved, v, best[k])
             for k, v in (("t", hr.t), ("u", hr.u), ("v", hr.v),
@@ -193,12 +195,13 @@ def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
 
 @functools.lru_cache(maxsize=None)
 def _binned_jit(interpret: bool, tpu: bool, unit: int, M: int, C: int,
-                R: int, chunk: int, mode: str, watertight: bool):
+                R: int, chunk: int, mode: str, watertight: bool,
+                filter_mask):
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_binned_impl, unit=unit, M=M, C=C, R=R,
                           chunk=chunk, mode=mode, watertight=watertight,
-                          interpret=interpret),
+                          interpret=interpret, filter_mask=filter_mask),
         compiler_options=opts)
 
 
@@ -229,6 +232,7 @@ def trace_packets_binned(
     depth: int = 2,
     max_candidates: int = 8,
     unit: int = 128,
+    filter_mask: int | None = None,
 ) -> PacketHits:
     """Trace an incoherent ray batch by re-binning over subtree bins.
 
@@ -254,7 +258,8 @@ def trace_packets_binned(
     M = (np_ + R * unit + blk - 1) // blk * blk
 
     fn = _binned_jit(interpret, jax.default_backend() == "tpu", unit, M,
-                     C, R, chunk, mode, watertight)
+                     C, R, chunk, mode, watertight,
+                     None if filter_mask is None else int(filter_mask))
     best, _ = fn(packed, bin_roots, bin_lo, bin_hi,
                  padded(rays.origin, 0.0), padded(rays.direction, 1.0),
                  padded(rays.min_t, 0.0), padded(rays.max_t, 0.0))

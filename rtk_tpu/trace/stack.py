@@ -91,7 +91,7 @@ def _sort_w(ts, children, w):
 
 def _trace_loop(scene: Scene, rays: Rays, *, mode: str,
                 filter_fn: Optional[Callable], config: TraceConfig,
-                start_node=None, init_hit_t=None):
+                start_node=None, init_hit_t=None, return_slot=False):
     n = rays.count
     w = scene.branching
     d = config.max_stack
@@ -217,7 +217,7 @@ def _trace_loop(scene: Scene, rays: Rays, *, mode: str,
 
     hit = st["hit_slot"] >= 0
     safe = jnp.clip(st["hit_slot"], 0, tp - 1)
-    return Hits(
+    hits = Hits(
         hit=hit,
         t=st["hit_t"],  # == ray.max_t when no hit (only ever decreases)
         u=jnp.where(hit, st["hit_u"], 0.0),
@@ -229,6 +229,11 @@ def _trace_loop(scene: Scene, rays: Rays, *, mode: str,
         vertex_index=jnp.where(
             hit[:, None], jnp.take(scene.tri_vidx, safe, axis=0), -1),
     )
+    if return_slot:
+        # internal sorted-scene slot (consumers map it onwards, e.g. the
+        # instanced residual path -> packed slot)
+        return hits, st["hit_slot"]
+    return hits
 
 
 @functools.partial(

@@ -8,6 +8,9 @@ contract (rtk_trace_ray semantics, rtk.c:543-577):
     cached on this object.
   * "stack": the pure-XLA lockstep traversal (trace/stack.py) — runs on any
     backend, any branching, and supports filter callables.
+  * "binned": the packet kernel behind a re-binning front-end
+    (trace/binned.py) — for incoherent bounce batches, whose packet
+    unions otherwise approach the whole tree.
 
 "auto" picks packet on TPU when eligible and falls back to stack otherwise
 (including any call that passes a filter, which must trace arbitrary user
@@ -39,7 +42,8 @@ class Tracer:
         only triangles with (tri_mask & m) != 0 on the packet fast path —
         the built-in filter family; arbitrary filter_fn callables still
         route to the XLA stack engine (rtk.h:117,130)."""
-        if engine not in ("auto", "packet", "stack", "stackless"):
+        if engine not in ("auto", "packet", "stack", "stackless",
+                          "binned"):
             raise ValueError(f"unknown engine {engine!r}")
         self.scene = scene
         self.config = config
@@ -98,6 +102,13 @@ class Tracer:
             raise ValueError(
                 "filter_mask runs on the packet engine only; use "
                 "engine='packet' (or filter_fn on the stack engine)")
+        if self.engine == "binned" and filter_fn is None:
+            from rtk_tpu.trace.binned import trace_packets_binned
+
+            return trace_packets_binned(
+                self.packed, rays, mode=mode,
+                watertight=self.config.watertight,
+                filter_mask=filter_mask)
         if self.engine == "stackless" and filter_fn is None:
             from rtk_tpu.trace.stackless import build_stackless, trace_stackless
 

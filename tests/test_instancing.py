@@ -125,3 +125,27 @@ def test_total_triangles_counts_instances():
     iscene = build_instanced(blas, [0, 0, 1], np.stack([eye] * 3))
     assert iscene.total_triangles == (
         2 * tris_a.shape[0] + tris_b.shape[0])
+
+
+def test_instanced_packets_exact_with_small_candidate_cap():
+    """exact=True: a candidate cap far below the overlap depth must still
+    return the true nearest hit (overflow residual re-traces unproven
+    rays exhaustively)."""
+    import numpy as np
+
+    from rtk_tpu.instancing import (pack_instanced,
+                                    trace_closest_instanced_packets)
+
+    iscene, world_tris, _, _ = _setup(n_inst=12, seed=9)
+    pscene = pack_instanced(iscene)
+    rays = scenes.camera_rays((0, 2, 12), (0, 0, 0), (0, 1, 0), 45, 16, 16)
+    ref, iref = trace_closest_instanced_packets(pscene, rays,
+                                                max_candidates=12,
+                                                interpret=True)
+    got, igot = trace_closest_instanced_packets(pscene, rays,
+                                                max_candidates=1,
+                                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(igot), np.asarray(iref))
