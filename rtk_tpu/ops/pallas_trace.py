@@ -245,6 +245,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
         assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
 
+        if kz_tables:
+            # Per-packet rotated-table base rows, hoisted: the packet's kz
+            # bin is block-invariant, and prefetch-SMEM reads inside the
+            # traversal loop body faulted the chip.  Tail padding packets
+            # carry kz=3 -> clamp to table 2 (dead rays never hit).
+            tbl_rows = tris_ref.shape[0] // 3
+            kz_bases = [
+                jnp.minimum(kzs_ref[pid * P + p], 2) * tbl_rows
+                for p in range(P)
+            ]
+
         # Dead rays (max_t <= min_t: padding and wavefront-compaction
         # convention) must contribute NOTHING to a packet's traversal
         # union.  The closed slab test enter <= exit treats their empty
@@ -281,7 +292,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             int_pack = jnp.int32(0)
             leaf_pack = jnp.int32(0)
             tri0s = []
-            kz_rows = []
             pop_rows = []
             raw0 = None
             for p in range(P):
@@ -349,16 +359,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     new_spl.append(jnp.int32(0))
                 leaf_pack = leaf_pack | (al.astype(jnp.int32) << p)
                 tri0s.append((-lent - 2) * k_tris)
-                if kz_tables:
-                    # tris_ref stacks 3 rotated tables; packets are
-                    # kz-uniform by construction (trace-layer binning).
-                    # Tail padding packets carry kz=3 -> clamp to table 2
-                    # (dead rays never record hits).
-                    kzp = jnp.minimum(kzs_ref[pid * P + p], 2)
-                    if hbm_tris:
-                        kz_rows.append(kzp * ((tris_ref.shape[0] // 3)))
-                    else:
-                        kz_rows.append(kzp * (tris_ref.shape[0] // 3))
 
             # ---- stage node child rows + leaf triangle rows ----
             if hbm_tris:
@@ -372,7 +372,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 for p in range(P):
                     row0 = tri0s[p] // 8
                     if kz_tables:
-                        row0 = row0 + kz_rows[p]
+                        row0 = row0 + kz_bases[p]
                     dma = pltpu.make_async_copy(
                         tris_ref.at[
                             pl.ds(row0, rows_per_leaf), :],
@@ -394,7 +394,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     for p in range(P):
                         src0 = tri0s[p]
                         if kz_tables:
-                            src0 = src0 + kz_rows[p]
+                            src0 = src0 + kz_bases[p]
                         stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
                             pl.ds(src0, k_tris), :]
 
@@ -1226,8 +1226,13 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         raise ValueError(
             "HBM-resident triangles require leaf_size % 8 == 0 "
             "(lane-aligned leaf rows); rebuild the scene accordingly")
-    pad = (-n) % (p_pk * pkt)
-    n_packets = (n + pad) // pkt
+    # kz binning appends 3*pkt runtime-assigned pad rows BEFORE block
+    # padding (see _trace_impl_fn); the scalar-prefetch arrays must cover
+    # the same packet count or the kernel reads past them (SMEM OOB
+    # faulted the chip; interpret mode clamps, so CPU missed it).
+    n_eff = n + 3 * pkt if packed.kz_tables else n
+    pad = (-n_eff) % (p_pk * pkt)
+    n_packets = (n_eff + pad) // pkt
     if packet_roots is None:
         roots = jnp.zeros((n_packets,), jnp.int32)
     else:
@@ -1242,13 +1247,15 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                 [roots, jnp.zeros((n_packets - roots.shape[0],),
                                   jnp.int32)])
     if pair_pops is None:
-        # Paired u16-encoded pops need every internal id < 0x8000 and
-        # every leaf id < 0x7FFF; only meaningful in dual mode.
-        pair_pops = (dual and packed.num_nodes < 0x8000
-                     and packed.num_padded_tris // packed.leaf_size
-                     < 0x7FFF)
-    else:
-        pair_pops = bool(pair_pops) and dual
+        # Measured NEUTRAL at the 67M headline (411.6 vs 410.6 ms) — the
+        # per-step extract chain is not individually the bottleneck at
+        # wide packets, so the default stays off; the flag remains for
+        # experiments.  When on: needs internal ids < 0x8000, leaf ids
+        # < 0x7FFF, dual mode.
+        pair_pops = False
+    pair_pops = (bool(pair_pops) and dual
+                 and packed.num_nodes < 0x8000
+                 and packed.num_padded_tris // packed.leaf_size < 0x7FFF)
     qmask = None
     if filter_mask is not None:
         qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)
@@ -1302,8 +1309,9 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
         sort_rays = n >= 16384
     if hbm_tris is None:
         hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
-    pad = (-n) % (p_pk * pkt)
-    roots = jnp.zeros(((n + pad) // pkt,), jnp.int32)
+    n_eff = n + 3 * pkt if packed.kz_tables else n  # see trace_packets
+    pad = (-n_eff) % (p_pk * pkt)
+    roots = jnp.zeros(((n_eff + pad) // pkt,), jnp.int32)
     return _refit_trace_jit(
         scene, packed, jnp.asarray(new_tri_pos, jnp.float32),
         jnp.asarray(rays.origin), jnp.asarray(rays.direction),
