@@ -120,7 +120,8 @@ def _popcount8(v):
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
-                 use_mask=False, kz_tables=False, pair_pops=False):
+                 use_mask=False, kz_tables=False, pair_pops=False,
+                 dual2=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -131,6 +132,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys kept aligned with entries; the dual compaction drops them).
     prune = ordered and not dual and (narrow or islab)
+    dual2 = dual2 and dual
+    halves = 2 if dual2 else 1
     # `lesion` (perf diagnosis only — WRONG RESULTS): a set of component
     # names to disable so a TPU sweep attributes step time to kernel
     # phases.  Supported: noselk noupdv nodiv noleaf noslab.
@@ -292,6 +295,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             int_pack = jnp.int32(0)
             leaf_pack = jnp.int32(0)
             tri0s = []
+            tri0s2 = []
+            leaf_pack2 = jnp.int32(0)
             pop_rows = []
             raw0 = None
             for p in range(P):
@@ -350,7 +355,24 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         lraw = lrow[0, 0]
                     al = al & (lraw <= -2)
                     lent = jnp.where(al, lraw, -2)
-                    new_spl.append(spl - (spl > 0).astype(jnp.int32))
+                    if dual2:
+                        # Drain TWO pending leaves per step: leaf
+                        # production (~2 per internal pop) outruns a
+                        # 1/step drain, so steps are leaf-bound; the
+                        # second pop halves them (PERF_NOTES r2).
+                        lrow2 = stack_ref[
+                            pl.ds(p * STACK_D + LEAF_BASE
+                                  + jnp.maximum(spl - 2, 0), 1), :]
+                        lraw2 = lrow2[0, 0]
+                        al2 = (spl > 1) & (lraw2 <= -2)
+                        lent2 = jnp.where(al2, lraw2, -2)
+                        leaf_pack2 = leaf_pack2 | (
+                            al2.astype(jnp.int32) << p)
+                        tri0s2.append((-lent2 - 2) * k_tris)
+                        new_spl.append(
+                            spl - jnp.minimum(spl, 2).astype(jnp.int32))
+                    else:
+                        new_spl.append(spl - (spl > 0).astype(jnp.int32))
                 else:
                     # Single mixed stack: the popped entry is internal
                     # (>= 0), a leaf (<= -2), or a -1 filler.
@@ -369,19 +391,22 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 # the slab phase below.
                 rows_per_leaf = k_tris // 8
                 dmas = []
-                for p in range(P):
-                    row0 = tri0s[p] // 8
-                    if kz_tables:
-                        row0 = row0 + kz_bases[p]
-                    dma = pltpu.make_async_copy(
-                        tris_ref.at[
-                            pl.ds(row0, rows_per_leaf), :],
-                        stage_tris.at[
-                            pl.ds(p * rows_per_leaf, rows_per_leaf), :],
-                        tri_sems.at[p],
-                    )
-                    dma.start()
-                    dmas.append(dma)
+                for h in range(halves):
+                    t0s = tri0s if h == 0 else tri0s2
+                    for p in range(P):
+                        row0 = t0s[p] // 8
+                        if kz_tables:
+                            row0 = row0 + kz_bases[p]
+                        dma = pltpu.make_async_copy(
+                            tris_ref.at[
+                                pl.ds(row0, rows_per_leaf), :],
+                            stage_tris.at[
+                                pl.ds((h * P + p) * rows_per_leaf,
+                                      rows_per_leaf), :],
+                            tri_sems.at[h * P + p],
+                        )
+                        dma.start()
+                        dmas.append(dma)
             @pl.when(int_pack != 0)
             def _stage_node_rows():
                 for p in range(P):
@@ -389,18 +414,27 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         pl.ds(ents[p] * W, W), :]
 
             if not hbm_tris:
-                @pl.when(leaf_pack != 0)
+                @pl.when((leaf_pack | (leaf_pack2 if dual2 else 0)) != 0)
                 def _stage_tri_rows():
-                    for p in range(P):
-                        src0 = tri0s[p]
-                        if kz_tables:
-                            src0 = src0 + kz_bases[p]
-                        stage_tris[pl.ds(p * k_tris, k_tris), :] = tris_ref[
-                            pl.ds(src0, k_tris), :]
+                    for h in range(halves):
+                        t0s = tri0s if h == 0 else tri0s2
+                        for p in range(P):
+                            src0 = t0s[p]
+                            if kz_tables:
+                                src0 = src0 + kz_bases[p]
+                            stage_tris[
+                                pl.ds((h * P + p) * k_tris, k_tris), :
+                            ] = tris_ref[pl.ds(src0, k_tris), :]
 
             int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
             tri0_col = _scalars_to_col(tri0s, P)
+            if dual2:
+                leaf_vec2 = _bits_to_col_mask(leaf_pack2, P)
+                tri0_col2 = _scalars_to_col(tri0s2, P)
+                leaf_any = leaf_pack | leaf_pack2
+            else:
+                leaf_any = leaf_pack
             below = (1 << iota_w) - 1  # bits strictly below lane w
             if prune:
                 # Stale-subtree pruning (the packet analogue of rtk's
@@ -759,40 +793,47 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     return t, u * rcp_det, v * rcp_det, ok, need
 
                 if hbm_tris:
-                    # staged as (P*rows_per_leaf, 128): 8 records per row.
-                    st3 = stage_tris[:].reshape(P, k_tris // 8, 128)
+                    # staged as (halves*P*rows_per_leaf, 128): 8 records
+                    # per row; half h of packet p at row block h*P+p.
+                    st3 = stage_tris[:].reshape(halves * P, k_tris // 8,
+                                                128)
 
-                    def verts_of(k):
+                    def verts_of(h, k):
                         r, s16 = k // 8, (k % 8) * 16
-                        return [st3[:, r, s16 + c:s16 + c + 1]
+                        blk = st3[h * P:(h + 1) * P]
+                        return [blk[:, r, s16 + c:s16 + c + 1]
                                 for c in range(10)]
                 else:
-                    t3 = stage_tris[:].reshape(P, k_tris, 16)
+                    t3 = stage_tris[:].reshape(halves * P, k_tris, 16)
 
-                    def verts_of(k):
-                        r = t3[:, k, :]  # (P, 16)
+                    def verts_of(h, k):
+                        r = t3[h * P:(h + 1) * P, k, :]  # (P, 16)
                         return [r[:, c:c + 1] for c in range(10)]
 
                 def leaf_pass(hits_in, exact):
                     h_t, h_u, h_v, h_s = hits_in
                     needv = jnp.zeros((P, PKT), jnp.int32)
-                    for k in range(k_tris):
-                        tk, uk, vk, okk, need = tri_test(verts_of(k), exact)
-                        if watertight and not exact:
-                            needv = needv | need.astype(jnp.int32)
-                        upd = okk & leaf_vec & (tk < h_t)
-                        h_t = jnp.where(upd, tk, h_t)
-                        if "noupdv" not in lesion:
-                            h_u = jnp.where(upd, uk, h_u)
-                            h_v = jnp.where(upd, vk, h_v)
-                        h_s = jnp.where(upd, tri0_col + k, h_s)
+                    for h in range(halves):
+                        lv = leaf_vec if h == 0 else leaf_vec2
+                        t0c = tri0_col if h == 0 else tri0_col2
+                        for k in range(k_tris):
+                            tk, uk, vk, okk, need = tri_test(
+                                verts_of(h, k), exact)
+                            if watertight and not exact:
+                                needv = needv | need.astype(jnp.int32)
+                            upd = okk & lv & (tk < h_t)
+                            h_t = jnp.where(upd, tk, h_t)
+                            if "noupdv" not in lesion:
+                                h_u = jnp.where(upd, uk, h_u)
+                                h_v = jnp.where(upd, vk, h_v)
+                            h_s = jnp.where(upd, t0c + k, h_s)
                     return (h_t, h_u, h_v, h_s), needv
 
                 if "noleaf" in lesion:
                     def _leaf_skipped():
                         pass
                 else:
-                  @pl.when(leaf_pack != 0)
+                  @pl.when(leaf_any != 0)
                   def _leaf_phase():
                     hits_in = (hit_t, out_u[:], out_v[:], out_slot[:])
                     if watertight and interpret:
@@ -929,15 +970,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
-                     "use_mask", "kz_tables", "pair_pops"),
+                     "use_mask", "kz_tables", "pair_pops", "dual2"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
-                use_mask=False, kz_tables=False, pair_pops=False):
+                use_mask=False, kz_tables=False, pair_pops=False,
+                dual2=False):
     P = p_pk
     PKT = pkt
+    halves = 2 if (dual2 and dual) else 1
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
     ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask, kzs: (i, 0),
@@ -950,7 +993,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab, lesion=lesion,
                           use_mask=use_mask, kz_tables=kz_tables,
-                          pair_pops=pair_pops)
+                          pair_pops=pair_pops, dual2=dual2)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -961,10 +1004,11 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
         out_specs=[ray_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((P * W, 8), jnp.int32),
-            (pltpu.VMEM((P * leaf_size // 8, 128), jnp.float32) if hbm_tris
-             else pltpu.VMEM((P * leaf_size, 16), jnp.float32)),
+            (pltpu.VMEM((halves * P * leaf_size // 8, 128), jnp.float32)
+             if hbm_tris
+             else pltpu.VMEM((halves * P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
-        ] + ([pltpu.SemaphoreType.DMA((P,))] if hbm_tris else []),
+        ] + ([pltpu.SemaphoreType.DMA((halves * P,))] if hbm_tris else []),
     )
     out = pl.pallas_call(
         kernel,
@@ -996,7 +1040,7 @@ def _trace_impl_jit(tpu: bool):
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
-                         "stats", "pair_pops"),
+                         "stats", "pair_pops", "dual2"),
         compiler_options=opts)
 
 
@@ -1014,7 +1058,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    qmask=None, *, mode, watertight, interpret, p_pk,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
-                   pair_pops=False):
+                   pair_pops=False, dual2=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1114,7 +1158,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
-        kz_tables=kzb, stats=stats, pair_pops=pair_pops,
+        kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1168,7 +1212,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   lesion: str | None = None,
                   filter_mask: int | None = None,
                   stats: bool = False,
-                  pair_pops: bool | None = None) -> PacketHits:
+                  pair_pops: bool | None = None,
+                  dual2: bool = False) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1253,7 +1298,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         # experiments.  When on: needs internal ids < 0x8000, leaf ids
         # < 0x7FFF, dual mode.
         pair_pops = False
-    pair_pops = (bool(pair_pops) and dual
+    pair_pops = (bool(pair_pops) and dual and not dual2
                  and packed.num_nodes < 0x8000
                  and packed.num_padded_tris // packed.leaf_size < 0x7FFF)
     qmask = None
@@ -1266,7 +1311,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
-        pair_pops=pair_pops)
+        pair_pops=pair_pops, dual2=dual2 and dual)
 
 
 @functools.partial(
