@@ -112,7 +112,10 @@ def karras_topology(codes: Array):
     hi = jnp.maximum(i, j)
     left = jnp.where(lo == gamma, leaf_code(gamma), gamma)
     right = jnp.where(hi == gamma + 1, leaf_code(gamma + 1), gamma + 1)
-    return left.astype(jnp.int32), right.astype(jnp.int32)
+    # (lo, hi): the node's contiguous leaf range — the key property that
+    # lets refit run as range-min/max queries instead of height passes.
+    return (left.astype(jnp.int32), right.astype(jnp.int32),
+            lo.astype(jnp.int32), hi.astype(jnp.int32))
 
 
 def node_parents(left: Array, right: Array) -> Array:
@@ -138,8 +141,42 @@ def node_depths(parent: Array) -> Array:
     return depth
 
 
+def refit_ranges(lo: Array, hi: Array, leaf_min: Array, leaf_max: Array):
+    """AABB refit via range-min/max over each node's contiguous leaf range.
+
+    Karras nodes cover contiguous Morton-sorted leaf runs, so their
+    bounds are RMQ queries: build a sparse table (log2 L dense shifted
+    mins — no tree-structured gathers) and answer every node with two
+    gathers.  Replaces the height-pass fixpoint refit, which cost ~20
+    sequential gather passes per frame on the deforming-mesh config
+    (r2 profile: refit was 6 of the 10.6 ms frame)."""
+    n_leaf = leaf_min.shape[0]
+    levels = max(1, math.ceil(math.log2(max(n_leaf, 2)))) + 1
+    tmin = [leaf_min]
+    tmax = [leaf_max]
+    for k in range(1, levels):
+        half = 1 << (k - 1)
+        idx = jnp.minimum(jnp.arange(n_leaf) + half, n_leaf - 1)
+        tmin.append(jnp.minimum(tmin[-1], jnp.take(tmin[-1], idx, axis=0)))
+        tmax.append(jnp.maximum(tmax[-1], jnp.take(tmax[-1], idx, axis=0)))
+    tmin = jnp.stack(tmin).reshape(levels * n_leaf, 3)
+    tmax = jnp.stack(tmax).reshape(levels * n_leaf, 3)
+
+    length = hi - lo + 1
+    k = 31 - jax.lax.clz(jnp.maximum(length, 1))  # floor log2
+    k = jnp.minimum(k, levels - 1)
+    a = k * n_leaf + lo
+    b = k * n_leaf + (hi - (1 << k) + 1)
+    node_min = jnp.minimum(jnp.take(tmin, a, axis=0),
+                           jnp.take(tmin, b, axis=0))
+    node_max = jnp.maximum(jnp.take(tmax, a, axis=0),
+                           jnp.take(tmax, b, axis=0))
+    return node_min, node_max
+
+
 def refit_binary(left: Array, right: Array, leaf_min: Array, leaf_max: Array):
-    """Bottom-up AABB refit of the binary tree.
+    """Bottom-up AABB refit of the binary tree (fixpoint form; kept for
+    trees without stored leaf ranges).
 
     A fixpoint sweep: each pass finalises every node whose children are both
     final, so the pass count equals the tree height (expected O(log L) for

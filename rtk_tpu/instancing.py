@@ -105,6 +105,10 @@ def merge_blas(scenes: Sequence[Scene]) -> tuple[Scene, np.ndarray]:
             [shift_child(s.bin_left, b) for b, s in enumerate(scenes)]),
         bin_right=jnp.concatenate(
             [shift_child(s.bin_right, b) for b, s in enumerate(scenes)]),
+        bin_lo=jnp.concatenate(
+            [s.bin_lo + int(leaf_off[b]) for b, s in enumerate(scenes)]),
+        bin_hi=jnp.concatenate(
+            [s.bin_hi + int(leaf_off[b]) for b, s in enumerate(scenes)]),
         bin_min=jnp.concatenate([s.bin_min for s in scenes]),
         bin_max=jnp.concatenate([s.bin_max for s in scenes]),
         leaf_min=jnp.concatenate([s.leaf_min for s in scenes]),
@@ -359,43 +363,54 @@ def _one_round(packed, object_from_world, rays, best, best_inst,
     return best, best_inst
 
 
-def _group_round(cand_col, n_inst, unit, M):
-    """On-device per-round grouping: rays sorted by candidate instance,
-    each instance's run padded to whole `unit`-ray packets.
+def _sorted_group(cand_col, cand_t_col, comps, n_bins, unit):
+    """Sort-based per-round grouping (no big gathers — PERF_NOTES r2
+    measured the take()-based version 30x off on TPU).
 
-    Replaces the r1 host-side bucketing (np.unique + python loop + one
-    device sync per trace).  Returns (gidx (M,) padded slot -> ray index
-    or -1, binst (M//unit,) instance id per packet block).  Dead padded
-    slots carry max_t = 0 rays, which the kernel's dead-ray cull
-    terminates in a step — the static-M padding waste is tiny."""
+    comps: tuple of (n,) arrays to carry through the grouping (ray
+    components, best-t, ...).  Appends n_bins*unit synthetic pad rows
+    with runtime-assigned bins so every bin's run is whole packets, then
+    ONE stable multi-operand sort lays out the grouped order.  Returns
+    (idx (M,) original row id or >=n for pads, bin_of_slot (M,),
+    sorted comps).  M = n + n_bins*unit, static."""
     n = cand_col.shape[0]
+    npad = n_bins * unit
     valid = cand_col >= 0
-    key = jnp.where(valid, cand_col, n_inst).astype(jnp.int32)
-    ridx = jnp.arange(n, dtype=jnp.int32)
-    key_s, ray_s = jax.lax.sort((key, ridx), num_keys=1)
-    # Rank within the instance run = position - first index of that key.
-    starts = jnp.searchsorted(key_s, key_s, side="left")
-    rank = ridx - starts.astype(jnp.int32)
-    counts = jnp.bincount(key_s, length=n_inst + 1)
-    padded = ((counts + unit - 1) // unit) * unit
-    base = jnp.concatenate([jnp.zeros((1,), padded.dtype),
-                            jnp.cumsum(padded[:-1])]).astype(jnp.int32)
-    slot = jnp.take(base, key_s) + rank
-    slot = jnp.where(key_s < n_inst, slot, M)  # invalid -> dropped
-    gidx = jnp.full((M,), -1, jnp.int32).at[slot].set(ray_s, mode="drop")
-    binst = jnp.zeros((M // unit,), jnp.int32).at[slot // unit].set(
-        key_s, mode="drop")
-    return gidx, binst
+    bin_r = jnp.where(valid, cand_col, n_bins).astype(jnp.int32)
+    counts = jnp.bincount(bin_r, length=n_bins + 1)[:n_bins]
+    need = ((-counts) % unit).astype(jnp.int32)
+    cum = jnp.cumsum(need)
+    j = jnp.arange(npad, dtype=jnp.int32)
+    pad_bin = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    # key: bin in high bits, pads after real rays of the same bin
+    key = jnp.concatenate([bin_r << 1, (pad_bin << 1) | 1])
+    idx = jnp.arange(n + npad, dtype=jnp.int32)
+    ext = [jnp.concatenate([c, jnp.zeros((npad,), c.dtype)])
+           for c in comps]
+    out = jax.lax.sort((key, idx, *ext), num_keys=1)
+    key_s, idx_s, *comps_s = out
+    return idx_s, (key_s >> 1), comps_s
+
+
+def _unsort_merge(idx, n, fields):
+    """Sort kernel outputs back to original row order by idx; returns the
+    first n rows of each field (pads carry idx >= n and sink)."""
+    out = jax.lax.sort((idx, *fields), num_keys=1)
+    return [f[:n] for f in out[1:]]
 
 
 def _instanced_packets_impl(packed, object_from_world, packed_roots,
                             inst_blas, inst_lo, inst_hi, origin, direction,
                             min_t, max_t, *, unit, M, C, n_inst, chunk,
                             interpret):
-    """Candidates + all grouped rounds as ONE device program (no host
-    syncs; the r1 version synced the candidate table per trace)."""
-    rays = Rays(origin=origin, direction=direction, min_t=min_t,
-                max_t=max_t)
+    """Candidates + all grouped rounds as ONE device program.
+
+    Per round: sort rays into per-instance runs (padded to whole
+    packets), transform to object space, trace with per-packet BLAS
+    roots, sort results back, merge.  No host syncs and no large
+    gathers."""
+    from rtk_tpu.ops.pallas_trace import trace_packets
+
     cand_idx, cand_t, overflow = _instance_candidates_impl(
         inst_lo, inst_hi, origin, direction, min_t, max_t, c=C,
         chunk=chunk)
@@ -408,11 +423,37 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
     }
     best_inst = jnp.full((n,), -1, jnp.int32)
     for s in range(C):
-        gidx, binst = _group_round(cand_idx[:, s], n_inst, unit, M)
-        roots = jnp.take(packed_roots, jnp.take(inst_blas, binst))
-        best, best_inst = _one_round(
-            packed, object_from_world, rays, best, best_inst,
-            cand_idx[:, s], cand_t[:, s], gidx, roots, interpret, unit)
+        comps = (origin[:, 0], origin[:, 1], origin[:, 2],
+                 direction[:, 0], direction[:, 1], direction[:, 2],
+                 min_t, best["t"], cand_t[:, s])
+        idx_s, bin_s, cs = _sorted_group(cand_idx[:, s], cand_t[:, s],
+                                         comps, n_inst, unit)
+        o0, o1, o2, d0, d1, d2, mnt, bt, ct = cs
+        is_real = idx_s < n
+        safe_bin = jnp.minimum(bin_s, n_inst - 1)
+        inv = jnp.take(object_from_world, safe_bin, axis=0)  # (M,3,4)
+        ow = jnp.stack([o0, o1, o2], axis=1)
+        dw = jnp.stack([d0, d1, d2], axis=1)
+        oo = jnp.einsum("nab,nb->na", inv[:, :, :3], ow) + inv[:, :, 3]
+        od = jnp.einsum("nab,nb->na", inv[:, :, :3], dw)
+        live = is_real & (bin_s < n_inst) & (ct < bt)
+        grouped = Rays(origin=oo, direction=od, min_t=mnt,
+                       max_t=jnp.where(live, bt, 0.0))
+        roots = jnp.take(
+            packed_roots,
+            jnp.take(inst_blas, jnp.minimum(bin_s[::unit], n_inst - 1)))
+        h = trace_packets(packed, grouped, packet_roots=roots, pkt=unit,
+                          interpret=interpret)
+        ht, hu, hv, hs, binb = _unsort_merge(
+            idx_s, n, (h.t, h.u, h.v, h.slot, bin_s))
+        improved = (hs >= 0) & (ht < best["t"])
+        best = {
+            "t": jnp.where(improved, ht, best["t"]),
+            "u": jnp.where(improved, hu, best["u"]),
+            "v": jnp.where(improved, hv, best["v"]),
+            "slot": jnp.where(improved, hs, best["slot"]),
+        }
+        best_inst = jnp.where(improved, binb, best_inst)
     # A ray whose (C+1)-th instance-AABB entry is still closer than its
     # best hit is unproven; the caller re-traces those exhaustively.
     unproven = overflow < best["t"]

@@ -18,7 +18,8 @@ import numpy as np
 from flax import struct
 
 from rtk_tpu.builder.collapse import collapse_wide, gather_slot_bounds
-from rtk_tpu.builder.lbvh import karras_topology, leaf_code, refit_binary
+from rtk_tpu.builder.lbvh import (karras_topology, leaf_code,
+                                  refit_ranges)
 from rtk_tpu.config import BuildConfig
 from rtk_tpu.ops.morton import morton3d, scene_bounds, sort_by_morton
 
@@ -40,6 +41,8 @@ class Scene(struct.PyTreeNode):
     # (leaf bounds -> binary refit -> wide/packed regather).
     bin_left: Array  # (Li,) i32
     bin_right: Array  # (Li,) i32
+    bin_lo: Array  # (Li,) i32 first leaf of the node's contiguous range
+    bin_hi: Array  # (Li,) i32 last leaf (refit runs as RMQ over these)
     bin_min: Array  # (Li, 3) f32
     bin_max: Array  # (Li, 3) f32
     leaf_min: Array  # (L, 3) f32
@@ -127,11 +130,13 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
         node_max = jnp.full((1, w, 3), -1.0, jnp.float32).at[0, 0].set(leaf_max[0])
         bin_left = jnp.full((1,), leaf_code(0), jnp.int32)
         bin_right = jnp.full((1,), -1, jnp.int32)  # empty slot
+        bin_lo = jnp.zeros((1,), jnp.int32)
+        bin_hi = jnp.zeros((1,), jnp.int32)
         bmin, bmax = leaf_min, leaf_max
     else:
         cluster_codes = sort_codes[::leaf_size] if leaf_size > 1 else sort_codes
-        bin_left, bin_right = karras_topology(cluster_codes)
-        bmin, bmax = refit_binary(bin_left, bin_right, leaf_min, leaf_max)
+        bin_left, bin_right, bin_lo, bin_hi = karras_topology(cluster_codes)
+        bmin, bmax = refit_ranges(bin_lo, bin_hi, leaf_min, leaf_max)
         node_child, node_min, node_max = collapse_wide(
             bin_left, bin_right, bmin, bmax, leaf_min, leaf_max, branching)
 
@@ -141,6 +146,8 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
         node_max=node_max,
         bin_left=bin_left,
         bin_right=bin_right,
+        bin_lo=bin_lo,
+        bin_hi=bin_hi,
         bin_min=bmin,
         bin_max=bmax,
         leaf_min=leaf_min,
@@ -199,8 +206,8 @@ def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size):
         node_max = scene_arrays["node_max"].at[0, 0].set(leaf_max[0])
         bmin, bmax = leaf_min, leaf_max
     else:
-        bmin, bmax = refit_binary(
-            scene_arrays["bin_left"], scene_arrays["bin_right"],
+        bmin, bmax = refit_ranges(
+            scene_arrays["bin_lo"], scene_arrays["bin_hi"],
             leaf_min, leaf_max)
         node_min, node_max = gather_slot_bounds(
             scene_arrays["node_child"], bmin, bmax, leaf_min, leaf_max)
@@ -222,8 +229,8 @@ def refit(scene: Scene, new_tri_pos) -> Scene:
     updates = _refit_impl(
         dict(
             perm=scene.perm,
-            bin_left=scene.bin_left,
-            bin_right=scene.bin_right,
+            bin_lo=scene.bin_lo,
+            bin_hi=scene.bin_hi,
             node_child=scene.node_child,
             node_min=scene.node_min,
             node_max=scene.node_max,

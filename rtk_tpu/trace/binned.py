@@ -136,10 +136,9 @@ def _bin_candidates(lo, hi, origin, direction, min_t, max_t, *, c, chunk):
 def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
                  min_t, max_t, *, unit, M, C, R, chunk, mode,
                  watertight, interpret, filter_mask=None):
-    from rtk_tpu.instancing import _group_round
+    from rtk_tpu.instancing import _sorted_group, _unsort_merge
     from rtk_tpu.ops.pallas_trace import trace_packets
 
-    rays_o, rays_d = origin, direction
     n = origin.shape[0]
     cand_idx, cand_t, overflow = _bin_candidates(
         bin_lo, bin_hi, origin, direction, min_t, max_t, c=C, chunk=chunk)
@@ -150,36 +149,37 @@ def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
         "slot": jnp.full((n,), -1, jnp.int32),
     }
     for s in range(C):
-        cand_col = cand_idx[:, s]
-        gidx, bbin = _group_round(cand_col, R, unit, M)
-        roots = jnp.take(bin_roots, bbin)
-        safe_ray = jnp.clip(gidx, 0, n - 1)
-        btake = jnp.take(best["t"], safe_ray)
-        live = (gidx >= 0) & (jnp.take(cand_t[:, s], safe_ray) < btake)
+        comps = (origin[:, 0], origin[:, 1], origin[:, 2],
+                 direction[:, 0], direction[:, 1], direction[:, 2],
+                 min_t, best["t"], cand_t[:, s])
+        idx_s, bin_s, cs = _sorted_group(cand_idx[:, s], cand_t[:, s],
+                                         comps, R, unit)
+        o0, o1, o2, d0, d1, d2, mnt, bt, ct = cs
+        is_real = idx_s < n
+        live = is_real & (bin_s < R) & (ct < bt)
         grouped = Rays(
-            origin=jnp.take(rays_o, safe_ray, axis=0),
-            direction=jnp.take(rays_d, safe_ray, axis=0),
-            min_t=jnp.take(min_t, safe_ray),
-            max_t=jnp.where(live, btake, 0.0),
-        )
+            origin=jnp.stack([o0, o1, o2], axis=1),
+            direction=jnp.stack([d0, d1, d2], axis=1),
+            min_t=mnt, max_t=jnp.where(live, bt, 0.0))
+        roots = jnp.take(bin_roots, jnp.minimum(bin_s[::unit], R - 1))
         h = trace_packets(packed, grouped, mode=mode,
                           watertight=watertight, packet_roots=roots,
                           pkt=unit, interpret=interpret,
                           filter_mask=filter_mask)
-        improved = h.hit & (gidx >= 0) & (h.t < btake)
-        tgt = jnp.where(improved, gidx, n)
-        best = {k: best[k].at[tgt].set(v, mode="drop")
-                for k, v in (("t", h.t), ("u", h.u), ("v", h.v),
-                             ("slot", h.slot))}
-        if mode == "any":
-            # any-hit: one found hit retires the ray from later rounds
-            # (best["t"] becomes 0-width window via max_t culling below).
-            pass
+        ht, hu, hv, hs = _unsort_merge(idx_s, n,
+                                       (h.t, h.u, h.v, h.slot))
+        improved = (hs >= 0) & (ht < best["t"])
+        best = {
+            "t": jnp.where(improved, ht, best["t"]),
+            "u": jnp.where(improved, hu, best["u"]),
+            "v": jnp.where(improved, hv, best["v"]),
+            "slot": jnp.where(improved, hs, best["slot"]),
+        }
     # Exactness residual: rays whose (C+1)-th bin entry could still beat
     # the current best must re-trace the FULL tree.
     resid = overflow < best["t"]
     resid_rays = Rays(
-        origin=rays_o, direction=rays_d, min_t=min_t,
+        origin=origin, direction=direction, min_t=min_t,
         max_t=jnp.where(resid, best["t"], 0.0))
     hr = trace_packets(packed, resid_rays, mode=mode,
                        watertight=watertight, interpret=interpret,

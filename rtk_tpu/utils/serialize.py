@@ -52,6 +52,7 @@ _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 # Scene array fields in serialization order.
 _FIELDS = [
     "node_child", "node_min", "node_max", "bin_left", "bin_right",
+    "bin_lo", "bin_hi",
     "bin_min", "bin_max", "leaf_min", "leaf_max",
     "tri_v", "tri_vidx", "tri_mesh", "tri_prim", "perm",
     "bounds_min", "bounds_max",

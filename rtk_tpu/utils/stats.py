@@ -51,6 +51,31 @@ class SceneStats:
         )
 
 
+def log_build(scene, logger: "BuildLogger") -> SceneStats:
+    """Per-level build log through the rtk-style callback: the fused
+    device build has no per-node callback site (rtk.c:1426 logs per
+    node), so the equivalent observability is a post-build walk emitting
+    one line per depth level plus the structural summary."""
+    st = scene_stats(scene)
+    logger.log(f"build: {st.num_tris} tris -> {st.num_wide_nodes} wide "
+               f"nodes, {st.num_leaves} leaves, depth {st.max_depth}")
+    child = np.asarray(scene.node_child)
+    counts = {}
+    stack = [(0, 1)]
+    while stack:
+        node, depth = stack.pop()
+        counts[depth] = counts.get(depth, 0) + 1
+        for s_ in child[node]:
+            if s_ >= 0:
+                stack.append((int(s_), depth + 1))
+    for depth in sorted(counts):
+        logger.log(f"build: level {depth}: {counts[depth]} nodes")
+    logger.log(f"build: SAH cost {st.sah_cost:.2f}, child occupancy "
+               f"{st.avg_child_occupancy:.2f}, leaf occupancy "
+               f"{st.avg_leaf_occupancy:.2f}")
+    return st
+
+
 def scene_stats(scene) -> SceneStats:
     """Walk the wide tree (host-side) and report shape/cost statistics."""
     child = np.asarray(scene.node_child)

@@ -71,7 +71,7 @@ def test_karras_topology_random():
     for n in (2, 3, 5, 17, 100, 1000):
         codes = rng.integers(0, 2**30, size=n).astype(np.uint32)
         codes.sort()
-        left, right = karras_topology(jnp.asarray(codes))
+        left, right, _, _ = karras_topology(jnp.asarray(codes))
         _check_topology(left, right, n)
 
 
@@ -79,13 +79,13 @@ def test_karras_topology_duplicates():
     # All-equal codes: index bits must induce a valid tree.
     for n in (2, 7, 64):
         codes = jnp.zeros((n,), jnp.uint32)
-        left, right = karras_topology(codes)
+        left, right, _, _ = karras_topology(codes)
         _check_topology(left, right, n)
 
 
 def test_depths():
     codes = jnp.asarray(np.arange(8, dtype=np.uint32))
-    left, right = karras_topology(codes)
+    left, right, _, _ = karras_topology(codes)
     parent = node_parents(left, right)
     depth = np.asarray(node_depths(parent))
     assert depth[0] == 0

@@ -51,3 +51,16 @@ def test_profiler_trace_smoke(tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path)))
+
+
+def test_log_build_emits_per_level_lines():
+    from rtk_tpu.utils.stats import BuildLogger, log_build
+
+    tris = scenes.blob(subdivisions=3)[0]
+    scene = build_scene(
+        (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)))
+    lines = []
+    st = log_build(scene, BuildLogger(lambda u, b, m: lines.append(m)))
+    assert any("level 1:" in l for l in lines)
+    assert st.num_tris == tris.shape[0]
+    assert sum("level" in l for l in lines) == st.max_depth
