@@ -1082,8 +1082,11 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         # must match the kernel's per-ray rule exactly
         kzr = jnp.where(ad[:, 0] == maxc, 0,
                         jnp.where(ad[:, 1] == maxc, 1, 2)).astype(jnp.uint32)
+        # lax.sort is not stable: without a sub-key the bin sort would
+        # scramble the caller's (often Morton-pre-sorted) ray order and
+        # wreck packet coherence.  Preserve it with the original index.
         sub = (ray_coherence_key(origin, direction) >> 2 if sort_rays
-               else jnp.zeros((n,), jnp.uint32))
+               else jnp.arange(n, dtype=jnp.uint32))
         key = (kzr << jnp.uint32(30)) | sub
         counts = jnp.bincount(kzr.astype(jnp.int32), length=3)
         need = ((-counts) % PKT).astype(jnp.int32)

@@ -86,8 +86,8 @@ def _leaf_bounds(tri_v: Array, num_tris: int, leaf_size: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size", "branching", "morton_bits"))
-def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
-                leaf_size, branching, morton_bits):
+def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, codes=None, *,
+                num_tris, leaf_size, branching, morton_bits):
     t = num_tris
     if tri_vidx is None:  # defaults built on-device (an eager arange per
         tri_vidx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
@@ -99,8 +99,12 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
     tp = n_leaf * leaf_size
 
     lo, hi = scene_bounds(tri_pos)
-    centroids = jnp.mean(tri_pos, axis=1)
-    codes = morton3d(centroids, lo, hi, bits=morton_bits)
+    if codes is None:
+        # Default spatial keys; callers may pass custom sort keys instead
+        # (e.g. the macro-grid engine's cell-prefixed local Morton codes,
+        # trace/grid.py, which make every cell an exact Karras subtree).
+        centroids = jnp.mean(tri_pos, axis=1)
+        codes = morton3d(centroids, lo, hi, bits=morton_bits)
     _, perm = sort_by_morton(codes)
 
     pad = tp - t
@@ -163,8 +167,13 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, *, num_tris,
 
 
 def build_from_soup(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
-                    config: BuildConfig = BuildConfig()) -> Scene:
-    """Build a Scene from canonical triangle-soup arrays (device build)."""
+                    config: BuildConfig = BuildConfig(),
+                    codes=None) -> Scene:
+    """Build a Scene from canonical triangle-soup arrays (device build).
+
+    codes: optional (T,) uint32 custom sort keys replacing the default
+    Morton codes (the Karras topology then reflects THEIR prefix
+    hierarchy — used by the macro-grid engine's cell-major builds)."""
     tri_pos = jnp.asarray(tri_pos, jnp.float32)
     t = tri_pos.shape[0]
     if t == 0:
@@ -175,6 +184,7 @@ def build_from_soup(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
         cvt(tri_vidx, jnp.int32),
         cvt(tri_mesh, jnp.int32),
         cvt(tri_prim, jnp.int32),
+        cvt(codes, jnp.uint32),
         num_tris=t,
         leaf_size=config.leaf_size,
         branching=config.branching,

@@ -1,0 +1,543 @@
+"""Macro-grid DDA tracing: the incoherent-ray engine, round 2.
+
+The binned engine (trace/binned.py) re-bins rays over BVH subtree cuts,
+but subtree bins OVERLAP spatially, so after a ray finds a hit it must
+still trace every bin whose entry distance precedes it — measured ~6 live
+rounds per ray on the atrium bounce (docs/PERF_NOTES.md r2).  This engine
+re-bins over a uniform macro-grid instead: cells are DISJOINT, rays visit
+them in strict t order (Amanatides-Woo DDA, pure arithmetic — no gathers,
+which is what TPU lanes want), and a ray terminates the moment its best
+hit precedes the current cell's exit — typically 1-2 live rounds.
+
+Structure:
+  build: triangles are conservatively binned into grid cells (AABB
+    overlap, duplicated per cell), each cell's list padded to whole
+    leaf-size clusters, and ONE merged LBVH is built with cell-prefixed
+    local Morton keys — every cell's range is then exactly a Karras
+    subtree, packed as a forest in one vectorised multi-root BFS
+    (trace/packed.py pack_multiroot); cell rank == packed entry id.
+  trace: per round (all one fused program): skip empty cells, group live
+    rays by cell (one multi-operand sort), one packet-kernel dispatch
+    with per-packet cell roots, merge, retire finished rays, DDA-advance
+    the rest.  A final full-tree pass over still-live rays keeps the
+    engine exact under the round budget.
+
+Reference semantics preserved: nearest hit, open (min_t, max_t) t-window,
+strict < tie (rtk.c:543-577); duplicated triangles re-test at identical t
+and lose the strict-< tie, so records match the flat engine's.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from rtk_tpu.builder.lbvh import leaf_code
+from rtk_tpu.config import BuildConfig
+from rtk_tpu.scene import Scene, build_from_soup
+from rtk_tpu.trace.packed import PackedScene, pack_multiroot, pack_scene
+from rtk_tpu.types import PacketHits, Rays
+
+Array = jax.Array
+
+_BIG = 3.0e38
+
+
+class GridScene(struct.PyTreeNode):
+    """Macro-grid acceleration structure (product of build_grid).
+
+    cells: forest-packed per-cell trees (duplicated triangles).
+    flat: the ordinary packed scene (exact fallback + record tables).
+    rank: (prod(dims),) i32 occupied-cell rank, -1 for empty cells.
+    cells_to_flat: (Tp_cells,) i32 flat-table slot per cells-table slot
+      (hit records are returned in flat-table space).
+    """
+
+    cells: PackedScene
+    flat: PackedScene
+    rank: Array
+    cells_to_flat: Array
+    grid_lo: Array  # (3,) f32
+    cell_size: Array  # (3,) f32
+    dims: tuple = struct.field(pytree_node=False)
+    n_occ: int = struct.field(pytree_node=False)
+
+
+def _interleave6(q: np.ndarray) -> np.ndarray:
+    """Spread 6-bit ints so bits land 3 apart (host helper)."""
+    q = q.astype(np.uint32)
+    q = (q | (q << 8)) & 0x0300F
+    q = (q | (q << 4)) & 0x030C3
+    q = (q | (q << 2)) & 0x09249
+    return q
+
+
+def choose_dims(extent: np.ndarray, n_tris: int, max_cells: int = 4096,
+                target: int = 48) -> tuple:
+    """Per-axis cell counts: roughly cubical cells, ~target tris/cell,
+    <= max_cells total, each axis in [1, 32]."""
+    want = min(max_cells, max(1, n_tris // target))
+    ext = np.maximum(extent, 1e-30)
+    base = (want / float(ext.prod())) ** (1.0 / 3.0)
+    dims = np.maximum(1, np.floor(ext * base)).astype(np.int64)
+    dims = np.minimum(dims, 32)
+    while dims.prod() > max_cells:
+        dims[dims.argmax()] -= 1
+    return tuple(int(x) for x in dims)
+
+
+def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
+               config: BuildConfig = BuildConfig(), dims=None,
+               max_cells: int = 4096, flat: PackedScene | None = None,
+               scene: Scene | None = None) -> GridScene:
+    """Build the macro-grid structure from a triangle soup.
+
+    flat/scene: reuse an existing ordinary build of the SAME soup (same
+    config) for the exact-fallback path; built here when not given.
+    """
+    tp = np.asarray(tri_pos, np.float32)
+    T = tp.shape[0]
+    k = config.leaf_size
+    tlo = tp.min(axis=1)
+    thi = tp.max(axis=1)
+    glo = tlo.min(axis=0)
+    ghi = thi.max(axis=0)
+    ext = ghi - glo
+    pad = np.maximum(ext, 1.0) * 1e-5
+    glo = glo - pad
+    ext = ext + 2 * pad
+    if dims is None:
+        dims = choose_dims(ext, T, max_cells=max_cells)
+    dims = tuple(int(d) for d in dims)
+    dx, dy, dz = dims
+    cs = ext / np.array(dims, np.float64)
+
+    # Conservative tri->cell assignment (AABB overlap; duplicates are
+    # exact re-tests, never wrong results).
+    c0 = np.clip(((tlo - glo) / cs).astype(np.int64), 0,
+                 np.array(dims) - 1)
+    c1 = np.clip(((thi - glo) / cs).astype(np.int64), 0,
+                 np.array(dims) - 1)
+    cnt3 = c1 - c0 + 1
+    counts = cnt3.prod(axis=1)
+    total = int(counts.sum())
+    rep = np.repeat(np.arange(T, dtype=np.int64), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_in = np.arange(total, dtype=np.int64) - offs[rep]
+    nz = cnt3[rep, 2]
+    ny = cnt3[rep, 1]
+    oz = rank_in % nz
+    r2 = rank_in // nz
+    oy = r2 % ny
+    ox = r2 // ny
+    cx = c0[rep, 0] + ox
+    cy = c0[rep, 1] + oy
+    cz = c0[rep, 2] + oz
+    cell = (cx * dy + cy) * dz + cz
+
+    # Group pairs by cell; pad each cell to whole leaf clusters so cell
+    # boundaries align with cluster boundaries (pads duplicate the cell's
+    # last pair — real triangles, harmless re-tests).
+    order = np.argsort(cell, kind="stable")
+    cell_s = cell[order]
+    ucell, start, ccount = np.unique(cell_s, return_index=True,
+                                     return_counts=True)
+    n_occ = ucell.shape[0]
+    pad_per = (-ccount) % k
+    padded = ccount + pad_per
+    ptot = int(padded.sum())
+    pcum = np.concatenate([[0], np.cumsum(padded)])
+    grp = np.repeat(np.arange(n_occ, dtype=np.int64), padded)
+    pos_in = np.arange(ptot, dtype=np.int64) - pcum[grp]
+    src_row = start[grp] + np.minimum(pos_in, ccount[grp] - 1)
+    pair_tri = rep[order][src_row]  # original tri id per padded pair
+
+    # Cell-prefixed local Morton keys: cell rank in the top bits makes
+    # every cell an exact Karras subtree of the ONE merged build.
+    cell3 = np.stack([ucell // (dy * dz), (ucell // dz) % dy, ucell % dz],
+                     axis=1)[grp]
+    cent = tp[pair_tri].mean(axis=1)
+    nrm = np.clip((cent - (glo + cell3 * cs)) / cs, 0.0, 0.999999)
+    q = (nrm * 64.0).astype(np.uint32)
+    local = (_interleave6(q[:, 0]) << 2) | (_interleave6(q[:, 1]) << 1) \
+        | _interleave6(q[:, 2])
+    codes = (grp.astype(np.uint32) << np.uint32(18)) | local
+
+    # Per-pair record arrays (records report the ORIGINAL soup entities).
+    if tri_vidx is None:
+        pv = (pair_tri[:, None] * 3
+              + np.arange(3, dtype=np.int64)[None, :]).astype(np.int32)
+    else:
+        pv = np.asarray(tri_vidx, np.int32)[pair_tri]
+    pm = (np.zeros(ptot, np.int32) if tri_mesh is None
+          else np.asarray(tri_mesh, np.int32)[pair_tri])
+    pp = (pair_tri.astype(np.int32) if tri_prim is None
+          else np.asarray(tri_prim, np.int32)[pair_tri])
+
+    merged = build_from_soup(tp[pair_tri], pv, pm, pp, config=config,
+                             codes=codes)
+
+    # Per-cell subtree roots: cell c covers clusters [cl0, cl1]; with >= 2
+    # clusters that range is exactly one Karras node (cell bits split
+    # first); a single cluster is the leaf itself.
+    ccl = padded // k
+    ccum = np.concatenate([[0], np.cumsum(ccl)])
+    if merged.num_leaves == 1:
+        roots = np.array([leaf_code(0)], np.int64)
+    else:
+        b_lo = np.asarray(merged.bin_lo)
+        b_hi = np.asarray(merged.bin_hi)
+        rangemap = {(int(l), int(h)): i
+                    for i, (l, h) in enumerate(zip(b_lo, b_hi))}
+        roots = np.empty(n_occ, np.int64)
+        for r in range(n_occ):
+            lo, hi = int(ccum[r]), int(ccum[r + 1]) - 1
+            roots[r] = (leaf_code(lo) if lo == hi
+                        else rangemap[(lo, hi)])
+    cells_packed = pack_multiroot(merged, roots)
+
+    if flat is None:
+        if scene is None:
+            scene = build_from_soup(tp, tri_vidx, tri_mesh, tri_prim,
+                                    config=config)
+        flat = pack_scene(scene)
+    else:
+        scene = None
+
+    # cells-table slot -> flat-table slot (for record unification).
+    flat_sorted_of_slot = np.asarray(flat.tri_perm, np.int64)
+    # flat: packed slot -> sorted slot -> original soup id
+    flat_scene_perm = None
+    if scene is not None:
+        flat_scene_perm = np.asarray(scene.perm, np.int64)
+    else:
+        # Reconstruct soup ids from the flat table's prim column only
+        # when prim ids ARE soup ids (the default); otherwise require
+        # the Scene.
+        flat_scene_perm = None
+    if flat_scene_perm is not None:
+        orig_of_flat = np.where(
+            flat_sorted_of_slot >= 0,
+            flat_scene_perm[np.clip(flat_sorted_of_slot, 0, None)], -1)
+    else:
+        orig_of_flat = np.asarray(flat.tri_prim, np.int64)
+    flat_of_orig = np.full(T, -1, np.int64)
+    valid = orig_of_flat >= 0
+    flat_of_orig[orig_of_flat[valid]] = np.nonzero(valid)[0]
+    # cells packed slot -> pair row -> original tri -> flat slot
+    cells_pair = np.asarray(cells_packed.tri_perm, np.int64)
+    cells_orig = np.where(cells_pair >= 0,
+                          pair_tri[np.clip(cells_pair, 0, None)], -1)
+    c2f = np.where(cells_orig >= 0,
+                   flat_of_orig[np.clip(cells_orig, 0, None)], -1)
+
+    rank_tbl = np.full(dx * dy * dz, -1, np.int32)
+    rank_tbl[ucell] = np.arange(n_occ, dtype=np.int32)
+
+    return GridScene(
+        cells=cells_packed,
+        flat=flat,
+        rank=jnp.asarray(rank_tbl),
+        cells_to_flat=jnp.asarray(c2f.astype(np.int32)),
+        grid_lo=jnp.asarray(glo.astype(np.float32)),
+        cell_size=jnp.asarray(cs.astype(np.float32)),
+        dims=dims,
+        n_occ=n_occ,
+    )
+
+
+def _crcp(d):
+    big = jnp.where(d >= 0, _BIG, -_BIG)
+    return jnp.where(d == 0.0, big, 1.0 / d)
+
+
+def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
+               rounds, skips, caps, mode, watertight, interpret, n,
+               filter_mask):
+    """The whole marching loop as one device program (see module doc)."""
+    from rtk_tpu.ops.pallas_trace import trace_packets
+
+    cells, flat, rank_tbl, c2f, glo, cs = grid_arrays
+    dx, dy, dz = dims
+    M = o.shape[0]
+    dimv = jnp.asarray(dims, jnp.float32)
+
+    ox, oy, ozz = o[:, 0], o[:, 1], o[:, 2]
+    dxx, dyy, dzz = d[:, 0], d[:, 1], d[:, 2]
+    rcp = [_crcp(dxx), _crcp(dyy), _crcp(dzz)]
+
+    # --- DDA init: grid entry + first cell + per-axis boundary ts ---
+    ghi = glo + cs * dimv
+    near = jnp.full((M,), -_BIG)
+    far = jnp.full((M,), _BIG)
+    for a, (oc, rc) in enumerate(zip((ox, oy, ozz), rcp)):
+        t0 = (glo[a] - oc) * rc
+        t1 = (ghi[a] - oc) * rc
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    s0 = jnp.maximum(near, 0.0)
+    done = (near > far) | (far < 0.0) | (maxt <= mint) | (idx >= n)
+    ii = []
+    tmax = []
+    tdel = []
+    step = []
+    for a, (oc, dc, rc) in enumerate(zip((ox, oy, ozz), (dxx, dyy, dzz),
+                                         rcp)):
+        p = oc + dc * s0
+        i = jnp.clip(jnp.floor((p - glo[a]) / cs[a]).astype(jnp.int32),
+                     0, dims[a] - 1)
+        nb = glo[a] + (i + (dc >= 0).astype(jnp.int32)).astype(
+            jnp.float32) * cs[a]
+        tmax.append((nb - oc) * rc)
+        tdel.append(cs[a] * jnp.abs(rc))
+        step.append(jnp.where(dc >= 0, 1, -1).astype(jnp.int32))
+        ii.append(i)
+
+    best_t = maxt
+    best_u = jnp.zeros((M,), jnp.float32)
+    best_v = jnp.zeros((M,), jnp.float32)
+    best_s = jnp.full((M,), -1, jnp.int32)
+
+    def pack_cell(ix, iy, iz, dd, ab):
+        """>=0 marching; -1 finished for good; -2 aborted (the final
+        full-tree residual must cover it)."""
+        return jnp.where(ab, -2, jnp.where(dd, -1,
+                                           (ix * dy + iy) * dz + iz))
+
+    def advance(ix, iy, iz, tmx, tmy, tmz, mask):
+        """One DDA step where mask; returns new state + left-grid flag."""
+        mx = (tmx <= tmy) & (tmx <= tmz)
+        my = ~mx & (tmy <= tmz)
+        mz = ~mx & ~my
+        ix2 = ix + jnp.where(mx, step[0], 0)
+        iy2 = iy + jnp.where(my, step[1], 0)
+        iz2 = iz + jnp.where(mz, step[2], 0)
+        out = ((ix2 < 0) | (ix2 >= dx) | (iy2 < 0) | (iy2 >= dy)
+               | (iz2 < 0) | (iz2 >= dz))
+        tmx2 = tmx + jnp.where(mx, tdel[0], 0.0)
+        tmy2 = tmy + jnp.where(my, tdel[1], 0.0)
+        tmz2 = tmz + jnp.where(mz, tdel[2], 0.0)
+        sel = lambda a, b: jnp.where(mask, a, b)
+        return (sel(ix2, ix), sel(iy2, iy), sel(iz2, iz),
+                sel(tmx2, tmx), sel(tmy2, tmy), sel(tmz2, tmz),
+                mask & out)
+
+    ix, iy, iz = ii
+    tmx, tmy, tmz = tmax
+    cell = pack_cell(ix, iy, iz, done, False)
+
+    # Stream state: 17 sorted operands per round.
+    st = (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
+          best_s, cell, tmx, tmy, tmz)
+
+    for r in range(rounds):
+        cap = caps[r]
+        (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
+         best_s, cell, tmx, tmy, tmz) = [a[:cap] for a in st]
+        tail = [a[cap:] for a in st]
+        abort = cell == -2
+        done = cell == -1
+        marching = cell >= 0
+        safe = jnp.maximum(cell, 0)
+        ix = safe // (dy * dz)
+        iy = (safe // dz) % dy
+        iz = safe % dz
+        # rebuild per-row step/tdel (not carried through sorts)
+        rcp = [_crcp(dxx), _crcp(dyy), _crcp(dzz)]
+        step = [jnp.where(dc >= 0, 1, -1).astype(jnp.int32)
+                for dc in (dxx, dyy, dzz)]
+        tdel = [cs[a] * jnp.abs(rcp[a]) for a in range(3)]
+
+        # --- skip empty cells (occupancy lookup + DDA step) ---
+        for _ in range(skips):
+            rank = jnp.take(rank_tbl, jnp.minimum(safe, dx * dy * dz - 1))
+            exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
+            adv = marching & (rank < 0)
+            fin = adv & (exit_t >= best_t)  # marched past any useful t
+            done = done | fin
+            marching = marching & ~fin
+            adv = adv & ~fin
+            ix, iy, iz, tmx, tmy, tmz, left = advance(
+                ix, iy, iz, tmx, tmy, tmz, adv)
+            done = done | left
+            marching = marching & ~left
+            safe = jnp.clip((ix * dy + iy) * dz + iz, 0, dx * dy * dz - 1)
+
+        rank = jnp.take(rank_tbl, safe)
+        # Still in an empty cell after the skip budget: park the ray for
+        # the exactness residual rather than stall it.
+        stuck = marching & (rank < 0)
+        abort = abort | stuck
+        marching = marching & ~stuck
+        rank = jnp.where(marching, rank, n_occ)
+
+        # --- group by cell rank (pads fill each rank to whole packets) ---
+        is_pad = idx >= n
+        counts = jnp.bincount(jnp.where(marching, rank, n_occ),
+                              length=n_occ + 1)[:n_occ]
+        need = ((-counts) % unit).astype(jnp.int32)
+        cum = jnp.cumsum(need)
+        padj = jnp.cumsum(is_pad.astype(jnp.int32)) - 1
+        pbin = jnp.searchsorted(cum, padj, side="right").astype(jnp.int32)
+        bin_r = jnp.where(is_pad, jnp.minimum(pbin, n_occ), rank)
+        sub = jnp.where(is_pad, 0x7FFFF,
+                        jnp.minimum(idx, 0x7FFFE)).astype(jnp.uint32)
+        key = (bin_r.astype(jnp.uint32) << jnp.uint32(19)) | sub
+        cell = pack_cell(ix, iy, iz, done, abort)
+        (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
+         best_v, best_s, cell, tmx, tmy, tmz) = jax.lax.sort(
+             (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
+              best_u, best_v, best_s, cell, tmx, tmy, tmz), num_keys=1)
+        bin_s = (key >> jnp.uint32(19)).astype(jnp.int32)
+        abort = cell == -2
+        done = cell == -1
+        marching = cell >= 0
+
+        # --- one kernel dispatch over the grouped prefix ---
+        roots = jnp.minimum(bin_s[::unit], n_occ - 1)
+        # Under a round capacity the prefix may hold too few pad rows to
+        # fill every cell's run to whole packets; rays in a packet whose
+        # root is another cell must not trace (wrong subtree, and the
+        # march would walk past the miss) — park them for the residual.
+        mism = marching & (bin_s != jnp.repeat(roots, unit))
+        abort = abort | mism
+        marching = marching & ~mism
+        live_row = marching & (idx < n)
+        h = trace_packets(
+            cells, Rays(origin=jnp.stack([ox, oy, ozz], axis=1),
+                        direction=jnp.stack([dxx, dyy, dzz], axis=1),
+                        min_t=mint,
+                        max_t=jnp.where(live_row, best_t, 0.0)),
+            mode=mode, watertight=watertight, interpret=interpret,
+            pkt=unit, packet_roots=roots, sort_rays=False,
+            filter_mask=filter_mask)
+        improved = h.slot >= 0
+        best_t = jnp.where(improved, h.t, best_t)
+        best_u = jnp.where(improved, h.u, best_u)
+        best_v = jnp.where(improved, h.v, best_v)
+        best_s = jnp.where(improved, h.slot, best_s)
+
+        # --- retire + advance ---
+        exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
+        fin = marching & (best_t <= exit_t)
+        if mode == "any":
+            fin = fin | (marching & (best_s >= 0))
+        done = done | fin
+        marching = marching & ~fin
+        ix = jnp.maximum(cell, 0) // (dy * dz)
+        iy = (jnp.maximum(cell, 0) // dz) % dy
+        iz = jnp.maximum(cell, 0) % dz
+        rcp = [_crcp(dxx), _crcp(dyy), _crcp(dzz)]
+        step = [jnp.where(dc >= 0, 1, -1).astype(jnp.int32)
+                for dc in (dxx, dyy, dzz)]
+        tdel = [cs[a] * jnp.abs(rcp[a]) for a in range(3)]
+        ix, iy, iz, tmx, tmy, tmz, left = advance(
+            ix, iy, iz, tmx, tmy, tmz, marching)
+        done = done | left
+        marching = marching & ~left
+        cell = pack_cell(ix, iy, iz, done, abort)
+
+        st = tuple(jnp.concatenate([a, b]) for a, b in zip(
+            (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
+             best_v, best_s, cell, tmx, tmy, tmz), tail))
+
+    (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
+     best_s, cell, tmx, tmy, tmz) = st
+
+    # Records in flat-table space (one gather, once).
+    best_s = jnp.where(best_s >= 0,
+                       jnp.take(c2f, jnp.maximum(best_s, 0)), -1)
+
+    # --- exactness residual: still-marching and aborted rays re-trace
+    # the full tree (their best-so-far tightens the window).
+    live = (cell != -1) & (idx < n)
+    hr = trace_packets(
+        flat, Rays(origin=jnp.stack([ox, oy, ozz], axis=1),
+                   direction=jnp.stack([dxx, dyy, dzz], axis=1),
+                   min_t=mint, max_t=jnp.where(live, best_t, 0.0)),
+        mode=mode, watertight=watertight, interpret=interpret,
+        pkt=unit, sort_rays=False, filter_mask=filter_mask)
+    ri = hr.slot >= 0
+    best_t = jnp.where(ri, hr.t, best_t)
+    best_u = jnp.where(ri, hr.u, best_u)
+    best_v = jnp.where(ri, hr.v, best_v)
+    best_s = jnp.where(ri, hr.slot, best_s)
+
+    idx, best_t, best_u, best_v, best_s = jax.lax.sort(
+        (idx, best_t, best_u, best_v, best_s), num_keys=1)
+    return (best_t[:n], best_u[:n], best_v[:n], best_s[:n])
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
+              watertight, interpret, n, filter_mask):
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
+    return jax.jit(
+        functools.partial(_grid_impl, dims=dims, n_occ=n_occ, unit=unit,
+                          rounds=rounds, skips=skips, caps=caps,
+                          mode=mode, watertight=watertight,
+                          interpret=interpret, n=n,
+                          filter_mask=filter_mask),
+        compiler_options=opts)
+
+
+def trace_packets_grid(
+    grid: GridScene,
+    rays: Rays,
+    mode: str = "closest",
+    watertight: bool = True,
+    interpret: bool = False,
+    rounds: int = 10,
+    skips: int = 3,
+    unit: int = 128,
+    caps=None,
+    filter_mask: int | None = None,
+) -> PacketHits:
+    """Trace an incoherent ray batch by marching the macro-grid.
+
+    Same hit-record contract as trace_packets.  Exact: rays still
+    marching after `rounds` grid rounds finish on the full tree.
+    """
+    n = rays.count
+    blk = 8 * unit
+    npad = grid.n_occ * unit
+    M = (n + npad + blk - 1) // blk * blk
+    extra = M - n
+
+    def padded(a, fill):
+        a = jnp.asarray(a)
+        return jnp.concatenate(
+            [a, jnp.full((extra,) + a.shape[1:], fill, a.dtype)])
+
+    if caps is None:
+        caps = (M,) * rounds
+    else:
+        caps = tuple(min((int(c) + blk - 1) // blk * blk, M) for c in caps)
+        caps = caps + (caps[-1],) * (rounds - len(caps))
+    idx = jnp.arange(M, dtype=jnp.uint32)
+
+    fn = _grid_jit(jax.default_backend() == "tpu", grid.dims, grid.n_occ,
+                   unit, rounds, skips, caps, mode, watertight, interpret,
+                   n, None if filter_mask is None else int(filter_mask))
+    t, u, v, slot = fn(
+        (grid.cells, grid.flat, grid.rank, grid.cells_to_flat,
+         grid.grid_lo, grid.cell_size),
+        padded(rays.origin, 0.0), padded(rays.direction, 1.0),
+        padded(rays.min_t, 0.0), padded(rays.max_t, 0.0), idx)
+    return PacketHits(
+        hit=slot >= 0,
+        t=t,
+        u=u,
+        v=v,
+        slot=slot,
+        origin=jnp.asarray(rays.origin),
+        direction=jnp.asarray(rays.direction),
+        tri_v=grid.flat.tri_v,
+        tri_vidx=grid.flat.tri_vidx,
+        tri_mesh=grid.flat.tri_mesh,
+        tri_prim=grid.flat.tri_prim,
+    )

@@ -81,20 +81,33 @@ def _area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
 
 
-def _greedy_slots(left, right, area, root: int = 0):
+def _greedy_slots(left, right, area, root=0):
     """Greedy wide collapse, level by level (vectorised host NumPy).
 
     Returns slot_src (Nd, 8) int64 (binary id >= 0, leaf code <= -2,
     -1 empty) in BFS order from `root`; internal children appear in
     row-major slot order, which is exactly the contiguous-child numbering.
+
+    `root` may be an ARRAY of binary roots (disjoint subtrees): one
+    vectorised BFS packs the whole forest, root r landing at packed row r
+    (multi-root numbering needs _pack_meta(root_rows=len(root))).  Leaf
+    codes (<= -2) are allowed as roots and become single-leaf rows.
     """
     levels = []
-    frontier = np.array([root], np.int64)
+    frontier = np.atleast_1d(np.asarray(root, np.int64))
+    first = True
     while frontier.size:
         f = frontier.shape[0]
         slots = np.full((f, W), -1, np.int64)
-        slots[:, 0] = left[frontier]
-        slots[:, 1] = right[frontier]
+        if first:
+            isleaf = frontier <= -2
+            fc = np.clip(frontier, 0, None)
+            slots[:, 0] = np.where(isleaf, frontier, left[fc])
+            slots[:, 1] = np.where(isleaf, -1, right[fc])
+            first = False
+        else:
+            slots[:, 0] = left[frontier]
+            slots[:, 1] = right[frontier]
         nslots = np.full(f, 2, np.int64)
         rows = np.arange(f)
         for _ in range(W - 2):
@@ -115,16 +128,19 @@ def _greedy_slots(left, right, area, root: int = 0):
 
 
 def _pack_meta(slot_src: np.ndarray, node_base: int = 0,
-               leaf_base: int = 0):
+               leaf_base: int = 0, root_rows: int = 1):
     """(first_child, first_leaf, masks) per node + leaf visit order.
 
     node_base/leaf_base offset the contiguous numbering for multi-root
-    (merged-BLAS) packing."""
+    (merged-BLAS) packing.  root_rows: number of level-0 rows (a multi-
+    root BFS from _greedy_slots(root=array) puts all R roots first, so
+    the first child row is R, not 1)."""
     int_m = slot_src >= 0
     leaf_m = slot_src <= -2
     n_int = int_m.sum(1)
     n_leaf = leaf_m.sum(1)
-    fc = node_base + 1 + np.concatenate([[0], np.cumsum(n_int)[:-1]])
+    fc = node_base + root_rows + np.concatenate(
+        [[0], np.cumsum(n_int)[:-1]])
     fl = leaf_base + np.concatenate([[0], np.cumsum(n_leaf)[:-1]])
     bits = 1 << np.arange(W, dtype=np.int64)[None, :]
     masks = (int_m * bits).sum(1) | ((leaf_m * bits).sum(1) << 8)
@@ -259,6 +275,51 @@ def pack_scene(scene: Scene, tri_mask=None,
         num_tris=scene.num_tris,
         leaf_size=k,
         kz_tables=kz_tables,
+    )
+
+
+def pack_multiroot(scene: Scene, roots) -> PackedScene:
+    """Pack a FOREST of disjoint subtrees of one Scene in a single
+    vectorised BFS (one _greedy_slots call for all roots — unlike
+    pack_forest's per-root host loop, this stays fast at thousands of
+    roots, e.g. the macro-grid engine's per-cell trees).
+
+    `roots`: (R,) binary node ids (or leaf codes <= -2 for single-leaf
+    subtrees) whose subtrees must be disjoint and jointly cover every
+    leaf exactly once.  The packed entry id of root r is simply r.
+    """
+    roots = np.asarray(roots, np.int64)
+    k = scene.leaf_size
+    left = np.asarray(scene.bin_left, np.int64)
+    right = np.asarray(scene.bin_right, np.int64)
+    area = _area(np.asarray(scene.bin_min), np.asarray(scene.bin_max))
+    slot_src = _greedy_slots(left, right, area, root=roots)
+    meta, leaf_order = _pack_meta(slot_src, root_rows=roots.shape[0])
+    assert leaf_order.shape[0] == scene.num_leaves, \
+        (leaf_order.shape[0], scene.num_leaves)
+
+    tri_perm = (leaf_order[:, None] * k + np.arange(k)[None, :]).reshape(-1)
+    tri_perm = tri_perm.astype(np.int32)
+    slot_src_j = jnp.asarray(slot_src, jnp.int32)
+    meta_j = jnp.asarray(meta)
+    nodes = _gather_rows(scene.bin_min, scene.bin_max, scene.leaf_min,
+                         scene.leaf_max, slot_src_j, meta_j,
+                         n_rows=slot_src.shape[0])
+    perm = jnp.asarray(tri_perm)
+    tri_v = jnp.take(scene.tri_v, perm, axis=0)
+    tri_prim_p = jnp.take(scene.tri_prim, perm, axis=0)
+    return PackedScene(
+        nodes=nodes,
+        meta=meta_j,
+        tris=_tri_rows(tri_v, tri_prim_p >= 0, None),
+        tri_v=tri_v,
+        tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
+        tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
+        tri_prim=tri_prim_p,
+        slot_src=slot_src_j,
+        tri_perm=perm,
+        num_tris=scene.num_tris,
+        leaf_size=k,
     )
 
 

@@ -1,0 +1,116 @@
+"""Macro-grid DDA incoherent-ray engine: exact parity with the flat
+packet engine (trace/grid.py; PERF_NOTES r2 — the disjoint-bins fix for
+the binned engine's no-early-exit overlap problem)."""
+import numpy as np
+
+from rtk_tpu.config import BuildConfig
+from rtk_tpu.ops.pallas_trace import trace_packets
+from rtk_tpu.trace.grid import build_grid, choose_dims, trace_packets_grid
+from rtk_tpu.testing import scenes
+from rtk_tpu.types import Rays
+
+CFG = BuildConfig(branching=8, leaf_size=8)
+
+
+def _grid(subdiv=3, dims=None):
+    tris = scenes.blob(subdivisions=subdiv)[0]
+    return build_grid(tris, config=CFG, dims=dims)
+
+
+def _assert_parity(got, ref):
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6, atol=1e-6)
+    mism = np.asarray(got.slot) != np.asarray(ref.slot)
+    if mism.any():  # engines may differ at exact-t ties only
+        dt = np.abs(np.asarray(got.t)[mism] - np.asarray(ref.t)[mism])
+        assert dt.max() == 0.0
+
+
+def test_choose_dims_bounds():
+    d = choose_dims(np.array([1.0, 2.0, 0.5]), 100000)
+    assert all(1 <= x <= 32 for x in d)
+    assert d[0] * d[1] * d[2] <= 4096
+
+
+def test_grid_matches_flat_random_rays():
+    g = _grid()
+    rng = np.random.default_rng(3)
+    n = 512
+    rays = Rays.make(rng.normal(size=(n, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(n, 3)).astype(np.float32))
+    ref = trace_packets(g.flat, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True)
+    _assert_parity(got, ref)
+
+
+def test_grid_any_mode_and_records():
+    g = _grid()
+    rng = np.random.default_rng(5)
+    n = 256
+    rays = Rays.make(rng.normal(size=(n, 3)).astype(np.float32) * 0.4,
+                     rng.normal(size=(n, 3)).astype(np.float32))
+    ra = trace_packets(g.flat, rays, interpret=True, mode="any")
+    ga = trace_packets_grid(g, rays, interpret=True, mode="any")
+    np.testing.assert_array_equal(np.asarray(ga.hit), np.asarray(ra.hit))
+    # closest-mode records resolve to real original-soup triangles
+    gc = trace_packets_grid(g, rays, interpret=True)
+    hit = np.asarray(gc.hit)
+    prim = np.asarray(gc.triangle_index)
+    assert (prim[hit] >= 0).all()
+
+
+def test_grid_tiny_round_budget_stays_exact():
+    """rounds=1 forces most rays through the full-tree residual."""
+    g = _grid()
+    rng = np.random.default_rng(7)
+    rays = Rays.make(rng.normal(size=(256, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(256, 3)).astype(np.float32))
+    ref = trace_packets(g.flat, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True, rounds=1, skips=1)
+    _assert_parity(got, ref)
+
+
+def test_grid_caps_drop_to_residual():
+    """A tiny per-round capacity drops rays; the residual must cover."""
+    g = _grid()
+    rng = np.random.default_rng(9)
+    rays = Rays.make(rng.normal(size=(512, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(512, 3)).astype(np.float32))
+    ref = trace_packets(g.flat, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True, rounds=4,
+                             caps=(1024,))
+    _assert_parity(got, ref)
+
+
+def test_grid_outside_origin_and_dead_rays():
+    g = _grid()
+    o = np.array([[10.0, 10.0, 10.0], [10.0, 10.0, 10.0],
+                  [0.1, 0.0, 0.0]], np.float32)
+    d = np.array([[-1.0, -1.0, -1.0], [1.0, 0.5, 0.25],
+                  [1.0, 0.0, 0.0]], np.float32)
+    rays = Rays.make(np.repeat(o, 43, axis=0), np.repeat(d, 43, axis=0))
+    ref = trace_packets(g.flat, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True)
+    _assert_parity(got, ref)
+
+
+def test_grid_explicit_dims_and_bounce_batch():
+    tris = scenes.blob(subdivisions=4)[0]
+    g = build_grid(tris, config=CFG, dims=(6, 5, 4))
+    cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 32, 32,
+                             order="morton")
+    prim = trace_packets(g.flat, cam, interpret=True)
+    import jax
+    import jax.numpy as jnp
+    from rtk_tpu.models.path import cosine_sample, geometric_normal
+
+    nrm = geometric_normal(prim, cam.direction)
+    bd = cosine_sample(jax.random.PRNGKey(0), nrm)
+    org = prim.position() + 1e-3 * nrm
+    bounce = Rays(origin=org, direction=bd,
+                  min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
+                  max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
+    ref = trace_packets(g.flat, bounce, interpret=True)
+    got = trace_packets_grid(g, bounce, interpret=True)
+    _assert_parity(got, ref)
