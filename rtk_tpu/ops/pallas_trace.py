@@ -121,7 +121,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, kz_tables=False, pair_pops=False,
-                 dual2=False):
+                 dual2=False, kz_sel=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -258,6 +258,29 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 jnp.minimum(kzs_ref[pid * P + p], 2) * tbl_rows
                 for p in range(P)
             ]
+        if kz_sel:
+            # kz-uniform packets (caller binned rays by shear axis): the
+            # vertex-coordinate axis selects become per-PACKET (rows, 1)
+            # column selects instead of full (rows, PKT) tile selects —
+            # 18 of them per triangle, the bulk of the leaf phase's
+            # non-arithmetic ops — with ONE triangle table (the 3x
+            # pre-rotated kz_tables variant forces HBM residency and lost
+            # 7x to DMA chatter, PERF_NOTES).  Pad rays inside a packet
+            # may disagree with the packet kz but are dead (max_t <=
+            # min_t) and can never record hits.
+            pcol0 = _iota_col(P)
+            kzc = jnp.full((P, 1), 2, jnp.int32)
+            for p in range(P):
+                kzc = jnp.where(pcol0 == p,
+                                jnp.minimum(kzs_ref[pid * P + p], 2), kzc)
+            kxc = jnp.where(kzc == 2, 0, kzc + 1)
+            kyc = jnp.where(kxc == 2, 0, kxc + 1)
+            kx0c, kx1c = kxc == 0, kxc == 1
+            ky0c, ky1c = kyc == 0, kyc == 1
+            kz0c, kz1c = kzc == 0, kzc == 1
+            if not narrow:
+                kxcK, kycK, kzcK = (_rep(kxc, k_tris), _rep(kyc, k_tris),
+                                    _rep(kzc, k_tris))
 
         # Dead rays (max_t <= min_t: padding and wavefront-compaction
         # convention) must contribute NOTHING to a packet's traversal
@@ -748,6 +771,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                             # kz_tables: vertex coords arrive pre-rotated
                             # to (kx, ky, kz) for this packet's bin.
                             px, py, pz = vx - o_kx, vy - o_ky, vz - o_kz
+                        elif kz_sel:
+                            # kz-uniform packet: per-packet (P, 1) column
+                            # selects on the (P, 1) vertex columns instead
+                            # of full (P, PKT) tile selects.
+                            px = selk(kx0c, kx1c, vx, vy, vz) - o_kx
+                            py = selk(ky0c, ky1c, vx, vy, vz) - o_ky
+                            pz = selk(kz0c, kz1c, vx, vy, vz) - o_kz
                         else:
                             px = selk(kx0, kx1, vx, vy, vz) - o_kx
                             py = selk(ky0, ky1, vx, vy, vz) - o_ky
@@ -859,8 +889,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     h_v, h_s = out_v[:], out_slot[:]
                     trows = stage_tris[:]  # (P*K, 16)
                     verts = [trows[:, c:c + 1] for c in range(9)]
+                    # kz_sel: (P*K, 1) packet-kz columns make the vertex
+                    # axis selects column ops instead of full-tile ops.
+                    ks = (kxcK, kycK, kzcK) if kz_sel else (kxK, kyK, kzK)
                     t, u, v, ok = leaf_uvwt(
-                        verts, kxK, kyK, kzK, sxK, syK, szK, oxK, oyK, ozK,
+                        verts, *ks, sxK, syK, szK, oxK, oyK, ozK,
                         mintK, lazy=True)
                     if use_mask:
                         tm = trows[:, 9:10].astype(jnp.int32)
@@ -970,14 +1003,15 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
-                     "use_mask", "kz_tables", "pair_pops", "dual2"),
+                     "use_mask", "kz_tables", "pair_pops", "dual2",
+                     "kz_sel"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
-                dual2=False):
+                dual2=False, kz_sel=False):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -993,7 +1027,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab, lesion=lesion,
                           use_mask=use_mask, kz_tables=kz_tables,
-                          pair_pops=pair_pops, dual2=dual2)
+                          pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1040,7 +1074,7 @@ def _trace_impl_jit(tpu: bool):
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
-                         "stats", "pair_pops", "dual2"),
+                         "stats", "pair_pops", "dual2", "kz_sel"),
         compiler_options=opts)
 
 
@@ -1058,7 +1092,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    qmask=None, *, mode, watertight, interpret, p_pk,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
-                   pair_pops=False, dual2=False):
+                   pair_pops=False, dual2=False, kz_sel=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1067,9 +1101,10 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     PKT = pkt
     idx = None
     kzb = packed.kz_tables
+    bin_kz = kzb or kz_sel
     n2 = n
     kz_keys = None
-    if kzb:
+    if bin_kz:
         # Bin rays by shear dominant axis so every packet is kz-uniform
         # (the pre-rotated triangle tables assume it).  3*PKT synthetic
         # pad rows get runtime-assigned bins so each bin's run is a whole
@@ -1148,7 +1183,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     if qmask is None:
         qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
     n_packets = npad // PKT
-    if kzb:
+    if bin_kz:
         kzs = jnp.full((n_packets,), 3, jnp.int32)
         n_full = n2 // PKT
         kzs = kzs.at[:n_full].set(
@@ -1162,6 +1197,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
+        kz_sel=kz_sel,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1216,7 +1252,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   filter_mask: int | None = None,
                   stats: bool = False,
                   pair_pops: bool | None = None,
-                  dual2: bool = False) -> PacketHits:
+                  dual2: bool = False,
+                  kz_sel: bool | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1262,6 +1299,17 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         # 2048-ray packets the vector phases dominate and the cheap
         # frustum test wins (+4% at 67M rays).
         islab = pkt >= 2048
+    if kz_sel is None:
+        # kz-uniform packets turn the leaf phase's 18 per-triangle
+        # (rows, PKT) axis selects into (rows, 1) column selects with one
+        # table.  The binning itself costs one extra multi-operand sort
+        # pass, so it pays off once the leaf phase dominates (wide
+        # packets); per-packet-root callers lay out packets themselves.
+        kz_sel = False  # pending TPU measurement at the 67M headline
+    kz_sel = bool(kz_sel) and not packed.kz_tables
+    if kz_sel and packet_roots is not None:
+        raise ValueError("kz_sel rebins rays and cannot carry "
+                         "per-packet roots; pass kz_sel=False")
     if sort_rays and packet_roots is not None:
         raise ValueError("sort_rays cannot reorder rays that carry "
                          "per-packet roots; pass sort_rays=False")
@@ -1278,7 +1326,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     # padding (see _trace_impl_fn); the scalar-prefetch arrays must cover
     # the same packet count or the kernel reads past them (SMEM OOB
     # faulted the chip; interpret mode clamps, so CPU missed it).
-    n_eff = n + 3 * pkt if packed.kz_tables else n
+    n_eff = n + 3 * pkt if (packed.kz_tables or kz_sel) else n
     pad = (-n_eff) % (p_pk * pkt)
     n_packets = (n_eff + pad) // pkt
     if packet_roots is None:
@@ -1314,7 +1362,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
-        pair_pops=pair_pops, dual2=dual2 and dual)
+        pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel)
 
 
 @functools.partial(
@@ -1357,7 +1405,7 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
         sort_rays = n >= 16384
     if hbm_tris is None:
         hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
-    n_eff = n + 3 * pkt if packed.kz_tables else n  # see trace_packets
+    n_eff = n + 3 * pkt if (packed.kz_tables or kz_sel) else n  # see trace_packets
     pad = (-n_eff) % (p_pk * pkt)
     roots = jnp.zeros(((n_eff + pad) // pkt,), jnp.int32)
     return _refit_trace_jit(

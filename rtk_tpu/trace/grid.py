@@ -308,8 +308,12 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         return jnp.where(ab, -2, jnp.where(dd, -1,
                                            (ix * dy + iy) * dz + iz))
 
-    def advance(ix, iy, iz, tmx, tmy, tmz, mask):
-        """One DDA step where mask; returns new state + left-grid flag."""
+    def advance(ix, iy, iz, tmx, tmy, tmz, mask, step, tdel):
+        """One DDA step where mask; returns new state + left-grid flag.
+
+        step/tdel are passed explicitly: the round body rebuilds them
+        after each grouping sort (they are not carried through it), and a
+        closure would see stale pre-sort bindings from the init scope."""
         mx = (tmx <= tmy) & (tmx <= tmz)
         my = ~mx & (tmy <= tmz)
         mz = ~mx & ~my
@@ -334,11 +338,9 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
     st = (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
           best_s, cell, tmx, tmy, tmz)
 
-    for r in range(rounds):
-        cap = caps[r]
+    def one_round(st):
         (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
-         best_s, cell, tmx, tmy, tmz) = [a[:cap] for a in st]
-        tail = [a[cap:] for a in st]
+         best_s, cell, tmx, tmy, tmz) = st
         abort = cell == -2
         done = cell == -1
         marching = cell >= 0
@@ -362,7 +364,7 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
             marching = marching & ~fin
             adv = adv & ~fin
             ix, iy, iz, tmx, tmy, tmz, left = advance(
-                ix, iy, iz, tmx, tmy, tmz, adv)
+                ix, iy, iz, tmx, tmy, tmz, adv, step, tdel)
             done = done | left
             marching = marching & ~left
             safe = jnp.clip((ix * dy + iy) * dz + iz, 0, dx * dy * dz - 1)
@@ -436,14 +438,28 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                 for dc in (dxx, dyy, dzz)]
         tdel = [cs[a] * jnp.abs(rcp[a]) for a in range(3)]
         ix, iy, iz, tmx, tmy, tmz, left = advance(
-            ix, iy, iz, tmx, tmy, tmz, marching)
+            ix, iy, iz, tmx, tmy, tmz, marching, step, tdel)
         done = done | left
         marching = marching & ~left
         cell = pack_cell(ix, iy, iz, done, abort)
 
-        st = tuple(jnp.concatenate([a, b]) for a, b in zip(
-            (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
-             best_v, best_s, cell, tmx, tmy, tmz), tail))
+        return (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
+                best_v, best_s, cell, tmx, tmy, tmz)
+
+    if all(c == M for c in caps):
+        # Uniform capacity: all rounds share ONE compiled instance (kernel
+        # + grouping sort) under fori_loop — compile time stays flat in
+        # the round budget (unrolled multi-round programs took minutes to
+        # compile over the tunnel).
+        st = jax.lax.fori_loop(0, rounds, lambda r, s: one_round(s), st)
+    else:
+        for r in range(rounds):
+            cap = caps[r]
+            head = tuple(a[:cap] for a in st)
+            tail = [a[cap:] for a in st]
+            out = one_round(head)
+            st = tuple(jnp.concatenate([a, b])
+                       for a, b in zip(out, tail))
 
     (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
      best_s, cell, tmx, tmy, tmz) = st
