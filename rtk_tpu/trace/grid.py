@@ -257,7 +257,7 @@ def _crcp(d):
 
 def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                rounds, skips, caps, mode, watertight, interpret, n,
-               filter_mask):
+               filter_mask, debug_counts=False):
     """The whole marching loop as one device program (see module doc)."""
     from rtk_tpu.ops.pallas_trace import trace_packets
 
@@ -443,21 +443,32 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         marching = marching & ~left
         cell = pack_cell(ix, iy, iz, done, abort)
 
+        row = jnp.stack([jnp.sum(live_row.astype(jnp.int32)),
+                         jnp.sum(marching.astype(jnp.int32)),
+                         jnp.sum(abort.astype(jnp.int32))])
         return (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
-                best_v, best_s, cell, tmx, tmy, tmz)
+                best_v, best_s, cell, tmx, tmy, tmz), row
 
+    cnts = jnp.zeros((rounds, 3), jnp.int32)
     if all(c == M for c in caps):
         # Uniform capacity: all rounds share ONE compiled instance (kernel
         # + grouping sort) under fori_loop — compile time stays flat in
         # the round budget (unrolled multi-round programs took minutes to
         # compile over the tunnel).
-        st = jax.lax.fori_loop(0, rounds, lambda r, s: one_round(s), st)
+        def fbody(r, carry):
+            st, cnts = carry
+            st, row = one_round(st)
+            cnts = jax.lax.dynamic_update_slice(cnts, row[None], (r, 0))
+            return st, cnts
+
+        st, cnts = jax.lax.fori_loop(0, rounds, fbody, (st, cnts))
     else:
         for r in range(rounds):
             cap = caps[r]
             head = tuple(a[:cap] for a in st)
             tail = [a[cap:] for a in st]
-            out = one_round(head)
+            out, row = one_round(head)
+            cnts = cnts.at[r].set(row)
             st = tuple(jnp.concatenate([a, b])
                        for a, b in zip(out, tail))
 
@@ -485,19 +496,24 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
 
     idx, best_t, best_u, best_v, best_s = jax.lax.sort(
         (idx, best_t, best_u, best_v, best_s), num_keys=1)
-    return (best_t[:n], best_u[:n], best_v[:n], best_s[:n])
+    out = (best_t[:n], best_u[:n], best_v[:n], best_s[:n])
+    if debug_counts:
+        return out + (cnts, jnp.sum(live.astype(jnp.int32)))
+    return out
 
 
 @functools.lru_cache(maxsize=None)
 def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
-              watertight, interpret, n, filter_mask):
+              watertight, interpret, n, filter_mask,
+              debug_counts=False):
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_grid_impl, dims=dims, n_occ=n_occ, unit=unit,
                           rounds=rounds, skips=skips, caps=caps,
                           mode=mode, watertight=watertight,
                           interpret=interpret, n=n,
-                          filter_mask=filter_mask),
+                          filter_mask=filter_mask,
+                          debug_counts=debug_counts),
         compiler_options=opts)
 
 
@@ -512,11 +528,14 @@ def trace_packets_grid(
     unit: int = 128,
     caps=None,
     filter_mask: int | None = None,
+    debug_counts: bool = False,
 ) -> PacketHits:
     """Trace an incoherent ray batch by marching the macro-grid.
 
     Same hit-record contract as trace_packets.  Exact: rays still
     marching after `rounds` grid rounds finish on the full tree.
+    debug_counts: also return ((rounds, 3) [kernel-live rows, marching
+    after, aborted], residual-live count) for tuning round budgets.
     """
     n = rays.count
     blk = 8 * unit
@@ -538,13 +557,16 @@ def trace_packets_grid(
 
     fn = _grid_jit(jax.default_backend() == "tpu", grid.dims, grid.n_occ,
                    unit, rounds, skips, caps, mode, watertight, interpret,
-                   n, None if filter_mask is None else int(filter_mask))
-    t, u, v, slot = fn(
+                   n, None if filter_mask is None else int(filter_mask),
+                   debug_counts)
+    out = fn(
         (grid.cells, grid.flat, grid.rank, grid.cells_to_flat,
          grid.grid_lo, grid.cell_size),
         padded(rays.origin, 0.0), padded(rays.direction, 1.0),
         padded(rays.min_t, 0.0), padded(rays.max_t, 0.0), idx)
-    return PacketHits(
+    t, u, v, slot = out[:4]
+    dbg = out[4:] if debug_counts else None
+    hits = PacketHits(
         hit=slot >= 0,
         t=t,
         u=u,
@@ -557,3 +579,6 @@ def trace_packets_grid(
         tri_mesh=grid.flat.tri_mesh,
         tri_prim=grid.flat.tri_prim,
     )
+    if debug_counts:
+        return hits, dbg
+    return hits
