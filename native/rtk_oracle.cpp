@@ -77,6 +77,7 @@ struct BuildItem {
 };
 
 constexpr int kLeafMax = 4;
+static int g_leaf_max = kLeafMax;  // rtko_build2 override
 constexpr int kBins = 16;
 
 static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
@@ -90,7 +91,7 @@ static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
   const int32_t me = (int32_t)s.nodes.size();
   s.nodes.push_back(node);
 
-  bool make_leaf = count <= kLeafMax || depth >= 64;
+  bool make_leaf = count <= g_leaf_max || depth >= 64;
   int32_t mid = first;
   if (!make_leaf) {
     // Binned SAH over the widest centroid axis.
@@ -138,7 +139,7 @@ static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
         if (cost < best) { best = cost; best_bin = b; }
       }
       float leaf_cost = node.box.area() * count;
-      if (best_bin < 0 || (count <= kLeafMax && best >= leaf_cost)) {
+      if (best_bin < 0 || (count <= g_leaf_max && best >= leaf_cost)) {
         mid = first + count / 2;
         std::nth_element(items.begin() + first, items.begin() + mid,
                          items.begin() + first + count,
@@ -308,5 +309,42 @@ void rtko_trace(const void* scene, const float* rays, int64_t n, int mode,
 }
 
 void rtko_free(void* scene) { delete (Scene*)scene; }
+
+// Tree export: lets the TPU packer run a host-SAH topology through the
+// same packet kernel (topology-quality experiments and the SAH build
+// option).  Arrays sized rtko_node_count / n triangles.
+int64_t rtko_node_count(const void* scene) {
+  return (int64_t)((const Scene*)scene)->nodes.size();
+}
+
+void rtko_export(const void* scene, int32_t* left, int32_t* right,
+                 int32_t* first, int32_t* count, float* box_lo,
+                 float* box_hi, int32_t* order, int32_t* root) {
+  const Scene& s = *(const Scene*)scene;
+  for (size_t i = 0; i < s.nodes.size(); ++i) {
+    const Node& nd = s.nodes[i];
+    left[i] = nd.left;
+    right[i] = nd.right;
+    first[i] = nd.first;
+    count[i] = nd.count;
+    box_lo[i * 3 + 0] = nd.box.lo.x;
+    box_lo[i * 3 + 1] = nd.box.lo.y;
+    box_lo[i * 3 + 2] = nd.box.lo.z;
+    box_hi[i * 3 + 0] = nd.box.hi.x;
+    box_hi[i * 3 + 1] = nd.box.hi.y;
+    box_hi[i * 3 + 2] = nd.box.hi.z;
+  }
+  for (size_t i = 0; i < s.order.size(); ++i) order[i] = s.order[i];
+  *root = s.root;
+}
+
+// Build with an explicit leaf-size cap (rtko_build keeps the historical
+// kLeafMax=4 behaviour).
+void* rtko_build2(const float* tris, int64_t n, int leaf_max) {
+  g_leaf_max = leaf_max < 1 ? 1 : leaf_max;
+  void* s = rtko_build(tris, n);
+  g_leaf_max = kLeafMax;
+  return s;
+}
 
 }  // extern "C"

@@ -43,6 +43,19 @@ def _load():
     ]
     lib.rtko_free.restype = None
     lib.rtko_free.argtypes = [ctypes.c_void_p]
+    lib.rtko_build2.restype = ctypes.c_void_p
+    lib.rtko_build2.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                ctypes.c_int64, ctypes.c_int]
+    lib.rtko_node_count.restype = ctypes.c_int64
+    lib.rtko_node_count.argtypes = [ctypes.c_void_p]
+    lib.rtko_export.restype = None
+    lib.rtko_export.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -50,15 +63,43 @@ def _load():
 class NativeOracle:
     """Corrected-rtk CPU oracle: build once, trace ray batches."""
 
-    def __init__(self, tri_pos: np.ndarray):
+    def __init__(self, tri_pos: np.ndarray, leaf_max: int | None = None):
         lib = _load()
         tris = np.ascontiguousarray(tri_pos, np.float32).reshape(-1, 9)
         self._n = tris.shape[0]
-        self._handle = lib.rtko_build(
-            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.c_int64(self._n),
-        )
+        if leaf_max is None:
+            self._handle = lib.rtko_build(
+                tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(self._n),
+            )
+        else:
+            self._handle = lib.rtko_build2(
+                tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(self._n), ctypes.c_int(int(leaf_max)),
+            )
         self._lib = lib
+
+    def export_tree(self):
+        """-> (left, right, first, count, box_lo, box_hi, order, root):
+        the host-SAH binary topology, for pack_binary_tree (the SAH build
+        option and topology-quality experiments)."""
+        nn = int(self._lib.rtko_node_count(self._handle))
+        left = np.empty(nn, np.int32)
+        right = np.empty(nn, np.int32)
+        first = np.empty(nn, np.int32)
+        count = np.empty(nn, np.int32)
+        box_lo = np.empty((nn, 3), np.float32)
+        box_hi = np.empty((nn, 3), np.float32)
+        order = np.empty(self._n, np.int32)
+        root = np.empty(1, np.int32)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._lib.rtko_export(
+            self._handle, left.ctypes.data_as(ip), right.ctypes.data_as(ip),
+            first.ctypes.data_as(ip), count.ctypes.data_as(ip),
+            box_lo.ctypes.data_as(fp), box_hi.ctypes.data_as(fp),
+            order.ctypes.data_as(ip), root.ctypes.data_as(ip))
+        return left, right, first, count, box_lo, box_hi, order, int(root[0])
 
     def trace(self, origin, direction, min_t, max_t, mode="closest"):
         """-> (t, u, v, tri_index) numpy arrays; index -1 on miss."""

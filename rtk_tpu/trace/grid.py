@@ -257,7 +257,7 @@ def _crcp(d):
 
 def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                rounds, skips, caps, mode, watertight, interpret, n,
-               filter_mask, debug_counts=False):
+               filter_mask, debug_counts=False, lesion=""):
     """The whole marching loop as one device program (see module doc)."""
     from rtk_tpu.ops.pallas_trace import trace_packets
 
@@ -356,7 +356,11 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
 
         # --- skip empty cells (occupancy lookup + DDA step) ---
         for _ in range(skips):
-            rank = jnp.take(rank_tbl, jnp.minimum(safe, dx * dy * dz - 1))
+            if "norank" in lesion:  # lesion: timing probe only
+                rank = (safe % 7).astype(jnp.int32) - 3
+            else:
+                rank = jnp.take(rank_tbl,
+                                jnp.minimum(safe, dx * dy * dz - 1))
             exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
             adv = marching & (rank < 0)
             fin = adv & (exit_t >= best_t)  # marched past any useful t
@@ -369,7 +373,8 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
             marching = marching & ~left
             safe = jnp.clip((ix * dy + iy) * dz + iz, 0, dx * dy * dz - 1)
 
-        rank = jnp.take(rank_tbl, safe)
+        rank = ((safe % 7).astype(jnp.int32) - 3 if "norank" in lesion
+                else jnp.take(rank_tbl, safe))
         # Still in an empty cell after the skip budget: park the ray for
         # the exactness residual rather than stall it.
         stuck = marching & (rank < 0)
@@ -390,10 +395,11 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                         jnp.minimum(idx, 0x7FFFE)).astype(jnp.uint32)
         key = (bin_r.astype(jnp.uint32) << jnp.uint32(19)) | sub
         cell = pack_cell(ix, iy, iz, done, abort)
-        (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
-         best_v, best_s, cell, tmx, tmy, tmz) = jax.lax.sort(
-             (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
-              best_u, best_v, best_s, cell, tmx, tmy, tmz), num_keys=1)
+        if "nosort" not in lesion:  # lesion: timing probe only
+            (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
+             best_v, best_s, cell, tmx, tmy, tmz) = jax.lax.sort(
+                 (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
+                  best_u, best_v, best_s, cell, tmx, tmy, tmz), num_keys=1)
         bin_s = (key >> jnp.uint32(19)).astype(jnp.int32)
         abort = cell == -2
         done = cell == -1
@@ -409,7 +415,10 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         abort = abort | mism
         marching = marching & ~mism
         live_row = marching & (idx < n)
-        h = trace_packets(
+        if "nokernel" in lesion:  # lesion: timing probe only
+            h = None
+        else:
+          h = trace_packets(
             cells, Rays(origin=jnp.stack([ox, oy, ozz], axis=1),
                         direction=jnp.stack([dxx, dyy, dzz], axis=1),
                         min_t=mint,
@@ -417,11 +426,12 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
             mode=mode, watertight=watertight, interpret=interpret,
             pkt=unit, packet_roots=roots, sort_rays=False,
             filter_mask=filter_mask)
-        improved = h.slot >= 0
-        best_t = jnp.where(improved, h.t, best_t)
-        best_u = jnp.where(improved, h.u, best_u)
-        best_v = jnp.where(improved, h.v, best_v)
-        best_s = jnp.where(improved, h.slot, best_s)
+        if h is not None:
+            improved = h.slot >= 0
+            best_t = jnp.where(improved, h.t, best_t)
+            best_u = jnp.where(improved, h.u, best_u)
+            best_v = jnp.where(improved, h.v, best_v)
+            best_s = jnp.where(improved, h.slot, best_s)
 
         # --- retire + advance ---
         exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
@@ -449,8 +459,10 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         return (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
                 best_v, best_s, cell, tmx, tmy, tmz), row
 
-    cnts = jnp.zeros((rounds, 3), jnp.int32)
-    if all(c == M for c in caps):
+    cnts = jnp.zeros((max(rounds, 1), 3), jnp.int32)
+    if rounds == 0:
+        pass
+    elif all(c == M for c in caps):
         # Uniform capacity: all rounds share ONE compiled instance (kernel
         # + grouping sort) under fori_loop — compile time stays flat in
         # the round budget (unrolled multi-round programs took minutes to
@@ -505,7 +517,7 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
 @functools.lru_cache(maxsize=None)
 def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
               watertight, interpret, n, filter_mask,
-              debug_counts=False):
+              debug_counts=False, lesion=""):
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_grid_impl, dims=dims, n_occ=n_occ, unit=unit,
@@ -513,7 +525,7 @@ def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
                           mode=mode, watertight=watertight,
                           interpret=interpret, n=n,
                           filter_mask=filter_mask,
-                          debug_counts=debug_counts),
+                          debug_counts=debug_counts, lesion=lesion),
         compiler_options=opts)
 
 
@@ -529,6 +541,7 @@ def trace_packets_grid(
     caps=None,
     filter_mask: int | None = None,
     debug_counts: bool = False,
+    lesion: str = "",
 ) -> PacketHits:
     """Trace an incoherent ray batch by marching the macro-grid.
 
@@ -558,7 +571,7 @@ def trace_packets_grid(
     fn = _grid_jit(jax.default_backend() == "tpu", grid.dims, grid.n_occ,
                    unit, rounds, skips, caps, mode, watertight, interpret,
                    n, None if filter_mask is None else int(filter_mask),
-                   debug_counts)
+                   debug_counts, lesion)
     out = fn(
         (grid.cells, grid.flat, grid.rank, grid.cells_to_flat,
          grid.grid_lo, grid.cell_size),

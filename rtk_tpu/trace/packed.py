@@ -323,6 +323,105 @@ def pack_multiroot(scene: Scene, roots) -> PackedScene:
     )
 
 
+def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
+                     order, root: int, leaf_size: int, tri_vidx=None,
+                     tri_mesh=None, tri_prim=None,
+                     tri_mask=None) -> PackedScene:
+    """Pack an ARBITRARY host-built binary BVH for the packet kernel.
+
+    Feeds any binary topology (e.g. the corrected-rtk C++ oracle's binned
+    SAH via NativeOracle.export_tree) through the same greedy wide
+    collapse as pack_scene — the SAH build option, and the apparatus for
+    topology-quality experiments (SAH vs Morton under an identical
+    kernel).
+
+    left/right: child node id or -1 for leaves; first/count index into
+    `order` (leaf triangle lists, <= leaf_size each); box_lo/hi: (Nn, 3)
+    node bounds.  tri_v: (T, 3, 3) soup.  No Scene exists, so refit/
+    repack is not supported for the result; tri_perm holds original soup
+    ids (pad -1).
+    """
+    left = np.asarray(left, np.int64)
+    right = np.asarray(right, np.int64)
+    first = np.asarray(first, np.int64)
+    count = np.asarray(count, np.int64)
+    box_lo = np.asarray(box_lo, np.float32)
+    box_hi = np.asarray(box_hi, np.float32)
+    order = np.asarray(order, np.int64)
+    k = leaf_size
+    if count.size and count.max() > k:
+        raise ValueError(f"leaf count {count.max()} exceeds leaf_size {k}")
+
+    is_leaf = left < 0
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    nl = leaf_nodes.shape[0]
+    lidx = np.full(left.shape[0], -1, np.int64)
+    lidx[leaf_nodes] = np.arange(nl)
+
+    def mapped(child):
+        c = np.clip(child, 0, None)
+        return np.where(is_leaf[c], -(lidx[c] + 2), child)
+
+    lm = mapped(left)
+    rm = mapped(right)
+    root_m = int(-(lidx[root] + 2) if is_leaf[root] else root)
+    area = _area(box_lo, box_hi)
+    slot_src = _greedy_slots(lm, rm, area, root=root_m)
+    meta, leaf_order = _pack_meta(slot_src)
+    assert leaf_order.shape[0] == nl, (leaf_order.shape[0], nl)
+
+    # (nl, k) triangle ids per leaf (pad -1), in leaf-visit order.
+    tids = np.full((nl, k), -1, np.int64)
+    col = np.arange(k)[None, :]
+    fc_ = first[leaf_nodes][:, None]
+    cn_ = count[leaf_nodes][:, None]
+    take = col < cn_
+    tids[take] = order[(fc_ + np.minimum(col, cn_ - 1))[take]]
+    tri_ids = tids[leaf_order].reshape(-1)
+
+    tri_v = jnp.asarray(tri_v, jnp.float32)
+    T = tri_v.shape[0]
+    valid = tri_ids >= 0
+    gather = jnp.asarray(np.where(valid, tri_ids, 0).astype(np.int32))
+    tv = jnp.take(tri_v, gather, axis=0)
+    validj = jnp.asarray(valid)
+    if tri_vidx is None:
+        tvi = (gather[:, None] * 3
+               + jnp.arange(3, dtype=jnp.int32)[None, :])
+    else:
+        tvi = jnp.take(jnp.asarray(tri_vidx, jnp.int32), gather, axis=0)
+    tm = (jnp.zeros_like(gather) if tri_mesh is None
+          else jnp.take(jnp.asarray(tri_mesh, jnp.int32), gather))
+    tp_ = (gather if tri_prim is None
+           else jnp.take(jnp.asarray(tri_prim, jnp.int32), gather))
+    tp_ = jnp.where(validj, tp_, -1)
+    mask = None
+    if tri_mask is not None:
+        mask = np.asarray(
+            jnp.take(jnp.asarray(tri_mask, jnp.uint32), gather)
+        ).astype(np.float32)
+
+    slot_src_j = jnp.asarray(slot_src, jnp.int32)
+    meta_j = jnp.asarray(meta)
+    nodes = _gather_rows(jnp.asarray(box_lo), jnp.asarray(box_hi),
+                         jnp.asarray(box_lo[leaf_nodes]),
+                         jnp.asarray(box_hi[leaf_nodes]),
+                         slot_src_j, meta_j, n_rows=slot_src.shape[0])
+    return PackedScene(
+        nodes=nodes,
+        meta=meta_j,
+        tris=_tri_rows(tv, validj, mask),
+        tri_v=tv,
+        tri_vidx=tvi,
+        tri_mesh=tm,
+        tri_prim=tp_,
+        slot_src=slot_src_j,
+        tri_perm=jnp.asarray(np.where(valid, tri_ids, -1).astype(np.int32)),
+        num_tris=int(T),
+        leaf_size=k,
+    )
+
+
 def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:
     """Refresh a PackedScene after Scene.refit (same topology, new bounds)."""
     nodes = _gather_rows(scene.bin_min, scene.bin_max, scene.leaf_min,
