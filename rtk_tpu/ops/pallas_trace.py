@@ -1275,19 +1275,14 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             # Explicit per-packet roots are laid out by the caller in
             # 128-ray units; widening would misalign them.
             pkt = 128
-        elif n >= 32 * 1024 * 1024:
+        else:
             # Wider packets win as the batch grows: ray density tightens
             # the traversal union while the fixed per-step costs amortise
-            # over more rays.  Measured on v5e (bunny-class primaries):
-            # 67M rays 157 Mrays/s @2048 vs 112 @512; 17M rays 111 @1024
-            # vs 91 @512; 4M rays 73 @1024 vs 65 @512.
-            pkt = 2048
-        elif n >= 4 * 1024 * 1024:
-            pkt = 1024
-        elif n >= p_pk * 512:
-            pkt = 512
-        else:
-            pkt = 128
+            # over more rays (measured crossovers + the fitted step-cost
+            # model live in utils/costmodel.py).
+            from rtk_tpu.utils.costmodel import auto_pkt
+
+            pkt = auto_pkt(n, p_pk)
     if pkt % 128 != 0:
         raise ValueError("pkt must be a multiple of 128 (VPU lane width)")
     if sort_rays is None:
@@ -1302,10 +1297,12 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     if kz_sel is None:
         # kz-uniform packets turn the leaf phase's 18 per-triangle
         # (rows, PKT) axis selects into (rows, 1) column selects with one
-        # table.  The binning itself costs one extra multi-operand sort
-        # pass, so it pays off once the leaf phase dominates (wide
-        # packets); per-packet-root callers lay out packets themselves.
-        kz_sel = False  # pending TPU measurement at the 67M headline
+        # table.  Measured on v5e: 3.5x SLOWER at 4M rays and 12x at 67M
+        # than the plain leaf phase — the (P, 1) column selects force a
+        # relayout of every vertex column that costs far more than the
+        # full-tile selects they replace (docs/PERF_NOTES.md).  Stays a
+        # flag (bit-exact, tested) but never auto-enabled.
+        kz_sel = False
     kz_sel = bool(kz_sel) and not packed.kz_tables
     if kz_sel and packet_roots is not None:
         raise ValueError("kz_sel rebins rays and cannot carry "
