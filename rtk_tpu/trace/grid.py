@@ -230,8 +230,16 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
     flat_of_orig = np.full(T, -1, np.int64)
     valid = orig_of_flat >= 0
     flat_of_orig[orig_of_flat[valid]] = np.nonzero(valid)[0]
-    # cells packed slot -> pair row -> original tri -> flat slot
-    cells_pair = np.asarray(cells_packed.tri_perm, np.int64)
+    # cells packed slot -> merged SORTED slot -> pair row -> original tri
+    # -> flat slot.  (tri_perm is packed->sorted; merged.perm is
+    # sorted->input pair row — composing only the first mapped records to
+    # a scrambled triangle within the right cell: t was correct, the
+    # reported triangle/vertex records were not.)
+    cells_sorted = np.asarray(cells_packed.tri_perm, np.int64)
+    merged_perm = np.asarray(merged.perm, np.int64)
+    cells_pair = np.where(
+        cells_sorted >= 0,
+        merged_perm[np.clip(cells_sorted, 0, None)], -1)
     cells_orig = np.where(cells_pair >= 0,
                           pair_tri[np.clip(cells_pair, 0, None)], -1)
     c2f = np.where(cells_orig >= 0,
@@ -296,6 +304,7 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
     sub_shift = max(5, M.bit_length() - 16)
     dimv = jnp.asarray(dims, jnp.float32)
 
+    mint0 = mint  # original order, for the final u/v re-test
     ox, oy, ozz = o[:, 0], o[:, 1], o[:, 2]
     dxx, dyy, dzz = d[:, 0], d[:, 1], d[:, 2]
     rcp = [_crcp(dxx), _crcp(dyy), _crcp(dzz)]
@@ -312,24 +321,14 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
     s0 = jnp.maximum(near, 0.0)
     done = (near > far) | (far < 0.0) | (maxt <= mint) | (idx >= n)
     ii = []
-    tmax = []
-    tdel = []
-    step = []
     for a, (oc, dc, rc) in enumerate(zip((ox, oy, ozz), (dxx, dyy, dzz),
                                          rcp)):
         p = oc + dc * s0
         i = jnp.clip(jnp.floor((p - glo[a]) / cs[a]).astype(jnp.int32),
                      0, dims[a] - 1)
-        nb = glo[a] + (i + (dc >= 0).astype(jnp.int32)).astype(
-            jnp.float32) * cs[a]
-        tmax.append((nb - oc) * rc)
-        tdel.append(cs[a] * jnp.abs(rc))
-        step.append(jnp.where(dc >= 0, 1, -1).astype(jnp.int32))
         ii.append(i)
 
     best_t = maxt
-    best_u = jnp.zeros((M,), jnp.float32)
-    best_v = jnp.zeros((M,), jnp.float32)
     best_s = jnp.full((M,), -1, jnp.int32)
 
     def pack_cell(ix, iy, iz, dd, ab):
@@ -361,16 +360,17 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                 mask & out)
 
     ix, iy, iz = ii
-    tmx, tmy, tmz = tmax
     cell = pack_cell(ix, iy, iz, done, False)
 
-    # Stream state: 17 sorted operands per round.
-    st = (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
-          best_s, cell, tmx, tmy, tmz)
+    # Stream state: 11 sorted operands per round (tmx/tmy/tmz are
+    # recomputed from the cell index each round, and u/v are recovered by
+    # ONE single-triangle re-test at the very end — both cut the
+    # multi-operand grouping sort, the round's fixed cost).
+    st = (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_s, cell)
 
     def one_round(st):
-        (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
-         best_s, cell, tmx, tmy, tmz) = st
+        (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
+         best_s, cell) = st
         abort = cell == -2
         done = cell == -1
         marching = cell >= 0
@@ -378,11 +378,19 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         ix = safe // (dy * dz)
         iy = (safe // dz) % dy
         iz = safe % dz
-        # rebuild per-row step/tdel (not carried through sorts)
+        # rebuild per-row step/tdel/tm (not carried through sorts; the
+        # next-boundary ts are a pure function of (cell, origin, dir))
         rcp = [_crcp(dxx), _crcp(dyy), _crcp(dzz)]
         step = [jnp.where(dc >= 0, 1, -1).astype(jnp.int32)
                 for dc in (dxx, dyy, dzz)]
         tdel = [cs[a] * jnp.abs(rcp[a]) for a in range(3)]
+        tms = []
+        for a, (ia, oc, dc, rc) in enumerate(
+                zip((ix, iy, iz), (ox, oy, ozz), (dxx, dyy, dzz), rcp)):
+            nb = glo[a] + (ia + (dc >= 0).astype(jnp.int32)).astype(
+                jnp.float32) * cs[a]
+            tms.append((nb - oc) * rc)
+        tmx, tmy, tmz = tms
 
         # --- empty-space leaps: one gather serves occupancy AND the
         # chebyshev distance field (rank_tbl holds -d for empty cells),
@@ -480,10 +488,10 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         key = (bin_r.astype(jnp.uint32) << jnp.uint32(16)) | sub
         cell = pack_cell(ix, iy, iz, done, abort)
         if "nosort" not in lesion:  # lesion: timing probe only
-            (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
-             best_v, best_s, cell, tmx, tmy, tmz) = jax.lax.sort(
+            (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
+             best_s, cell) = jax.lax.sort(
                  (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
-                  best_u, best_v, best_s, cell, tmx, tmy, tmz), num_keys=1)
+                  best_s, cell), num_keys=1)
         bin_s = (key >> jnp.uint32(16)).astype(jnp.int32)
         abort = cell == -2
         done = cell == -1
@@ -513,17 +521,9 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         if h is not None:
             improved = h.slot >= 0
             best_t = jnp.where(improved, h.t, best_t)
-            best_u = jnp.where(improved, h.u, best_u)
-            best_v = jnp.where(improved, h.v, best_v)
             best_s = jnp.where(improved, h.slot, best_s)
 
-        # --- retire + advance ---
-        exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
-        fin = marching & (best_t <= exit_t)
-        if mode == "any":
-            fin = fin | (marching & (best_s >= 0))
-        done = done | fin
-        marching = marching & ~fin
+        # --- retire + advance (tm recomputed from the sorted cells) ---
         ix = jnp.maximum(cell, 0) // (dy * dz)
         iy = (jnp.maximum(cell, 0) // dz) % dy
         iz = jnp.maximum(cell, 0) % dz
@@ -531,6 +531,19 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         step = [jnp.where(dc >= 0, 1, -1).astype(jnp.int32)
                 for dc in (dxx, dyy, dzz)]
         tdel = [cs[a] * jnp.abs(rcp[a]) for a in range(3)]
+        tms = []
+        for a, (ia, oc, dc, rc) in enumerate(
+                zip((ix, iy, iz), (ox, oy, ozz), (dxx, dyy, dzz), rcp)):
+            nb = glo[a] + (ia + (dc >= 0).astype(jnp.int32)).astype(
+                jnp.float32) * cs[a]
+            tms.append((nb - oc) * rc)
+        tmx, tmy, tmz = tms
+        exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
+        fin = marching & (best_t <= exit_t)
+        if mode == "any":
+            fin = fin | (marching & (best_s >= 0))
+        done = done | fin
+        marching = marching & ~fin
         ix, iy, iz, tmx, tmy, tmz, left = advance(
             ix, iy, iz, tmx, tmy, tmz, marching, step, tdel)
         done = done | left
@@ -541,8 +554,8 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                          jnp.sum(marching.astype(jnp.int32)),
                          jnp.sum(abort.astype(jnp.int32))]).astype(
                              jnp.int32)
-        return (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u,
-                best_v, best_s, cell, tmx, tmy, tmz), row
+        return (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
+                best_s, cell), row
 
     cnts = jnp.zeros((max(rounds, 1), 3), jnp.int32)
     if rounds == 0:
@@ -569,8 +582,7 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
             st = tuple(jnp.concatenate([a, b])
                        for a, b in zip(out, tail))
 
-    (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_u, best_v,
-     best_s, cell, tmx, tmy, tmz) = st
+    (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_s, cell) = st
 
     # Records in flat-table space (one gather, once).
     best_s = jnp.where(best_s >= 0,
@@ -587,13 +599,27 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
         dual=not interpret, sort_rays=True, filter_mask=filter_mask)
     ri = hr.slot >= 0
     best_t = jnp.where(ri, hr.t, best_t)
-    best_u = jnp.where(ri, hr.u, best_u)
-    best_v = jnp.where(ri, hr.v, best_v)
     best_s = jnp.where(ri, hr.slot, best_s)
 
-    idx, best_t, best_u, best_v, best_s = jax.lax.sort(
-        (idx, best_t, best_u, best_v, best_s), num_keys=1)
-    out = (best_t[:n], best_u[:n], best_v[:n], best_s[:n])
+    idx, best_t, best_s = jax.lax.sort(
+        (idx, best_t, best_s), num_keys=1)
+    best_t, best_s = best_t[:n], best_s[:n]
+
+    # u/v were not carried through the rounds (two fewer grouping-sort
+    # operands); recover them with ONE single-triangle re-test of each
+    # final winner — same shear-space math as the kernel (intersect.py),
+    # so the records match the flat engine's bit-near.
+    from rtk_tpu.ops.intersect import intersect_triangles, ray_shear
+
+    hitm = best_s >= 0
+    tri = jnp.take(flat.tri_v, jnp.maximum(best_s, 0), axis=0)
+    _, ru, rv, _ = intersect_triangles(
+        o[:n], ray_shear(d[:n]), tri[:, None], mint0[:n],
+        jnp.full((n,), _BIG), watertight=watertight)
+    best_u = jnp.where(hitm, ru[:, 0], 0.0)
+    best_v = jnp.where(hitm, rv[:, 0], 0.0)
+
+    out = (best_t, best_u, best_v, best_s)
     if debug_counts:
         return out + (cnts, jnp.sum(live.astype(jnp.int32)))
     return out

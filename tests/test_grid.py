@@ -25,6 +25,34 @@ def _assert_parity(got, ref):
     if mism.any():  # engines may differ at exact-t ties only
         dt = np.abs(np.asarray(got.t)[mism] - np.asarray(ref.t)[mism])
         assert dt.max() == 0.0
+    _assert_records_self_consistent(got)
+
+
+def _assert_records_self_consistent(got):
+    """The reported triangle must really be hit at the reported (t, u, v)
+    — a tie-tolerant slot check alone once missed a scrambled
+    cells->flat record mapping (t was right, the triangle was not)."""
+    import jax.numpy as jnp
+
+    from rtk_tpu.ops.intersect import intersect_triangles, ray_shear
+
+    hit = np.asarray(got.hit)
+    if not hit.any():
+        return
+    tri = np.asarray(got.tri_v)[np.asarray(got.slot)[hit]]
+    o = np.asarray(got.origin)[hit]
+    d = np.asarray(got.direction)[hit]
+    t, u, v, valid = intersect_triangles(
+        jnp.asarray(o), ray_shear(jnp.asarray(d)), jnp.asarray(tri[:, None]),
+        jnp.full((o.shape[0],), -np.inf, jnp.float32),
+        jnp.full((o.shape[0],), np.inf, jnp.float32))
+    np.testing.assert_allclose(np.asarray(t)[:, 0], np.asarray(got.t)[hit],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u)[:, 0], np.asarray(got.u)[hit],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v)[:, 0], np.asarray(got.v)[hit],
+                               rtol=1e-4, atol=1e-5)
+    assert np.asarray(valid)[:, 0].all()
 
 
 def test_choose_dims_bounds():
