@@ -558,29 +558,36 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                 best_s, cell), row
 
     cnts = jnp.zeros((max(rounds, 1), 3), jnp.int32)
-    if rounds == 0:
-        pass
-    elif all(c == M for c in caps):
-        # Uniform capacity: all rounds share ONE compiled instance (kernel
-        # + grouping sort) under fori_loop — compile time stays flat in
-        # the round budget (unrolled multi-round programs took minutes to
-        # compile over the tunnel).
-        def fbody(r, carry):
-            st, cnts = carry
-            st, row = one_round(st)
-            cnts = jax.lax.dynamic_update_slice(cnts, row[None], (r, 0))
-            return st, cnts
+    # Consecutive equal caps share ONE compiled round instance under
+    # fori_loop, so compile time scales with the number of DISTINCT cap
+    # segments, not the round budget (fully unrolled multi-round programs
+    # took minutes to compile over the tunnel).  Shrinking caps are safe:
+    # each round's grouping sort puts marching rays (bin < n_occ) ahead of
+    # retired rays and spare pads, so round r+1 only needs
+    # marching_r + n_occ*unit rows of prefix; rays a too-small cap
+    # strands are aborted to the exactness residual, never dropped.
+    r0 = 0
+    for cap, cnt in [(c, len(list(g)))
+                     for c, g in __import__("itertools").groupby(
+                         caps[:rounds])]:
+        head = tuple(a[:cap] for a in st)
+        tail = [a[cap:] for a in st]
 
-        st, cnts = jax.lax.fori_loop(0, rounds, fbody, (st, cnts))
-    else:
-        for r in range(rounds):
-            cap = caps[r]
-            head = tuple(a[:cap] for a in st)
-            tail = [a[cap:] for a in st]
-            out, row = one_round(head)
-            cnts = cnts.at[r].set(row)
-            st = tuple(jnp.concatenate([a, b])
-                       for a, b in zip(out, tail))
+        def fbody(r, carry):
+            h, cn = carry
+            h, row = one_round(h)
+            cn = jax.lax.dynamic_update_slice(cn, row[None], (r, 0))
+            return h, cn
+
+        if cnt == 1:
+            head, row = one_round(head)
+            cnts = cnts.at[r0].set(row)
+        else:
+            head, cnts = jax.lax.fori_loop(r0, r0 + cnt, fbody,
+                                           (head, cnts))
+        st = tuple(jnp.concatenate([a, b])
+                   for a, b in zip(head, tail))
+        r0 += cnt
 
     (idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t, best_s, cell) = st
 

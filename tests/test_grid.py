@@ -111,6 +111,20 @@ def test_grid_caps_drop_to_residual():
     _assert_parity(got, ref)
 
 
+def test_grid_shrinking_caps_stay_exact():
+    """A segmented cap schedule (full -> shrinking) must stay exact:
+    marching rays sort into the prefix each round, and anything a
+    too-small cap strands is aborted into the residual."""
+    g = _grid()
+    rng = np.random.default_rng(11)
+    rays = Rays.make(rng.normal(size=(512, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(512, 3)).astype(np.float32))
+    ref = trace_packets(g.flat, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True, rounds=6,
+                             caps=(10 ** 9, 10 ** 9, 4096, 2048))
+    _assert_parity(got, ref)
+
+
 def test_grid_outside_origin_and_dead_rays():
     g = _grid()
     o = np.array([[10.0, 10.0, 10.0], [10.0, 10.0, 10.0],
