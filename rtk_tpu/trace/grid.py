@@ -647,6 +647,29 @@ def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
         compiler_options=opts)
 
 
+def calibrate_caps(grid: GridScene, sample: Rays, rounds: int = 8,
+                   skips: int = 3, unit: int = 128, slack: float = 1.15,
+                   **kw) -> tuple:
+    """Derive a shrinking per-round capacity schedule from one profiled
+    trace of a representative batch.
+
+    Round r's grouping sort places marching rays (and the pads that fill
+    their cells to whole packets) ahead of retired rays, so round r+1
+    only needs ``marching_r * slack + n_occ * unit`` rows of prefix.
+    Rays a too-small cap strands are aborted into the exactness residual
+    (never dropped), so a stale calibration costs speed, not accuracy.
+    Use on a sample of the workload class (e.g. one bounce batch), then
+    pass the result as ``caps=`` for subsequent batches.
+    """
+    _, (cnts, _) = trace_packets_grid(grid, sample, rounds=rounds,
+                                      skips=skips, unit=unit,
+                                      debug_counts=True, **kw)
+    marching = np.asarray(cnts)[:, 1]
+    pad = grid.n_occ * unit
+    return tuple([2 ** 31 - 1]
+                 + [int(m * slack) + pad for m in marching[:-1]])
+
+
 def trace_packets_grid(
     grid: GridScene,
     rays: Rays,

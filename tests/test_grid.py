@@ -5,7 +5,8 @@ import numpy as np
 
 from rtk_tpu.config import BuildConfig
 from rtk_tpu.ops.pallas_trace import trace_packets
-from rtk_tpu.trace.grid import build_grid, choose_dims, trace_packets_grid
+from rtk_tpu.trace.grid import (build_grid, calibrate_caps, choose_dims,
+                                trace_packets_grid)
 from rtk_tpu.testing import scenes
 from rtk_tpu.types import Rays
 
@@ -122,6 +123,21 @@ def test_grid_shrinking_caps_stay_exact():
     ref = trace_packets(g.flat, rays, interpret=True)
     got = trace_packets_grid(g, rays, interpret=True, rounds=6,
                              caps=(10 ** 9, 10 ** 9, 4096, 2048))
+    _assert_parity(got, ref)
+
+
+def test_grid_calibrated_caps_stay_exact():
+    """calibrate_caps on a sample yields a monotone-ish schedule that the
+    engine runs exactly (stranded rays fall to the residual)."""
+    g = _grid()
+    rng = np.random.default_rng(13)
+    rays = Rays.make(rng.normal(size=(512, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(512, 3)).astype(np.float32))
+    caps = calibrate_caps(g, rays, rounds=4, skips=2, interpret=True)
+    assert len(caps) == 4 and caps[0] == 2 ** 31 - 1
+    ref = trace_packets(g.flat, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True, rounds=4, skips=2,
+                             caps=caps)
     _assert_parity(got, ref)
 
 
