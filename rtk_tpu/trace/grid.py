@@ -294,7 +294,8 @@ def _crcp(d):
 
 def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                rounds, skips, caps, mode, watertight, interpret, n,
-               filter_mask, debug_counts=False, lesion=""):
+               filter_mask, debug_counts=False, lesion="",
+               sort_mode="multi"):
     """The whole marching loop as one device program (see module doc)."""
     from rtk_tpu.ops.pallas_trace import trace_packets
 
@@ -487,7 +488,27 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                         jnp.minimum(pos, jnp.uint32(0xFFFE)))
         key = (bin_r.astype(jnp.uint32) << jnp.uint32(16)) | sub
         cell = pack_cell(ix, iy, iz, done, abort)
-        if "nosort" not in lesion:  # lesion: timing probe only
+        if "nosort" in lesion:  # lesion: timing probe only
+            pass
+        elif sort_mode == "gather":
+            # Sort only (key, ordinal); move the 10 payload operands with
+            # two packed row-gathers (one f32 matrix, one i32 matrix) —
+            # races the 12-operand comparator sort, whose data movement
+            # grows with operand count.
+            rows = idx.shape[0]
+            key, ordr = jax.lax.sort(
+                (key, jnp.arange(rows, dtype=jnp.uint32)), num_keys=1)
+            fmat = jnp.stack([ox, oy, ozz, dxx, dyy, dzz, mint, best_t],
+                             axis=1)
+            imat = jnp.stack([idx.astype(jnp.int32), best_s, cell], axis=1)
+            fmat = jnp.take(fmat, ordr, axis=0)
+            imat = jnp.take(imat, ordr, axis=0)
+            ox, oy, ozz, dxx, dyy, dzz, mint, best_t = [
+                fmat[:, j] for j in range(8)]
+            idx = imat[:, 0].astype(jnp.uint32)
+            best_s = imat[:, 1]
+            cell = imat[:, 2]
+        else:
             (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
              best_s, cell) = jax.lax.sort(
                  (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint, best_t,
@@ -635,7 +656,7 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
 @functools.lru_cache(maxsize=None)
 def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
               watertight, interpret, n, filter_mask,
-              debug_counts=False, lesion=""):
+              debug_counts=False, lesion="", sort_mode="multi"):
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_grid_impl, dims=dims, n_occ=n_occ, unit=unit,
@@ -643,7 +664,8 @@ def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
                           mode=mode, watertight=watertight,
                           interpret=interpret, n=n,
                           filter_mask=filter_mask,
-                          debug_counts=debug_counts, lesion=lesion),
+                          debug_counts=debug_counts, lesion=lesion,
+                          sort_mode=sort_mode),
         compiler_options=opts)
 
 
@@ -683,6 +705,7 @@ def trace_packets_grid(
     filter_mask: int | None = None,
     debug_counts: bool = False,
     lesion: str = "",
+    sort_mode: str = "multi",
 ) -> PacketHits:
     """Trace an incoherent ray batch by marching the macro-grid.
 
@@ -712,7 +735,7 @@ def trace_packets_grid(
     fn = _grid_jit(jax.default_backend() == "tpu", grid.dims, grid.n_occ,
                    unit, rounds, skips, caps, mode, watertight, interpret,
                    n, None if filter_mask is None else int(filter_mask),
-                   debug_counts, lesion)
+                   debug_counts, lesion, sort_mode)
     out = fn(
         (grid.cells, grid.flat, grid.rank, grid.cells_to_flat,
          grid.grid_lo, grid.cell_size),

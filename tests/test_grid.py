@@ -126,6 +126,21 @@ def test_grid_shrinking_caps_stay_exact():
     _assert_parity(got, ref)
 
 
+def test_grid_gather_sort_mode_matches():
+    """sort_mode='gather' (permutation + packed row-gathers) must be
+    bit-identical to the multi-operand sort path."""
+    g = _grid()
+    rng = np.random.default_rng(17)
+    rays = Rays.make(rng.normal(size=(512, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(512, 3)).astype(np.float32))
+    ref = trace_packets_grid(g, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True, sort_mode="gather")
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.slot),
+                                  np.asarray(ref.slot))
+
+
 def test_grid_calibrated_caps_stay_exact():
     """calibrate_caps on a sample yields a monotone-ish schedule that the
     engine runs exactly (stranded rays fall to the residual)."""
