@@ -1402,7 +1402,7 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
         sort_rays = n >= 16384
     if hbm_tris is None:
         hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
-    n_eff = n + 3 * pkt if (packed.kz_tables or kz_sel) else n  # see trace_packets
+    n_eff = n + 3 * pkt if packed.kz_tables else n  # see trace_packets
     pad = (-n_eff) % (p_pk * pkt)
     roots = jnp.zeros(((n_eff + pad) // pkt,), jnp.int32)
     return _refit_trace_jit(
@@ -1412,3 +1412,76 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
+                     "dual", "pkt", "narrow", "sort_rays"),
+)
+def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
+                            max_t, roots, *, mode, watertight, interpret,
+                            p_pk, hbm_tris, dual, pkt, narrow, sort_rays):
+    from rtk_tpu.scene import refit as _refit
+    from rtk_tpu.trace.packed import repack_bounds
+
+    def body(_, tri_pos):
+        scene2 = _refit(scene, tri_pos)
+        packed2 = repack_bounds(packed, scene2)
+        h = _trace_impl(
+            packed2, origin, direction, min_t, max_t, roots,
+            mode=mode, watertight=watertight, interpret=interpret,
+            p_pk=p_pk, hbm_tris=hbm_tris, dual=dual, pkt=pkt,
+            narrow=narrow, sort_rays=sort_rays)
+        return (), (h.t, h.u, h.v, h.slot, packed2.tri_v)
+
+    _, outs = jax.lax.scan(body, (), frames)
+    return outs
+
+
+def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
+                               rays: Rays, mode: str = "closest",
+                               watertight: bool = True,
+                               interpret: bool = False,
+                               p_pk: int = DEFAULT_P,
+                               hbm_tris: bool | None = None,
+                               dual: bool = False, pkt: int | None = None,
+                               narrow: bool = True,
+                               sort_rays: bool | None = None):
+    """Animation sub-stepping executor: refit+repack+trace F deformation
+    frames of one topology against one ray batch, as ONE device program
+    (`lax.scan` over frames — the Pallas kernel compiles once and the
+    per-dispatch cost amortises over the whole clip, which dominates
+    small per-frame batches on remote-dispatch deployments).
+
+    frames_tri_pos: (F, T, 3, 3) per-frame triangle vertices in soup
+    order.  Returns a list of F PacketHits (frame order); index tables
+    are shared (static topology), tri_v is per-frame.
+    """
+    n = rays.count
+    if pkt is None:
+        pkt = 512 if n >= p_pk * 512 else 128
+    if sort_rays is None:
+        sort_rays = n >= 16384
+    if hbm_tris is None:
+        hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
+    n_eff = n + 3 * pkt if packed.kz_tables else n
+    pad = (-n_eff) % (p_pk * pkt)
+    roots = jnp.zeros(((n_eff + pad) // pkt,), jnp.int32)
+    frames = jnp.asarray(frames_tri_pos, jnp.float32)
+    t, u, v, slot, tri_v = _refit_trace_frames_jit(
+        scene, packed, frames,
+        jnp.asarray(rays.origin), jnp.asarray(rays.direction),
+        jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
+        mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
+        hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
+        sort_rays=sort_rays)
+    origin = jnp.asarray(rays.origin)
+    direction = jnp.asarray(rays.direction)
+    return [
+        PacketHits(hit=slot[f] >= 0, t=t[f], u=u[f], v=v[f], slot=slot[f],
+                   origin=origin, direction=direction, tri_v=tri_v[f],
+                   tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
+                   tri_prim=packed.tri_prim)
+        for f in range(frames.shape[0])
+    ]

@@ -305,3 +305,66 @@ def test_packet_kz_tables_bit_exact():
                                           np.asarray(ref.t))
             np.testing.assert_array_equal(np.asarray(got.slot),
                                           np.asarray(ref.slot))
+
+
+def test_packet_refit_fused_matches_separate():
+    """trace_packets_refit (refit+repack+trace as ONE program) must match
+    the separate refit -> repack_bounds -> trace pipeline.  Regression:
+    an undefined-name bug in its padding math crashed every call (the
+    fused path had no coverage)."""
+    import jax.numpy as jnp
+
+    from rtk_tpu.ops.pallas_trace import trace_packets_refit
+
+    g0 = scenes.deforming_grid(0.0, n=24)
+    scene = build_scene(_soup_of(np.asarray(g0)), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    frame = jnp.asarray(scenes.deforming_grid(0.2, n=24))
+    cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 24, 24)
+
+    got, scene2, packed2 = trace_packets_refit(packed, scene, frame, cam,
+                                               interpret=True)
+    ref_scene = refit(scene, frame)
+    ref_packed = repack_bounds(packed, ref_scene)
+    ref = trace_packets(ref_packed, cam, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.slot),
+                                  np.asarray(ref.slot))
+    np.testing.assert_allclose(np.asarray(scene2.node_min),
+                               np.asarray(ref_scene.node_min))
+
+
+def test_packet_refit_frames_scan_matches_per_frame():
+    """The scan-based multi-frame executor must match per-frame fused
+    refit+trace calls, frame by frame."""
+    import jax.numpy as jnp
+
+    from rtk_tpu.ops.pallas_trace import (trace_packets_refit,
+                                          trace_packets_refit_frames)
+
+    g0 = scenes.deforming_grid(0.0, n=24)
+    scene = build_scene(_soup_of(np.asarray(g0)), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    ts = (0.1, 0.25, 0.4)
+    frames = jnp.stack([jnp.asarray(scenes.deforming_grid(t, n=24))
+                        for t in ts])
+    cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 24, 24)
+
+    got = trace_packets_refit_frames(packed, scene, frames, cam,
+                                     interpret=True)
+    assert len(got) == len(ts)
+    for f, t in enumerate(ts):
+        ref, _, _ = trace_packets_refit(
+            packed, scene, jnp.asarray(scenes.deforming_grid(t, n=24)),
+            cam, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[f].hit),
+                                      np.asarray(ref.hit))
+        np.testing.assert_array_equal(np.asarray(got[f].t),
+                                      np.asarray(ref.t))
+        np.testing.assert_array_equal(np.asarray(got[f].slot),
+                                      np.asarray(ref.slot))
+        # per-frame tri_v: vertex records must reflect that frame
+        np.testing.assert_allclose(
+            np.asarray(got[f].position())[np.asarray(got[f].hit)],
+            np.asarray(ref.position())[np.asarray(ref.hit)], rtol=1e-6)
