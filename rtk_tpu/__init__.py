@@ -17,6 +17,7 @@ from rtk_tpu.api import (
     Tracer,
     TriangleSoup,
     build_from_soup,
+    build_sah_packed,
     build_scene,
     load_scene,
     refit,

@@ -10,6 +10,7 @@ rtk_finish_build) lives in rtk_tpu.tasks.
 """
 from __future__ import annotations
 
+from rtk_tpu.builder.sah import build_sah_packed
 from rtk_tpu.config import BuildConfig, TraceConfig
 from rtk_tpu.mesh import MeshDesc, TriangleSoup, build_soup
 from rtk_tpu.scene import Scene, build_from_soup, refit
@@ -49,6 +50,7 @@ __all__ = [
     "Scene",
     "Tracer",
     "build_scene",
+    "build_sah_packed",
     "build_from_soup",
     "refit",
     "trace_closest",

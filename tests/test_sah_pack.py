@@ -57,3 +57,19 @@ def test_sah_topology_any_and_records(pair):
     np.testing.assert_array_equal(np.asarray(ga.hit), np.asarray(ra.hit))
     hit = np.asarray(ga.hit)
     assert (np.asarray(ga.triangle_index)[hit] >= 0).all()
+
+
+def test_build_sah_packed_public_surface():
+    """build_sah_packed accepts build_scene-style mesh input and traces
+    identically to the LBVH path (modulo exact-t ties)."""
+    import rtk_tpu
+
+    tris = scenes.blob(subdivisions=3)[0]
+    t = tris.shape[0]
+    meshes = (tris.reshape(-1, 3), np.arange(t * 3).reshape(-1, 3))
+    sah = rtk_tpu.build_sah_packed(meshes, BuildConfig(leaf_size=8))
+    flat = pack_scene(build_from_soup(
+        tris, config=BuildConfig(branching=8, leaf_size=8)))
+    cam = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 24, 24)
+    _parity(trace_packets(sah, cam, interpret=True),
+            trace_packets(flat, cam, interpret=True))
