@@ -175,6 +175,19 @@ def main():
     log(f"deforming refit+trace: {dt*1e3:.1f} ms/frame "
         f"({grid0.shape[0]/dt/1e6:.1f} Mtris/s refit incl. trace)")
 
+    # Animation sub-stepping executor: scan F frames inside ONE program —
+    # the honest amortisation of the fixed per-dispatch cost for clips.
+    from rtk_tpu.ops.pallas_trace import trace_packets_refit_frames
+
+    F = 8
+    clip = jnp.stack([jnp.asarray(scenes.deforming_grid(0.05 * i, n=96))
+                      for i in range(F)])
+    dt = timeit(lambda: trace_packets_refit_frames(
+        packed_d, scene_d, clip, cam_d, sort_rays=False)[-1],
+        iters=3, batches=2)
+    log(f"deforming refit+trace, {F}-frame scan: {dt/F*1e3:.1f} ms/frame "
+        f"amortised ({grid0.shape[0]*F/dt/1e6:.1f} Mtris/s)")
+
     # ---- config 5: 10M+ instanced tris, TLAS/BLAS, 4-bounce wavefront ----
     from rtk_tpu.instancing import (build_instanced, pack_instanced,
                                     trace_closest_instanced_packets)
