@@ -669,6 +669,29 @@ def _grid_jit(tpu: bool, dims, n_occ, unit, rounds, skips, caps, mode,
         compiler_options=opts)
 
 
+def build_grid_from_scene(scene: Scene, packed: PackedScene | None = None,
+                          **kw) -> GridScene:
+    """Build the macro-grid structure from an already-built Scene,
+    reusing its packed tables as the exact-fallback path (no second
+    LBVH build of the same soup)."""
+    perm = np.asarray(scene.perm, np.int64)
+    valid = perm >= 0
+    T = scene.num_tris
+    pos = np.empty((T, 3, 3), np.float32)
+    vidx = np.empty((T, 3), np.int32)
+    mesh = np.empty((T,), np.int32)
+    prim = np.empty((T,), np.int32)
+    pos[perm[valid]] = np.asarray(scene.tri_v)[valid]
+    vidx[perm[valid]] = np.asarray(scene.tri_vidx)[valid]
+    mesh[perm[valid]] = np.asarray(scene.tri_mesh)[valid]
+    prim[perm[valid]] = np.asarray(scene.tri_prim)[valid]
+    cfg = BuildConfig(branching=scene.branching, leaf_size=scene.leaf_size)
+    if packed is None:
+        packed = pack_scene(scene)
+    return build_grid(pos, vidx, mesh, prim, config=cfg, flat=packed,
+                      scene=scene, **kw)
+
+
 def calibrate_caps(grid: GridScene, sample: Rays, rounds: int = 8,
                    skips: int = 3, unit: int = 128, slack: float = 1.15,
                    **kw) -> tuple:

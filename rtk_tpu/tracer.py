@@ -11,6 +11,9 @@ contract (rtk_trace_ray semantics, rtk.c:543-577):
   * "binned": the packet kernel behind a re-binning front-end
     (trace/binned.py) — for incoherent bounce batches, whose packet
     unions otherwise approach the whole tree.
+  * "grid": the macro-grid DDA engine (trace/grid.py) — re-bins
+    incoherent rays over DISJOINT cells each round, so rays terminate
+    at the first hit instead of draining overlapping bins.
 
 "auto" picks packet on TPU when eligible and falls back to stack otherwise
 (including any call that passes a filter, which must trace arbitrary user
@@ -43,13 +46,17 @@ class Tracer:
         the built-in filter family; arbitrary filter_fn callables still
         route to the XLA stack engine (rtk.h:117,130)."""
         if engine not in ("auto", "packet", "stack", "stackless",
-                          "binned"):
+                          "binned", "grid"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "grid" and tri_mask is not None:
+            raise ValueError("the grid engine does not carry tri_mask "
+                             "tables yet; use engine='packet'")
         self.scene = scene
         self.config = config
         self.tri_mask = tri_mask
         self._packed = None
         self._stackless = None
+        self._grid = None
         on_tpu = jax.default_backend() == "tpu"
         eligible = scene.branching == 8
         if engine == "packet" and not eligible:
@@ -76,6 +83,7 @@ class Tracer:
         t.engine = self.engine
         t._packed = None
         t._stackless = None
+        t._grid = None  # grid topology depends on bounds; rebuild
         if self._packed is not None:
             from rtk_tpu.trace.packed import repack_bounds
 
@@ -109,6 +117,17 @@ class Tracer:
                 self.packed, rays, mode=mode,
                 watertight=self.config.watertight,
                 filter_mask=filter_mask)
+        if self.engine == "grid" and filter_fn is None:
+            from rtk_tpu.trace.grid import (build_grid_from_scene,
+                                            trace_packets_grid)
+
+            if self._grid is None:
+                self._grid = build_grid_from_scene(self.scene,
+                                                   packed=self.packed)
+            return trace_packets_grid(
+                self._grid, rays, mode=mode,
+                watertight=self.config.watertight,
+                interpret=jax.default_backend() == "cpu")
         if self.engine == "stackless" and filter_fn is None:
             from rtk_tpu.trace.stackless import build_stackless, trace_stackless
 

@@ -187,3 +187,20 @@ def test_grid_explicit_dims_and_bounce_batch():
     ref = trace_packets(g.flat, bounce, interpret=True)
     got = trace_packets_grid(g, bounce, interpret=True)
     _assert_parity(got, ref)
+
+
+def test_grid_engine_via_tracer():
+    """Tracer(engine='grid') builds the grid lazily from the Scene and
+    matches the packet engine."""
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.tracer import Tracer
+
+    tris = scenes.blob(subdivisions=3)[0]
+    scene = build_from_soup(tris, config=CFG)
+    rng = np.random.default_rng(23)
+    rays = Rays.make(rng.normal(size=(256, 3)).astype(np.float32) * 0.5,
+                     rng.normal(size=(256, 3)).astype(np.float32))
+    tr = Tracer(scene, engine="grid")
+    got = tr.closest(rays)
+    ref = trace_packets(tr.packed, rays, interpret=True)
+    _assert_parity(got, ref)
