@@ -157,6 +157,59 @@ def trace_packets_sharded(
     return hits
 
 
+def trace_grid_sharded(
+    grid,
+    rays: Rays,
+    mesh: Optional[Mesh] = None,
+    mode: str = "closest",
+    watertight: bool = True,
+    interpret: bool = False,
+    rounds: int = 10,
+    skips: int = 3,
+    unit: int = 128,
+    caps=None,
+):
+    """Sharded incoherent-ray trace on the macro-grid engine (GridScene
+    replicated, ray batch split over the mesh).
+
+    Same embarrassingly-parallel shape as trace_packets_sharded: each
+    chip runs the full grouping-sort/kernel round loop on its ray slice
+    — per-chip grouping is strictly better than global grouping would
+    be (smaller sorts, same cells).  Calibrate caps on one chip's
+    worth of a representative batch (trace.grid.calibrate_caps).
+    """
+    from rtk_tpu.trace.grid import trace_packets_grid
+    from rtk_tpu.types import PacketHits
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    padded, n = _pad_rays(rays, n_dev)
+
+    def local_trace(grid_local, rays_local):
+        return trace_packets_grid(
+            grid_local, rays_local, mode=mode, watertight=watertight,
+            interpret=interpret, rounds=rounds, skips=skips, unit=unit,
+            caps=caps)
+
+    out_specs = PacketHits(
+        hit=P(axis), t=P(axis), u=P(axis), v=P(axis), slot=P(axis),
+        origin=P(axis), direction=P(axis),
+        tri_v=P(), tri_vidx=P(), tri_mesh=P(), tri_prim=P())
+    sharded = jax.shard_map(
+        local_trace,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    hits = jax.jit(sharded)(grid, padded)
+    if padded.count != n:
+        hits = hits[:n]
+    return hits
+
+
 # ---------------------------------------------------------------------------
 # Scene sharding (v2): spatial partition, one sub-scene per chip.
 # ---------------------------------------------------------------------------
