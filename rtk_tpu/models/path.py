@@ -146,6 +146,7 @@ def render_path(
     epsilon: float = 1e-4,
     sort_rays: bool = True,
     compact: bool = True,
+    bounce_tracer: Tracer | None = None,
 ) -> Array:
     """Path-trace a ray batch; returns (N, 3) linear radiance.
 
@@ -153,6 +154,10 @@ def render_path(
     every hit; constant background radiance on miss.  Each bounce is a
     handful of device programs: trace, fused shade/sample/sort, compaction
     gather (ray counts bucketed to powers of two to bound recompiles).
+
+    bounce_tracer: optional engine for the incoherent bounce batches
+    (e.g. Tracer(scene, engine="grid")); primaries always go through
+    `tracer`.
     """
     n = rays.count
     radiance = jnp.zeros((n, 3), jnp.float32)
@@ -166,7 +171,9 @@ def render_path(
     for bounce in range(bounces + 1):
         # Bounce batches are incoherent even after Morton re-sorting; the
         # hint selects the packet engine's split dual-queue stepping there.
-        hits = tracer.closest(cur, coherent=(bounce == 0))
+        src = tracer if (bounce == 0 or bounce_tracer is None) \
+            else bounce_tracer
+        hits = src.closest(cur, coherent=(bounce == 0))
         key, k_dir = jax.random.split(key)
         last = bounce == bounces
         out = _shade_sample(hits, cur, throughput, index, radiance,

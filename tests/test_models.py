@@ -85,3 +85,22 @@ def test_render_ao():
     assert np.isfinite(ao).all()
     assert (ao >= 0).all() and (ao <= 1).all()
     assert 0.05 < ao.mean() < 0.99  # interior partially occluded
+
+
+def test_render_path_bounce_tracer_matches():
+    """bounce_tracer (a second engine for incoherent bounces) must not
+    change radiance: same scene, exact engines, same RNG stream."""
+    tris = scenes.cornell_box()
+    scene = build_scene(
+        (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)))
+    tracer = Tracer(scene)
+    bt = Tracer(scene, engine="grid")
+    mats = Materials.make(albedo=[[0.7, 0.7, 0.7]])
+    rays = scenes.cornell_camera(12, 12)
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(render_path(tracer, rays, mats, key, bounces=2,
+                               background=(1.0, 1.0, 1.0)))
+    b = np.asarray(render_path(tracer, rays, mats, key, bounces=2,
+                               background=(1.0, 1.0, 1.0),
+                               bounce_tracer=bt))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
