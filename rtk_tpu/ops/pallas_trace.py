@@ -915,7 +915,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         h_t, h_u, h_v, h_s)
 
             if mode == "any":
-                found = jnp.min((out_slot[:] >= 0).astype(jnp.int32),
+                # A packet is done when every LIVE lane has a hit: dead
+                # lanes (padding / max_t<=min_t shadow convention) can
+                # never set slot>=0, and without the deadm term a single
+                # dead lane pinned the whole packet to a full stack
+                # drain (the bench shadow batch is ~60% dead rays).
+                found = jnp.min(((out_slot[:] >= 0) | deadm)
+                                .astype(jnp.int32),
                                 axis=1, keepdims=True)  # (P,1)
                 f_all = jnp.sum(found << pcol)  # one bit per packet
 

@@ -368,3 +368,30 @@ def test_packet_refit_frames_scan_matches_per_frame():
         np.testing.assert_allclose(
             np.asarray(got[f].position())[np.asarray(got[f].hit)],
             np.asarray(ref.position())[np.asarray(ref.hit)], rtol=1e-6)
+
+
+def test_packet_anyhit_mixed_dead_lanes():
+    """Any-hit packets holding both dead rays (max_t<=min_t) and live
+    rays must still find every live hit — the early exit (all live
+    lanes done) must not fire before slow live lanes finish, and dead
+    lanes must not block it (perf) or corrupt records (correctness)."""
+    rng = np.random.default_rng(29)
+    tris = rng.normal(size=(300, 3, 3)).astype(np.float32)
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    n = 256
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    dead = rng.random(n) < 0.6  # interleaved dead rays, shadow-style
+    rays = Rays.make(o, d, min_t=0.0,
+                     max_t=np.where(dead, 0.0, 3.0e38).astype(np.float32))
+    live_rays = Rays.make(o, d)
+    ref = trace_packets(packed, live_rays, interpret=True, mode="any")
+    got = trace_packets(packed, rays, interpret=True, mode="any")
+    gh = np.asarray(got.hit)
+    assert not gh[dead].any()
+    np.testing.assert_array_equal(gh[~dead], np.asarray(ref.hit)[~dead])
+    for dual in (False, True):
+        g2 = trace_packets(packed, rays, interpret=True, mode="any",
+                           dual=dual)
+        np.testing.assert_array_equal(np.asarray(g2.hit), gh)
