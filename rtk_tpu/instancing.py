@@ -426,8 +426,15 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         comps = (origin[:, 0], origin[:, 1], origin[:, 2],
                  direction[:, 0], direction[:, 1], direction[:, 2],
                  min_t, best["t"], cand_t[:, s])
-        idx_s, bin_s, cs = _sorted_group(cand_idx[:, s], cand_t[:, s],
-                                         comps, n_inst, unit)
+        # Pre-sort liveness: a candidate whose AABB entry is already past
+        # the ray's best hit will be masked dead after the sort anyway —
+        # binning it as dead HERE keeps it out of the instance runs, so
+        # later rounds' packets hold only rays that still need tracing
+        # (bounce batches resolve mostly in round 0).
+        live_pre = cand_t[:, s] < best["t"]
+        idx_s, bin_s, cs = _sorted_group(
+            jnp.where(live_pre, cand_idx[:, s], -1), cand_t[:, s],
+            comps, n_inst, unit)
         o0, o1, o2, d0, d1, d2, mnt, bt, ct = cs
         is_real = idx_s < n
         safe_bin = jnp.minimum(bin_s, n_inst - 1)
