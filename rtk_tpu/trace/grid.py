@@ -29,6 +29,7 @@ and lose the strict-< tie, so records match the flat engine's.
 from __future__ import annotations
 
 import functools
+import itertools
 import math
 
 import jax
@@ -589,8 +590,7 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
     # strands are aborted to the exactness residual, never dropped.
     r0 = 0
     for cap, cnt in [(c, len(list(g)))
-                     for c, g in __import__("itertools").groupby(
-                         caps[:rounds])]:
+                     for c, g in itertools.groupby(caps[:rounds])]:
         head = tuple(a[:cap] for a in st)
         tail = [a[cap:] for a in st]
 
