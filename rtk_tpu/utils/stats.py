@@ -51,11 +51,16 @@ class SceneStats:
         )
 
 
-def log_build(scene, logger: "BuildLogger") -> SceneStats:
+def log_build(scene, logger: "BuildLogger",
+              per_node: bool = False) -> SceneStats:
     """Per-level build log through the rtk-style callback: the fused
     device build has no per-node callback site (rtk.c:1426 logs per
     node), so the equivalent observability is a post-build walk emitting
-    one line per depth level plus the structural summary."""
+    one line per depth level plus the structural summary.
+
+    per_node=True restores the reference's one-line-per-node frequency
+    (node id, depth, live child slots, leaf slots) from the same walk —
+    opt-in, since it is O(nodes) host formatting."""
     st = scene_stats(scene)
     logger.log(f"build: {st.num_tris} tris -> {st.num_wide_nodes} wide "
                f"nodes, {st.num_leaves} leaves, depth {st.max_depth}")
@@ -65,6 +70,12 @@ def log_build(scene, logger: "BuildLogger") -> SceneStats:
     while stack:
         node, depth = stack.pop()
         counts[depth] = counts.get(depth, 0) + 1
+        if per_node:
+            slots = child[node]
+            n_int = int((slots >= 0).sum())
+            n_leaf = int((slots <= -2).sum())
+            logger.log(f"build: node {node} depth {depth}: "
+                       f"{n_int} children, {n_leaf} leaves")
         for s_ in child[node]:
             if s_ >= 0:
                 stack.append((int(s_), depth + 1))

@@ -64,3 +64,17 @@ def test_log_build_emits_per_level_lines():
     assert any("level 1:" in l for l in lines)
     assert st.num_tris == tris.shape[0]
     assert sum("level" in l for l in lines) == st.max_depth
+
+
+def test_log_build_per_node_mode():
+    from rtk_tpu.utils.stats import BuildLogger, log_build
+
+    tris = scenes.blob(subdivisions=3)[0]
+    scene = build_scene(
+        (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)))
+    lines = []
+    st = log_build(scene, BuildLogger(lambda u, b, m: lines.append(m)),
+                   per_node=True)
+    # one line per reachable wide node, rtk.c:1426 frequency
+    assert sum("node " in l for l in lines) == st.num_wide_nodes
+    assert any("depth 1:" in l for l in lines)
