@@ -105,7 +105,8 @@ class Tracer:
                 dual = coherent is False
             return trace_packets(self.packed, rays, mode=mode,
                                  watertight=self.config.watertight,
-                                 dual=dual, filter_mask=filter_mask)
+                                 dual=dual, filter_mask=filter_mask,
+                                 interpret=jax.default_backend() != "tpu")
         if filter_mask is not None:
             raise ValueError(
                 "filter_mask runs on the packet engine only; use "

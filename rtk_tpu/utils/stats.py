@@ -184,8 +184,12 @@ def measure_trace(tracer, rays, iters: int = 5, mode: str = "closest",
                  comp(rays.direction[:, 2], 0.),
                  comp(rays.min_t, 0.), comp(rays.max_t, 0.))
         roots = jnp.zeros((npad // pt.PKT,), jnp.int32)
+        qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
+        kzs = jnp.zeros((npad // pt.PKT,), jnp.int32)
         out = pt._run_kernel(packed.nodes, packed.tris, comps, roots,
-                             mode=mode, watertight=True, interpret=False,
+                             qmask, kzs,
+                             mode=mode, watertight=True,
+                             interpret=jax.default_backend() != "tpu",
                              num_tris=packed.num_tris,
                              leaf_size=packed.leaf_size, stats=True)
         steps = float(np.asarray(out[4])[::pt.DEFAULT_P, 0].mean())

@@ -66,6 +66,22 @@ def test_log_build_emits_per_level_lines():
     assert sum("level" in l for l in lines) == st.max_depth
 
 
+def test_measure_trace_with_steps():
+    # regression: _run_kernel grew qmask/kzs prefetch args and
+    # measure_trace's stats path wasn't updated (zero coverage).
+    from rtk_tpu.tracer import Tracer
+    from rtk_tpu.utils.stats import measure_trace
+
+    tris = scenes.blob(subdivisions=3)[0]
+    scene = build_scene(
+        (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)))
+    tracer = Tracer(scene, engine="packet")
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 32, 32)
+    st = measure_trace(tracer, rays, iters=1, with_steps=True)
+    assert st.rays == rays.count
+    assert st.steps_per_block and st.steps_per_block > 0
+
+
 def test_log_build_per_node_mode():
     from rtk_tpu.utils.stats import BuildLogger, log_build
 
