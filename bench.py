@@ -167,6 +167,21 @@ def main():
     dt = timeit(lambda: trace_packets(packed_a, bounce, dual=True), iters=2,
                 batches=2)
     log(f"atrium incoherent bounce: {cam.count/dt/1e6:.2f} Mrays/s")
+    # Incoherent-ray engine v2 on the same batch: macro-grid DDA
+    # re-binning (disjoint cells, exact residual).  Coarse dims converge
+    # fastest on this batch (CPU count profile, PERF_NOTES r2).
+    try:
+        from rtk_tpu.trace.grid import (build_grid_from_scene,
+                                        calibrate_caps, trace_packets_grid)
+
+        g = build_grid_from_scene(scene_a, packed=packed_a, dims=(7, 3, 7))
+        caps = calibrate_caps(g, bounce, rounds=8, skips=4)
+        dt = timeit(lambda: trace_packets_grid(g, bounce, rounds=8,
+                                               skips=4, caps=caps),
+                    iters=2, batches=2)
+        log(f"atrium bounce via grid engine: {cam.count/dt/1e6:.2f} Mrays/s")
+    except Exception as e:
+        log(f"grid-engine bounce entry failed: {type(e).__name__}: {e}")
 
     # ---- config 4: deforming mesh refit + trace loop ----
     grid0 = scenes.deforming_grid(0.0, n=96)  # 18,432 tris

@@ -175,7 +175,11 @@ def _instance_candidates_impl(inst_lo, inst_hi, origin, direction, min_t,
                               max_t, *, c, chunk):
     def block(args):
         o, d, mint, maxt = args
-        rcp = jnp.float32(1.0) / d  # (chunk, 3)
+        # NaN-free clamped reciprocal (finite huge instead of inf): a
+        # zero direction component against a touching plane would give
+        # 0 * inf = NaN through the slab test otherwise.
+        big = jnp.where(d >= 0, 3.0e38, -3.0e38)
+        rcp = jnp.where(d == 0.0, big, jnp.float32(1.0) / d)  # (chunk, 3)
         t0 = (inst_lo[None] - o[:, None]) * rcp[:, None]
         t1 = (inst_hi[None] - o[:, None]) * rcp[:, None]
         near = jnp.fmin(t0, t1)

@@ -137,6 +137,12 @@ def decode_positions(mesh: MeshDesc, indices: np.ndarray) -> np.ndarray:
             verts = _decode_strided(mesh.positions, count, 3, dtype, stride)
             verts = verts.astype(np.float32)
     flat = indices.reshape(-1)
+    if flat.size and int(flat.max()) >= verts.shape[0]:
+        raise ValueError(
+            f"mesh index {int(flat.max())} out of range for "
+            f"{verts.shape[0]} decoded vertices (check index_stride / "
+            "index_type / position_stride against rtk_buffer semantics: "
+            "stride is between consecutive elements, rtk.h:54-58)")
     nh = _native() if flat.shape[0] >= NATIVE_DECODE_MIN else None
     if nh is not None:
         return nh.gather_soup(verts, flat).reshape(indices.shape[0], 3, 3)

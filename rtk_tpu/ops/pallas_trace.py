@@ -161,6 +161,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         mint = mint_ref[:]
         maxt = maxt_ref[:]
+        # Hoisted scalar-prefetch read: SMEM reads inside the traversal
+        # while-loop body fault the chip (same hazard as the kz_bases
+        # hoist below) — read once at kernel top level and close over.
+        qmask_val = qmask_ref[0] if use_mask else None
 
         def crcp(d):
             # NaN-free clamped reciprocal (finite huge instead of inf).
@@ -817,7 +821,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         # Built-in filter family (rtk.h:117,130 intent):
                         # the mask column holds exact-integer float bits.
                         tm = verts[9].astype(jnp.int32)
-                        ok = ok & ((tm & qmask_ref[0]) != 0)
+                        ok = ok & ((tm & qmask_val) != 0)
                     if "noupdv" in lesion:
                         return t, u, v, ok, need
                     return t, u * rcp_det, v * rcp_det, ok, need
@@ -860,8 +864,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     return (h_t, h_u, h_v, h_s), needv
 
                 if "noleaf" in lesion:
-                    def _leaf_skipped():
-                        pass
+                    pass  # lesion: leaf phase elided entirely
                 else:
                   @pl.when(leaf_any != 0)
                   def _leaf_phase():
@@ -897,7 +900,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         mintK, lazy=True)
                     if use_mask:
                         tm = trows[:, 9:10].astype(jnp.int32)
-                        ok = ok & ((tm & qmask_ref[0]) != 0)
+                        ok = ok & ((tm & qmask_val) != 0)
                     ok = ok & _rep(leaf_vec.astype(jnp.float32),
                                    k_tris).astype(bool)
                     rr_t = t.reshape(P, k_tris, PKT)

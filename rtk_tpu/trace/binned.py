@@ -47,11 +47,6 @@ Array = jax.Array
 _BIG = 3.0e38
 
 
-@functools.lru_cache(maxsize=32)
-def _bins_cache_key(packed_id, depth):  # pragma: no cover - trivial
-    return None
-
-
 def subtree_bins(packed: PackedScene, depth: int = 2, root: int = 0):
     """Cut the packed wide tree at `depth`: returns (roots (R,) i32 packed
     entry ids, lo (R,3) f32, hi (R,3) f32) — host NumPy precompute.
@@ -97,40 +92,12 @@ def subtree_bins(packed: PackedScene, depth: int = 2, root: int = 0):
 
 def _bin_candidates(lo, hi, origin, direction, min_t, max_t, *, c, chunk):
     """Nearest-c bins per ray by AABB entry distance + (c+1)-th overflow
-    entry (for the exactness fallback).  Mirrors the instanced candidate
-    pass (instancing._instance_candidates_impl) with one extra pass."""
-    def block(args):
-        o, d, mint, maxt = args
-        big = jnp.where(d >= 0, _BIG, -_BIG)
-        rcp = jnp.where(d == 0.0, big, 1.0 / d)
-        t0 = (lo[None] - o[:, None]) * rcp[:, None]
-        t1 = (hi[None] - o[:, None]) * rcp[:, None]
-        near = jnp.fmin(t0, t1)
-        far = jnp.fmax(t0, t1)
-        enter = jnp.fmax(jnp.fmax(near[..., 0], near[..., 1]),
-                         jnp.fmax(near[..., 2], mint[:, None]))
-        exit_ = jnp.fmin(jnp.fmin(far[..., 0], far[..., 1]),
-                         jnp.fmin(far[..., 2], maxt[:, None]))
-        hit = enter <= exit_  # (chunk, R)
-        score = jnp.where(hit, enter, jnp.inf)
-        iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-        idxs, ts = [], []
-        for _ in range(c):
-            j = jnp.argmin(score, axis=1)
-            v = jnp.min(score, axis=1)
-            ok = jnp.isfinite(v)
-            idxs.append(jnp.where(ok, j, -1).astype(jnp.int32))
-            ts.append(v)
-            score = jnp.where(iota == j[:, None], jnp.inf, score)
-        overflow = jnp.min(score, axis=1)  # (c+1)-th entry or +inf
-        return jnp.stack(idxs, axis=1), jnp.stack(ts, axis=1), overflow
+    entry (for the exactness fallback).  The same pass as the instanced
+    candidate phase — shared, not mirrored."""
+    from rtk_tpu.instancing import _instance_candidates_impl
 
-    n = origin.shape[0]
-    sh = (n // chunk, chunk)
-    ci, ct, ov = jax.lax.map(block, (origin.reshape(sh + (3,)),
-                                     direction.reshape(sh + (3,)),
-                                     min_t.reshape(sh), max_t.reshape(sh)))
-    return ci.reshape(n, -1), ct.reshape(n, -1), ov.reshape(n)
+    return _instance_candidates_impl(lo, hi, origin, direction, min_t,
+                                     max_t, c=c, chunk=chunk)
 
 
 def _binned_impl(packed, bin_roots, bin_lo, bin_hi, origin, direction,
@@ -206,18 +173,30 @@ def _binned_jit(interpret: bool, tpu: bool, unit: int, M: int, C: int,
 
 
 class _BinsCache:
-    """Per-PackedScene bin table cache (host precompute, by id)."""
+    """Per-PackedScene bin table cache (host precompute, by id).
+
+    Each entry holds a strong reference to the keyed nodes array: an
+    id() key alone is unsafe — a GC'd scene's id can be recycled by a
+    new array, which would serve stale bin tables for a different tree.
+    Bounded FIFO keeps the pinned arrays from accumulating."""
+
+    MAX_ENTRIES = 16
 
     def __init__(self):
         self._cache = {}
 
     def get(self, packed: PackedScene, depth: int):
         key = (id(packed.nodes), depth)
-        if key not in self._cache:
-            roots, lo, hi = subtree_bins(packed, depth)
-            self._cache[key] = (jnp.asarray(roots), jnp.asarray(lo),
-                                jnp.asarray(hi), roots.shape[0])
-        return self._cache[key]
+        hit = self._cache.get(key)
+        if hit is not None and hit[0] is packed.nodes:
+            return hit[1]
+        roots, lo, hi = subtree_bins(packed, depth)
+        val = (jnp.asarray(roots), jnp.asarray(lo),
+               jnp.asarray(hi), roots.shape[0])
+        if len(self._cache) >= self.MAX_ENTRIES:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = (packed.nodes, val)
+        return val
 
 
 _BINS = _BinsCache()

@@ -168,6 +168,13 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
     q = (nrm * 64.0).astype(np.uint32)
     local = (_interleave6(q[:, 0]) << 2) | (_interleave6(q[:, 1]) << 1) \
         | _interleave6(q[:, 2])
+    if n_occ > (1 << 14):
+        # grp rides the top 14 bits of the uint32 sort key (18 bits of
+        # local Morton below); more occupied cells would alias and break
+        # the cells-are-Karras-subtrees invariant.
+        raise ValueError(
+            f"{n_occ} occupied cells exceeds the 16384-cell key budget; "
+            "use coarser dims= (or the default max_cells heuristic)")
     codes = (grp.astype(np.uint32) << np.uint32(18)) | local
 
     # Per-pair record arrays (records report the ORIGINAL soup entities).
@@ -208,25 +215,25 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
             scene = build_from_soup(tp, tri_vidx, tri_mesh, tri_prim,
                                     config=config)
         flat = pack_scene(scene)
-    else:
-        scene = None
 
     # cells-table slot -> flat-table slot (for record unification).
     flat_sorted_of_slot = np.asarray(flat.tri_perm, np.int64)
-    # flat: packed slot -> sorted slot -> original soup id
-    flat_scene_perm = None
+    # flat: packed slot -> sorted slot -> original soup id.  Keep the
+    # caller-supplied Scene even when flat is also given: scene.perm is
+    # the only correct soup-id map for multi-mesh soups (flat.tri_prim
+    # is the per-MESH primitive index, rtk.h:41 semantics).
     if scene is not None:
         flat_scene_perm = np.asarray(scene.perm, np.int64)
-    else:
-        # Reconstruct soup ids from the flat table's prim column only
-        # when prim ids ARE soup ids (the default); otherwise require
-        # the Scene.
-        flat_scene_perm = None
-    if flat_scene_perm is not None:
         orig_of_flat = np.where(
             flat_sorted_of_slot >= 0,
             flat_scene_perm[np.clip(flat_sorted_of_slot, 0, None)], -1)
     else:
+        if tri_prim is not None or tri_mesh is not None:
+            raise ValueError(
+                "build_grid(flat=...) with custom tri_prim/tri_mesh "
+                "needs scene= too (flat.tri_prim holds per-mesh prim "
+                "ids, not soup ids)")
+        # prim ids ARE soup ids (single-mesh default soup).
         orig_of_flat = np.asarray(flat.tri_prim, np.int64)
     flat_of_orig = np.full(T, -1, np.int64)
     valid = orig_of_flat >= 0
@@ -418,18 +425,29 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
             marching = marching & ~fin
             emp = emp & ~fin
             dlp = (-rank).astype(jnp.float32)
-            # Safe leap: all cells within chebyshev d-1 of the current
-            # (empty) cell are empty; cells visited after the exit plus
-            # (d-2)-cell-widths of travel stay within that ball.  The
-            # nudge only ever crosses empty space; cell trees are traced
-            # with the RAY's own t-window, so entering a cell mid-way
-            # never skips geometry.
-            t_new = exit_t + jnp.maximum(dlp - 2.0, 0.0) * tmin3 \
-                + 1e-4 * tmin3
-            leftg = emp & (t_new >= far)
+            # d == 1: the adjacent cell may be occupied.  A positional
+            # re-sample with a nudge can overshoot a corner-clipped cell
+            # whose ray segment is shorter than the nudge, silently
+            # skipping its geometry — take the EXACT incremental DDA
+            # step instead (same advance as the occupied-cell march).
+            near = emp & (dlp < 1.5)
+            ix, iy, iz, tmx, tmy, tmz, leftg = advance(
+                ix, iy, iz, tmx, tmy, tmz, near, step, tdel)
             done = done | leftg
             marching = marching & ~leftg
             emp = emp & ~leftg
+            # d >= 2 leap: all cells within chebyshev d-1 of the current
+            # (empty) cell are empty; the exit crossing plus
+            # (d-2)-cell-widths of travel (and the boundary nudge) stays
+            # within that ball, so the landing cell is always EMPTY —
+            # re-sampling the position there never skips geometry.
+            leap = emp & ~near
+            t_new = exit_t + jnp.maximum(dlp - 2.0, 0.0) * tmin3 \
+                + 1e-4 * tmin3
+            leftg = leap & (t_new >= far)
+            done = done | leftg
+            marching = marching & ~leftg
+            leap = leap & ~leftg
             new_i = []
             new_tm = []
             oob = jnp.zeros_like(emp)
@@ -443,11 +461,11 @@ def _grid_impl(grid_arrays, o, d, mint, maxt, idx, *, dims, n_occ, unit,
                     jnp.float32) * cs[a]
                 new_i.append(ia)
                 new_tm.append((nb - oc) * rc)
-            leftg = emp & oob
+            leftg = leap & oob
             done = done | leftg
             marching = marching & ~leftg
-            emp = emp & ~leftg
-            sel = lambda a_, b_: jnp.where(emp, a_, b_)
+            leap = leap & ~leftg
+            sel = lambda a_, b_: jnp.where(leap, a_, b_)
             ix, iy, iz = sel(new_i[0], ix), sel(new_i[1], iy), sel(
                 new_i[2], iz)
             tmx, tmy, tmz = (sel(new_tm[0], tmx), sel(new_tm[1], tmy),

@@ -203,7 +203,7 @@ def save_packed_scene(packed, f: Union[str, BinaryIO]) -> int:
         with open(f, "wb") as fh:
             return save_packed_scene(packed, fh)
     arrays = {name: getattr(packed, name) for name in _PACKED_FIELDS}
-    meta = (packed.num_tris, packed.leaf_size)
+    meta = (packed.num_tris, packed.leaf_size, int(packed.kz_tables))
     return _save_container(KIND_PACKED, arrays, meta, f)
 
 
@@ -214,8 +214,11 @@ def load_packed_scene(f):
     if kind != KIND_PACKED:
         raise ValueError(f"blob holds kind {kind}, not a PackedScene")
     num_tris, leaf_size = meta_ints[:2]
+    # kz_tables joined meta after the first blobs; absent means False.
+    kz_tables = bool(meta_ints[2]) if len(meta_ints) > 2 else False
     return PackedScene(
         num_tris=int(num_tris), leaf_size=int(leaf_size),
+        kz_tables=kz_tables,
         **{n: arrays[n] for n in _PACKED_FIELDS})
 
 

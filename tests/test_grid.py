@@ -189,6 +189,42 @@ def test_grid_explicit_dims_and_bounce_batch():
     _assert_parity(got, ref)
 
 
+def test_grid_multimesh_records():
+    """Multi-mesh soup: mesh_index/triangle_index must survive the grid
+    engine's record unification (regression: build_grid used to discard
+    a caller-supplied Scene when flat was also given, falling back to
+    flat.tri_prim — the per-MESH prim index — as a soup id)."""
+    from rtk_tpu import build_scene
+    from rtk_tpu.trace.grid import build_grid_from_scene
+
+    ta = scenes.blob(subdivisions=2)[0]
+    tb = scenes.blob(subdivisions=2)[0] + np.float32([1.5, 0, 0])
+    meshes = [(t.reshape(-1, 3), np.arange(t.shape[0] * 3).reshape(-1, 3))
+              for t in (ta, tb)]
+    scene = build_scene(meshes, CFG)
+    from rtk_tpu.trace.packed import pack_scene
+
+    packed = pack_scene(scene)
+    g = build_grid_from_scene(scene, packed=packed)
+    rng = np.random.default_rng(31)
+    n = 512
+    rays = Rays.make(
+        (rng.normal(size=(n, 3)).astype(np.float32) * 0.6
+         + np.float32([0.75, 0, 0])),
+        rng.normal(size=(n, 3)).astype(np.float32))
+    ref = trace_packets(packed, rays, interpret=True)
+    got = trace_packets_grid(g, rays, interpret=True)
+    _assert_parity(got, ref)
+    hit = np.asarray(got.hit) & (np.asarray(got.slot)
+                                 == np.asarray(ref.slot))
+    np.testing.assert_array_equal(np.asarray(got.mesh_index)[hit],
+                                  np.asarray(ref.mesh_index)[hit])
+    np.testing.assert_array_equal(np.asarray(got.triangle_index)[hit],
+                                  np.asarray(ref.triangle_index)[hit])
+    assert set(np.unique(np.asarray(got.mesh_index)[hit])) <= {0, 1}
+    assert (np.asarray(got.mesh_index)[hit] == 1).any()
+
+
 def test_grid_engine_via_tracer():
     """Tracer(engine='grid') builds the grid lazily from the Scene and
     matches the packet engine."""

@@ -71,8 +71,11 @@ def main():
 
     # (b) raw kernel only
     def raw():
+        qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
+        kzs = jnp.zeros((roots.shape[0],), jnp.int32)
         return PT._run_kernel(
-            packed.nodes, packed.tris, comps, roots, mode="closest",
+            packed.nodes, packed.tris, comps, roots, qmask, kzs,
+            mode="closest",
             watertight=True, interpret=False, num_tris=packed.num_tris,
             leaf_size=packed.leaf_size, p_pk=p_pk, pkt=pkt)
 

@@ -76,8 +76,11 @@ def main():
                      jnp.asarray(rays.min_t), jnp.asarray(rays.max_t))
             comps = tuple(c.reshape(n // pkt, pkt) for c in comps)
             roots = jnp.zeros((n // pkt,), jnp.int32)
+            qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
+            kzs = jnp.zeros((roots.shape[0],), jnp.int32)
             out = PT._run_kernel(
-                packed.nodes, packed.tris, comps, roots, mode="closest",
+                packed.nodes, packed.tris, comps, roots, qmask, kzs,
+                mode="closest",
                 watertight=True, interpret=False,
                 num_tris=packed.num_tris, leaf_size=packed.leaf_size,
                 stats=True, p_pk=p_pk, dual=kw.get("dual", False),
