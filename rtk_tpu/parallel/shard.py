@@ -210,6 +210,85 @@ def trace_grid_sharded(
     return hits
 
 
+def trace_instanced_sharded(
+    pscene,
+    rays: Rays,
+    mesh: Optional[Mesh] = None,
+    max_candidates: int = 8,
+    interpret: bool = False,
+    exact: bool = True,
+):
+    """Sharded closest-hit over an instanced (TLAS/BLAS) scene — the
+    PackedInstancedScene replicated, the ray batch split over the mesh.
+
+    Each chip runs the fused candidates+grouped-rounds program on its ray
+    slice (per-chip grouping sorts are smaller than a global one would
+    be, same instances).  The exactness residual — the one host-synced
+    step — runs ONCE on the gathered outputs, covering unproven rays
+    from every chip in a single exhaustive pass.
+    """
+    import functools
+
+    from rtk_tpu.instancing import (_instanced_packets_impl,
+                                    _residual_exhaustive)
+    from rtk_tpu.ops.pallas_trace import PKT
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    iscene = pscene.iscene
+    n_inst = iscene.num_instances
+    unit = PKT
+    C = min(max_candidates, n_inst)
+    # Per-shard static shapes (mirrors trace_closest_instanced_packets).
+    n = rays.count
+    per0 = -(-n // n_dev)
+    chunk = min(16384, max(1, per0))
+    per = -(-per0 // chunk) * chunk
+    padded, _ = _pad_rays(rays, per * n_dev)
+    blk = 8 * unit
+    M = (per + n_inst * unit + blk - 1) // blk * blk
+    impl = functools.partial(_instanced_packets_impl, unit=unit, M=M, C=C,
+                             n_inst=n_inst, chunk=chunk,
+                             interpret=interpret)
+
+    def local_trace(packed, ofw, roots, iblas, ilo, ihi, o, d, mn, mx):
+        best, best_inst, unproven = impl(packed, ofw, roots, iblas, ilo,
+                                         ihi, o, d, mn, mx)
+        return (best["t"], best["u"], best["v"], best["slot"], best_inst,
+                unproven)
+
+    sharded = jax.shard_map(
+        local_trace,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(),
+                  P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis),) * 6,
+        check_vma=False,
+    )
+    t, u, v, slot, best_inst, unproven = jax.jit(sharded)(
+        pscene.packed, iscene.object_from_world, pscene.packed_roots,
+        iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,
+        padded.origin, padded.direction, padded.min_t, padded.max_t)
+    best = {"t": t[:n], "u": u[:n], "v": v[:n], "slot": slot[:n]}
+    best_inst = best_inst[:n]
+    unproven = unproven[:n]
+
+    if exact and int(jnp.sum(unproven)):
+        best, best_inst = _residual_exhaustive(
+            pscene, rays, best, best_inst, unproven)
+
+    packed = pscene.packed
+    hits = PacketHits(
+        hit=best["slot"] >= 0, t=best["t"], u=best["u"], v=best["v"],
+        slot=best["slot"], origin=jnp.asarray(rays.origin),
+        direction=jnp.asarray(rays.direction), tri_v=packed.tri_v,
+        tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
+        tri_prim=packed.tri_prim)
+    return hits, best_inst
+
+
 # ---------------------------------------------------------------------------
 # Scene sharding (v2): spatial partition, one sub-scene per chip.
 # ---------------------------------------------------------------------------

@@ -177,3 +177,45 @@ def test_grid_engine_sharded_matches_single():
     np.testing.assert_array_equal(np.asarray(got.hit),
                                   np.asarray(want.hit))
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+
+
+def test_instanced_sharded_matches_single():
+    """Instanced (TLAS/BLAS) packet tracing under shard_map on the
+    virtual 8-device mesh (PackedInstancedScene replicated, rays split;
+    the exactness residual runs once on the gathered outputs)."""
+    import jax
+    import numpy as np
+
+    from rtk_tpu.instancing import (build_instanced, pack_instanced,
+                                    trace_closest_instanced_packets)
+    from rtk_tpu.parallel.shard import default_mesh, trace_instanced_sharded
+    from rtk_tpu.testing import scenes
+    from rtk_tpu.types import Rays
+    from rtk_tpu import build_scene
+
+    rng = np.random.default_rng(41)
+    blob_tris = scenes.blob(subdivisions=2)[0]
+    soup = (blob_tris.reshape(-1, 3),
+            np.arange(blob_tris.shape[0] * 3).reshape(-1, 3))
+    blas = [build_scene(soup)]
+    n_inst = 5
+    tf = np.zeros((n_inst, 3, 4), np.float32)
+    for i in range(n_inst):
+        tf[i, :, :3] = np.eye(3, dtype=np.float32) * 0.6
+        tf[i, :, 3] = rng.random(3).astype(np.float32) * 4 - 2
+    iscene = build_instanced(blas, np.zeros(n_inst, np.int64), tf)
+    pscene = pack_instanced(iscene)
+
+    rays = Rays.make(rng.normal(size=(300, 3)).astype(np.float32) * 3.0,
+                     rng.normal(size=(300, 3)).astype(np.float32))
+    mesh = default_mesh(jax.devices()[:8])
+    got, gi = trace_instanced_sharded(pscene, rays, mesh, interpret=True,
+                                      max_candidates=3)
+    want, wi = trace_closest_instanced_packets(pscene, rays,
+                                               max_candidates=3,
+                                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-6, atol=1e-6)
+    hit = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(gi)[hit], np.asarray(wi)[hit])
