@@ -116,6 +116,7 @@ def trace_packets_sharded(
     pkt: Optional[int] = None,
     dual: bool = False,
     sort_rays: Optional[bool] = None,
+    filter_mask: Optional[int] = None,
 ) -> Hits:
     """Sharded trace on the Pallas packet engine (PackedScene replicated).
 
@@ -136,7 +137,8 @@ def trace_packets_sharded(
     def local_trace(packed_local, rays_local):
         return trace_packets(
             packed_local, rays_local, mode=mode, watertight=watertight,
-            interpret=interpret, pkt=pkt, dual=dual, sort_rays=sort_rays)
+            interpret=interpret, pkt=pkt, dual=dual, sort_rays=sort_rays,
+            filter_mask=filter_mask)
 
     # PacketHits is lazy: per-ray leaves shard over the ray axis, the packed
     # triangle tables it carries stay replicated (identical on every chip).
