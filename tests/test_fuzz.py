@@ -64,7 +64,9 @@ def test_fuzz_engines_agree_with_oracle(seed):
     rt = np.asarray(ref.t)
 
     for cfg in (BuildConfig(branching=8, leaf_size=4),
-                BuildConfig(branching=8, leaf_size=8)):
+                BuildConfig(branching=8, leaf_size=8),
+                # K=16: the headline leaf-size candidate (PERF_NOTES r2)
+                BuildConfig(branching=8, leaf_size=16)):
         scene = build_from_soup(jnp.asarray(tris), config=cfg)
         got_s = _stack.trace_closest(scene, rays, config=TraceConfig())
         got_p = trace_packets(pack_scene(scene), rays, interpret=True)
