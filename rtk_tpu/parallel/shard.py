@@ -15,6 +15,11 @@ table).  Two TPU modes:
     traces against its local subtree (foreign rays die at the sub-scene
     root box), and the nearest hit is combined across ICI with a pmin on
     t plus a rank tie-break — two collectives per trace, both riding ICI.
+  * **Hybrid 2D** (v3, `hybrid_mesh` + the same scene-sharded entry
+    points over a ("scene", "rays") mesh): the scene splits over one mesh
+    axis and the ray batch over the other — the dp x mp analogue for
+    giant scene + giant batch.  Hit combines ride the scene axis only
+    (a row of the 2D ICI torus); the ray axis stays collective-free.
 """
 from __future__ import annotations
 
@@ -38,6 +43,22 @@ def default_mesh(devices=None, axis_name: str = "rays") -> Mesh:
     import numpy as np
 
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def hybrid_mesh(n_scene: int, devices=None) -> Mesh:
+    """2D ("scene", "rays") mesh: scene parts x ray shards.
+
+    The device list folds into an (n_scene, n_dev // n_scene) grid; pass
+    the result to build_scene_sharded / trace_*_scene_sharded to split
+    BOTH the scene (axis 0) and the ray batch (axis 1).
+    """
+    devices = devices if devices is not None else jax.devices()
+    devices = np.asarray(devices)
+    if devices.size % n_scene != 0:
+        raise ValueError(
+            f"hybrid_mesh: {devices.size} devices do not fold into "
+            f"{n_scene} scene rows")
+    return Mesh(devices.reshape(n_scene, -1), ("scene", "rays"))
 
 
 def _pad_rays(rays: Rays, multiple: int):
@@ -364,7 +385,9 @@ def build_scene_sharded(meshes, mesh: Optional[Mesh] = None,
         mesh = default_mesh()
     if config is None:
         config = BuildConfig(branching=8, leaf_size=8)
-    n_dev = mesh.devices.size
+    # On a hybrid 2D mesh only the FIRST axis carries scene parts (the
+    # second splits rays); on the classic 1D mesh they coincide.
+    n_dev = mesh.shape[mesh.axis_names[0]]
     soup = meshes if isinstance(meshes, TriangleSoup) else build_soup(meshes)
     parts = partition_soup(np.asarray(soup.tri_pos), n_dev)
 
@@ -414,11 +437,13 @@ def trace_scene_sharded(
 ) -> PacketHits:
     """Trace against a scene sharded across the chip mesh.
 
-    Rays are replicated; each chip traverses its sub-scene; nearest hits
+    On a 1D mesh rays are replicated; on a 2-axis ("scene", "rays")
+    mesh (see hybrid_mesh) the ray batch additionally splits over the
+    second axis.  Each chip traverses its sub-scene; nearest hits
     combine across ICI (pmin on t + lowest-rank tie-break + psum of the
-    selected fields).  Returns a lazy PacketHits whose tables are the
-    concatenated per-part tables (slots are globalised as
-    rank * part_tris + local_slot).
+    selected fields), riding only the scene axis.  Returns a lazy
+    PacketHits whose tables are the concatenated per-part tables (slots
+    are globalised as rank * part_tris + local_slot).
     """
     from rtk_tpu.ops.pallas_trace import trace_packets
     from rtk_tpu.trace.packed import PackedScene
@@ -426,7 +451,11 @@ def trace_scene_sharded(
     if mesh is None:
         mesh = default_mesh()
     axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+    ray_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    n_dev = mesh.shape[axis]
+    n_count = rays.count
+    if ray_axis is not None:
+        rays, n_count = _pad_rays(rays, mesh.shape[ray_axis])
     tp_max = sscene.part_tris
     k = sscene.leaf_size
 
@@ -473,17 +502,21 @@ def trace_scene_sharded(
         v = jax.lax.psum(jnp.where(sel, h.v, 0.0), axis)
         return (slot >= 0, best_t, u, v, slot)
 
+    rspec = P(ray_axis) if ray_axis is not None else P()
     sharded = jax.shard_map(
         local_trace,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P()),
-        out_specs=(P(), P(), P(), P(), P()),
+                  rspec),
+        out_specs=(rspec,) * 5,
         check_vma=False,
     )
     hit, t, u, v, slot = jax.jit(sharded)(
         sscene.nodes, sscene.tris, sscene.tri_v, sscene.tri_vidx,
         sscene.tri_mesh, sscene.tri_prim, rays)
+    if rays.count != n_count:
+        hit, t, u, v, slot = (a[:n_count] for a in (hit, t, u, v, slot))
+        rays = jax.tree.map(lambda a: a[:n_count], rays)
     return PacketHits(
         hit=hit, t=t, u=u, v=v, slot=slot,
         origin=jnp.asarray(rays.origin),

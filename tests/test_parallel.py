@@ -144,6 +144,40 @@ def test_scene_sharded_any_hit_record_consistent():
                                np.asarray(rays.max_t)[~h])
 
 
+def test_hybrid_2d_scene_x_rays_matches_single():
+    """Hybrid v3: (2 scene parts) x (4 ray shards) over the 8-device mesh.
+
+    Hit combines ride the scene axis only; the ray axis splits the batch.
+    Ragged ray count exercises the ray-axis padding path."""
+    from rtk_tpu.config import BuildConfig
+    from rtk_tpu.parallel.shard import (build_scene_sharded, hybrid_mesh,
+                                        trace_any_scene_sharded,
+                                        trace_closest_scene_sharded)
+
+    tris = scenes.blob(subdivisions=3)[0]
+    mesh = hybrid_mesh(n_scene=2)
+    assert mesh.shape == {"scene": 2, "rays": 4}
+    desc = (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3))
+    sscene = build_scene_sharded(desc, mesh,
+                                 BuildConfig(branching=8, leaf_size=8))
+    assert sscene.num_parts == 2
+    scene = build_scene(desc)
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 17, 15)
+    assert rays.count % 4 != 0  # ragged on the ray axis
+    want = trace_closest(scene, rays)
+    got = trace_closest_scene_sharded(sscene, rays, mesh, interpret=True)
+    assert got.t.shape[0] == rays.count
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-5, atol=1e-6)
+    mism = np.asarray(got.triangle_index) != np.asarray(want.triangle_index)
+    if mism.any():  # partitions may resolve exact-t ties differently
+        dt = np.abs(np.asarray(got.t)[mism] - np.asarray(want.t)[mism])
+        assert dt.max() == 0.0, "non-tie triangle mismatch"
+    occ = trace_any_scene_sharded(sscene, rays, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(want.hit))
+
+
 def test_partition_soup_rejects_tiny_scenes():
     import pytest
 
