@@ -21,6 +21,41 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def wait_for_device(deadline_s=1800, probe_every_s=60):
+    """Block until the device backend answers a trivial dispatch.
+
+    The axon TPU tunnel has outages measured in hours; if the driver's
+    bench run lands in one, failing instantly records nothing for the
+    round.  Probe in a SUBPROCESS (a hung in-process backend init cannot
+    be recovered) and give the tunnel up to `deadline_s` to return.
+    Proceeds after the deadline either way — a late failure is at least
+    an honest failure.
+    """
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "(jnp.ones((128,128)) @ jnp.ones((128,128))).block_until_ready()")
+    t0 = time.perf_counter()
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=120,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        waited = time.perf_counter() - t0
+        if waited > deadline_s:
+            log(f"device probe still failing after {waited:.0f}s — "
+                f"proceeding anyway")
+            return False
+        log(f"device probe failed (rc={rc}); retrying "
+            f"({waited:.0f}/{deadline_s}s)")
+        time.sleep(probe_every_s)
+
+
 def timeit(fn, iters=5, batches=3):
     """Best-of-batches timing: the remote-device tunnel has bursty latency,
     so the minimum batch average is the honest device-throughput number."""
@@ -39,6 +74,8 @@ def timeit(fn, iters=5, batches=3):
 
 
 def main():
+    wait_for_device()
+
     import jax
     import jax.numpy as jnp
 
