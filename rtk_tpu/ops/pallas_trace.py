@@ -121,14 +121,25 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, kz_tables=False, pair_pops=False,
-                 dual2=False, kz_sel=False):
+                 dual2=False, kz_sel=False, prefetch=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
-    incoherent bounce batches, slightly slower on coherent primaries)."""
+    incoherent bounce batches, slightly slower on coherent primaries).
+
+    prefetch=True (dual + HBM triangles only): cross-step double-buffered
+    leaf DMA.  The leaf queue's next top is known the moment this step's
+    pushes land, so its triangle rows are fetched into the OTHER half of
+    the staging buffer while this step's leaf phase runs — the DMA
+    issue/wait chatter (~3 us/step measured on HBM-resident scenes,
+    PERF_NOTES r2 atrium attribution) hides behind the biggest phase
+    instead of only the slab test.  Requires reordering pushes before the
+    leaf phase; any-mode termination becomes a post-leaf counter fixup."""
     k_tris = leaf_size
     P = p_pk
     PKT = pkt
+    prefetch = (prefetch and hbm_tris and dual and not dual2
+                and not pair_pops and not kz_tables)
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys kept aligned with entries; the dual compaction drops them).
     prune = ordered and not dual and (narrow or islab)
@@ -262,6 +273,29 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 jnp.minimum(kzs_ref[pid * P + p], 2) * tbl_rows
                 for p in range(P)
             ]
+        if hbm_tris:
+            # One DMA descriptor per (buffer half, dual2 half, packet).
+            # `par` selects the staging half under prefetch (0 otherwise);
+            # identical (t0, par) arguments reconstruct the exact
+            # descriptor, so waits can pair with starts issued a step
+            # earlier (DMA objects cannot ride the while-loop carry).
+            rows_per_leaf = k_tris // 8
+            stage_rows = halves * P * rows_per_leaf
+
+            def leaf_dma(p, t0, par=0, h=0):
+                row0 = t0 // 8
+                if kz_tables:
+                    row0 = row0 + kz_bases[p]
+                off = par * stage_rows if prefetch else 0
+                sem = (par * halves * P if prefetch else 0) + h * P + p
+                return pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(row0, rows_per_leaf), :],
+                    stage_tris.at[
+                        pl.ds(off + (h * P + p) * rows_per_leaf,
+                              rows_per_leaf), :],
+                    tri_sems.at[sem],
+                )
+
         if kz_sel:
             # kz-uniform packets (caller binned rays by shear axis): the
             # vertex-coordinate axis selects become per-PACKET (rows, 1)
@@ -304,7 +338,16 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             # packet ~= max(node visits, leaf visits) instead of their sum.
             # Hit state lives in the OUTPUT refs, not the loop carry: a
             # (P, PKT) x4 carry spills the whole register file every step.
-            _, sps_i, sps_l = carry
+            if prefetch:
+                # lraws_c: each packet's leaf-queue top, read at the END of
+                # the previous step (right after its pushes) — the pop
+                # below needs no stack read.  t0s_c: the triangle-table
+                # offsets the previous step's DMA starts used (wait
+                # descriptors must match them exactly).  parity: which
+                # staging half those DMAs target.
+                _, sps_i, sps_l, lraws_c, t0s_c, parity = carry
+            else:
+                _, sps_i, sps_l = carry
             hit_t = out_t[:]
             # Slab-phase cull t: dead rays never extend the union; in
             # any-hit mode, lanes that already found a hit drop out too —
@@ -375,7 +418,9 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 if dual:
                     spl = sps_l[p]
                     al = spl > 0
-                    if not pair_pops:
+                    if prefetch:
+                        lraw = lraws_c[p]
+                    elif not pair_pops:
                         lrow = stack_ref[
                             pl.ds(p * STACK_D + LEAF_BASE
                                   + jnp.maximum(spl - 1, 0), 1), :]
@@ -410,28 +455,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 tri0s.append((-lent - 2) * k_tris)
 
             # ---- stage node child rows + leaf triangle rows ----
-            if hbm_tris:
+            if hbm_tris and not prefetch:
                 # Triangles live in HBM (VMEM can't hold big scenes) as
                 # (Tp*16/128, 128) rows — 8 triangle records per row, so a
                 # leaf's K tris are whole 128-lane-aligned rows (DMA slices
                 # must be lane-aligned).  Start the copies now; they overlap
-                # the slab phase below.
-                rows_per_leaf = k_tris // 8
+                # the slab phase below.  (Under prefetch these copies were
+                # started at the END of the previous step instead.)
                 dmas = []
                 for h in range(halves):
                     t0s = tri0s if h == 0 else tri0s2
                     for p in range(P):
-                        row0 = t0s[p] // 8
-                        if kz_tables:
-                            row0 = row0 + kz_bases[p]
-                        dma = pltpu.make_async_copy(
-                            tris_ref.at[
-                                pl.ds(row0, rows_per_leaf), :],
-                            stage_tris.at[
-                                pl.ds((h * P + p) * rows_per_leaf,
-                                      rows_per_leaf), :],
-                            tri_sems.at[h * P + p],
-                        )
+                        dma = leaf_dma(p, t0s[p], 0, h)
                         dma.start()
                         dmas.append(dma)
             @pl.when(int_pack != 0)
@@ -696,6 +731,93 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 def cnt_of(p):
                     return (c_packed[p // 4] >> (8 * (p % 4))) & 0xFF
 
+            def do_push(f_all=None):
+                # ---- vector push: one (8,8) block store per packet per
+                # queue (stack rows hold one entry each, value broadcast
+                # across lanes; entries transposed so packet p's pushes are
+                # column p).  f_all (any-mode): bit p set terminates packet
+                # p (its counters zero; the stores are then never read). ----
+                ci, cl = comp_i, comp_l
+                if dual and pair_pops:
+                    # u16-encode stack entries so paired pops can pull both
+                    # queue tops through one extract.  Internal ids stay raw
+                    # (< 0x8000, gated by the caller); leaf codes fold to
+                    # 0x8000 | leaf_id; fillers become 0xFFFF.
+                    ci = jnp.where(ci >= 0, ci, 0xFFFF)
+                    cl = jnp.where(cl <= -2, 0x8000 | (-cl - 2), 0xFFFF)
+                comp_i_t = ci.T  # (W, P)
+                comp_l_t = cl.T if dual else None
+                if prune:
+                    comp_k_t = pltpu.bitcast(comp_k, jnp.int32).T  # (W, P)
+                    iota8 = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 1)
+                max_i = D_INT if dual else (STACK_D - W)
+                total = jnp.int32(0)
+                final_spi = []
+                final_spl = []
+                for p in range(P):
+                    cnt = cnt_of(p)
+                    spi = new_spi[p]
+                    pos = jnp.minimum(spi, max_i)
+                    if prune:
+                        # Column 0: entry id; column 1: entry-distance bits.
+                        push_tile = jnp.where(
+                            iota8 == 1, comp_k_t[:, p:p + 1],
+                            comp_i_t[:, p:p + 1])
+                    else:
+                        push_tile = jnp.broadcast_to(
+                            comp_i_t[:, p:p + 1], (W, 8))
+                    stack_ref[pl.ds(p * STACK_D + pos, W), :] = push_tile
+                    # Clamp: overflowing pushes overwrite the top entries (a
+                    # bounded-stack policy like rtk's fixed 64-deep stack);
+                    # unclamped counters would make later pops read out of
+                    # bounds and fault the chip.
+                    spi = jnp.minimum(spi + (cnt & 0xF),
+                                      max_i).astype(jnp.int32)
+                    if dual:
+                        spl = new_spl[p]
+                        posl = jnp.minimum(spl, D_LEAF)
+                        stack_ref[
+                            pl.ds(p * STACK_D + LEAF_BASE + posl, W), :
+                        ] = jnp.broadcast_to(comp_l_t[:, p:p + 1], (W, 8))
+                        spl = jnp.minimum(spl + (cnt >> 4),
+                                          D_LEAF).astype(jnp.int32)
+                    else:
+                        spl = jnp.int32(0)
+                    if f_all is not None:
+                        done = (f_all >> p) & 1
+                        spi = jnp.where(done == 1, 0, spi).astype(jnp.int32)
+                        spl = jnp.where(done == 1, 0, spl).astype(jnp.int32)
+                    final_spi.append(spi)
+                    final_spl.append(spl)
+                    total = (total + spi + spl).astype(jnp.int32)
+                return total, final_spi, final_spl
+
+            if prefetch:
+                # Pushes land BEFORE the leaf phase (they only touch the
+                # stack, which the leaf phase never reads), so each leaf
+                # queue's next top is known now: read it and start the next
+                # step's triangle DMAs into the OTHER staging half — they
+                # overlap this step's whole leaf phase plus the next step's
+                # pop/slab chain instead of just the slab test.
+                total_pf, fspi_pf, fspl_pf = do_push()
+                nlraws, nt0s = [], []
+                for p in range(P):
+                    spl_n = fspl_pf[p]
+                    lrow = stack_ref[
+                        pl.ds(p * STACK_D + LEAF_BASE
+                              + jnp.maximum(spl_n - 1, 0), 1), :]
+                    nlraw = lrow[0, 0]
+                    # Empty queues (or -1 fillers) fetch row 0: the row is
+                    # never read (the pop gates on the same predicate), but
+                    # the offset must stay in bounds.
+                    nt0 = jnp.where((spl_n > 0) & (nlraw <= -2),
+                                    (-nlraw - 2) * k_tris,
+                                    0).astype(jnp.int32)
+                    nlraws.append(nlraw.astype(jnp.int32))
+                    nt0s.append(nt0)
+                for p in range(P):
+                    leaf_dma(p, nt0s[p], 1 - parity).start()
+
             # ---- leaf tests ----
             def leaf_uvwt(verts, kx_, ky_, kz_, sx_, sy_, sz_,
                           okx, oky, okz, mint_, lazy=False):
@@ -750,10 +872,16 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 return t, u * rcp_det, v * rcp_det, ok
 
             if hbm_tris:
-                # DMA waits must pair with the unconditional starts above,
-                # so they stay outside the leaf-phase gating branch.
-                for dma in dmas:
-                    dma.wait()
+                # DMA waits must pair with the unconditional starts (issued
+                # above — or, under prefetch, at the end of the PREVIOUS
+                # step, reconstructed here from the carried offsets), so
+                # they stay outside the leaf-phase gating branch.
+                if prefetch:
+                    for p in range(P):
+                        leaf_dma(p, t0s_c[p], parity).wait()
+                else:
+                    for dma in dmas:
+                        dma.wait()
             if hbm_tris or narrow:
                 # One triangle slot per iteration on (P, PKT) register-
                 # resident tiles.  The exact-sign recompute is deferred:
@@ -829,8 +957,15 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 if hbm_tris:
                     # staged as (halves*P*rows_per_leaf, 128): 8 records
                     # per row; half h of packet p at row block h*P+p.
-                    st3 = stage_tris[:].reshape(halves * P, k_tris // 8,
-                                                128)
+                    # Under prefetch the buffer is doubled and this step's
+                    # rows live in the `parity` half (sublane slices of a
+                    # (rows, 128) scratch are free).
+                    if prefetch:
+                        st_rows = stage_tris[
+                            pl.ds(parity * stage_rows, stage_rows), :]
+                    else:
+                        st_rows = stage_tris[:]
+                    st3 = st_rows.reshape(halves * P, k_tris // 8, 128)
 
                     def verts_of(h, k):
                         r, s16 = k // 8, (k % 8) * 16
@@ -928,59 +1063,31 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                 axis=1, keepdims=True)  # (P,1)
                 f_all = jnp.sum(found << pcol)  # one bit per packet
 
-            # ---- vector push: one (8,8) block store per packet per queue
-            # (stack rows hold one entry each, value broadcast across lanes;
-            # entries transposed so packet p's pushes are column p) ----
-            if dual and pair_pops:
-                # u16-encode stack entries so paired pops can pull both
-                # queue tops through one extract.  Internal ids stay raw
-                # (< 0x8000, gated by the caller); leaf codes fold to
-                # 0x8000 | leaf_id; fillers become 0xFFFF.
-                comp_i = jnp.where(comp_i >= 0, comp_i, 0xFFFF)
-                comp_l = jnp.where(comp_l <= -2,
-                                   0x8000 | (-comp_l - 2), 0xFFFF)
-            comp_i_t = comp_i.T  # (W, P)
-            comp_l_t = comp_l.T if dual else None
-            if prune:
-                comp_k_t = pltpu.bitcast(comp_k, jnp.int32).T  # (W, P)
-                iota8 = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 1)
-            max_i = D_INT if dual else (STACK_D - W)
-            total = jnp.int32(0)
-            final_spi = []
-            final_spl = []
-            for p in range(P):
-                cnt = cnt_of(p)
-                spi = new_spi[p]
-                pos = jnp.minimum(spi, max_i)
-                if prune:
-                    # Column 0: entry id; column 1: entry-distance bits.
-                    push_tile = jnp.where(
-                        iota8 == 1, comp_k_t[:, p:p + 1],
-                        comp_i_t[:, p:p + 1])
-                else:
-                    push_tile = jnp.broadcast_to(
-                        comp_i_t[:, p:p + 1], (W, 8))
-                stack_ref[pl.ds(p * STACK_D + pos, W), :] = push_tile
-                # Clamp: overflowing pushes overwrite the top entries (a
-                # bounded-stack policy like rtk's fixed 64-deep stack);
-                # unclamped counters would make later pops read out of
-                # bounds and fault the chip.
-                spi = jnp.minimum(spi + (cnt & 0xF), max_i).astype(jnp.int32)
-                if dual:
-                    spl = new_spl[p]
-                    posl = jnp.minimum(spl, D_LEAF)
-                    stack_ref[pl.ds(p * STACK_D + LEAF_BASE + posl, W), :] = (
-                        jnp.broadcast_to(comp_l_t[:, p:p + 1], (W, 8)))
-                    spl = jnp.minimum(spl + (cnt >> 4), D_LEAF).astype(jnp.int32)
-                else:
-                    spl = jnp.int32(0)
+            if prefetch:
+                # Pushes already landed before the leaf phase; any-mode
+                # termination becomes a counter fixup here (the prefetched
+                # DMA for a terminated packet still completes — its wait
+                # next step uses the carried offsets, and the data is never
+                # read because the pop gates on spl > 0).
                 if mode == "any":
-                    done = (f_all >> p) & 1
-                    spi = jnp.where(done == 1, 0, spi).astype(jnp.int32)
-                    spl = jnp.where(done == 1, 0, spl).astype(jnp.int32)
-                final_spi.append(spi)
-                final_spl.append(spl)
-                total = (total + spi + spl).astype(jnp.int32)
+                    total = jnp.int32(0)
+                    fspi, fspl = [], []
+                    for p in range(P):
+                        done = (f_all >> p) & 1
+                        si = jnp.where(done == 1, 0,
+                                       fspi_pf[p]).astype(jnp.int32)
+                        sl = jnp.where(done == 1, 0,
+                                       fspl_pf[p]).astype(jnp.int32)
+                        fspi.append(si)
+                        fspl.append(sl)
+                        total = (total + si + sl).astype(jnp.int32)
+                else:
+                    total, fspi, fspl = total_pf, fspi_pf, fspl_pf
+                return (total, tuple(fspi), tuple(fspl), tuple(nlraws),
+                        tuple(nt0s), (1 - parity).astype(jnp.int32))
+
+            total, final_spi, final_spl = do_push(
+                f_all if mode == "any" else None)
             return (total, tuple(final_spi), tuple(final_spl))
 
         # Hit state initialises in the output refs (miss: t = max_t).
@@ -993,6 +1100,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             tuple(jnp.int32(1) for _ in range(P)),  # int stacks hold the root
             tuple(jnp.int32(0) for _ in range(P)),  # leaf queues empty
         )
+        if prefetch:
+            # Prologue: the first step's waits need matching starts.  The
+            # leaf queues are empty, so fetch row 0 into half 0 — the pop
+            # gates on spl > 0 and never reads it.
+            for p in range(P):
+                leaf_dma(p, jnp.int32(0), 0).start()
+            init = init + (
+                tuple(jnp.int32(-1) for _ in range(P)),  # carried tops
+                tuple(jnp.int32(0) for _ in range(P)),   # carried DMA t0s
+                jnp.int32(0),                            # staging parity
+            )
         if stats:
             def body_counted(carry):
                 inner, steps = carry
@@ -1002,7 +1120,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 lambda c: cond(c[0]), body_counted, (init, jnp.int32(0)))
             out_steps[:] = jnp.full((P, PKT), steps, jnp.int32)
         else:
-            jax.lax.while_loop(cond, body, init)
+            carry = jax.lax.while_loop(cond, body, init)
+        if prefetch:
+            # Drain: the final step issued one more round of DMAs that no
+            # step waits on; balance them (identical descriptors, carried).
+            _, _, _, _, ft0s, fpar = carry
+            for p in range(P):
+                leaf_dma(p, ft0s[p], fpar).wait()
 
     return kernel
 
@@ -1013,17 +1137,22 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "kz_tables", "pair_pops", "dual2",
-                     "kz_sel"),
+                     "kz_sel", "prefetch"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
-                dual2=False, kz_sel=False):
+                dual2=False, kz_sel=False, prefetch=False):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
+    # Effective prefetch (must mirror _make_kernel's gate: the staging
+    # buffer and semaphore array double under it).
+    prefetch = (prefetch and hbm_tris and dual and not (dual2 and dual)
+                and not pair_pops and not kz_tables)
+    bufs = 2 if prefetch else 1
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
     ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask, kzs: (i, 0),
@@ -1036,7 +1165,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab, lesion=lesion,
                           use_mask=use_mask, kz_tables=kz_tables,
-                          pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel)
+                          pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
+                          prefetch=prefetch)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1047,11 +1177,13 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
         out_specs=[ray_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((P * W, 8), jnp.int32),
-            (pltpu.VMEM((halves * P * leaf_size // 8, 128), jnp.float32)
+            (pltpu.VMEM((bufs * halves * P * leaf_size // 8, 128),
+                        jnp.float32)
              if hbm_tris
              else pltpu.VMEM((halves * P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
-        ] + ([pltpu.SemaphoreType.DMA((halves * P,))] if hbm_tris else []),
+        ] + ([pltpu.SemaphoreType.DMA((bufs * halves * P,))]
+             if hbm_tris else []),
     )
     out = pl.pallas_call(
         kernel,
@@ -1083,7 +1215,8 @@ def _trace_impl_jit(tpu: bool):
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
-                         "stats", "pair_pops", "dual2", "kz_sel"),
+                         "stats", "pair_pops", "dual2", "kz_sel",
+                         "prefetch"),
         compiler_options=opts)
 
 
@@ -1101,7 +1234,8 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    qmask=None, *, mode, watertight, interpret, p_pk,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
-                   pair_pops=False, dual2=False, kz_sel=False):
+                   pair_pops=False, dual2=False, kz_sel=False,
+                   prefetch=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1206,7 +1340,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
-        kz_sel=kz_sel,
+        kz_sel=kz_sel, prefetch=prefetch,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1262,7 +1396,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   stats: bool = False,
                   pair_pops: bool | None = None,
                   dual2: bool = False,
-                  kz_sel: bool | None = None) -> PacketHits:
+                  kz_sel: bool | None = None,
+                  prefetch: bool | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1358,6 +1493,14 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     pair_pops = (bool(pair_pops) and dual and not dual2
                  and packed.num_nodes < 0x8000
                  and packed.num_padded_tris // packed.leaf_size < 0x7FFF)
+    if prefetch is None:
+        # Cross-step double-buffered leaf DMA: pending TPU measurement
+        # (the ~3 us/step DMA chatter it hides was measured on HBM-
+        # resident scenes, PERF_NOTES r2 atrium attribution); off by
+        # default until the staged timing lands.
+        prefetch = False
+    prefetch = (bool(prefetch) and hbm_tris and dual and not dual2
+                and not pair_pops and not packed.kz_tables)
     qmask = None
     if filter_mask is not None:
         qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)
@@ -1368,7 +1511,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
-        pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel)
+        pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
+        prefetch=prefetch)
 
 
 @functools.partial(

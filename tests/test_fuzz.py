@@ -68,9 +68,18 @@ def test_fuzz_engines_agree_with_oracle(seed):
                 # K=16: the headline leaf-size candidate (PERF_NOTES r2)
                 BuildConfig(branching=8, leaf_size=16)):
         scene = build_from_soup(jnp.asarray(tris), config=cfg)
+        packed = pack_scene(scene)
         got_s = _stack.trace_closest(scene, rays, config=TraceConfig())
-        got_p = trace_packets(pack_scene(scene), rays, interpret=True)
-        for tag, got in (("stack", got_s), ("packet", got_p)):
+        got_p = trace_packets(packed, rays, interpret=True)
+        engines = [("stack", got_s), ("packet", got_p)]
+        if cfg.leaf_size >= 8:
+            # prefetch (cross-step double-buffered leaf DMA) is the staged
+            # headline candidate at K=8/16; force the HBM+dual gate so the
+            # adversarial soups exercise the reordered-push path too.
+            engines.append(("packet-pf", trace_packets(
+                packed, rays, interpret=True, dual=True, hbm_tris=True,
+                prefetch=True)))
+        for tag, got in engines:
             gh = np.asarray(got.hit)
             gt = np.asarray(got.t)
             # hit set must match the f64 oracle except where the oracle

@@ -132,6 +132,40 @@ def test_packet_hbm_tris_matches_vmem():
                                   np.asarray(b.triangle_index))
 
 
+def test_packet_prefetch_dma_matches():
+    """prefetch=True (cross-step double-buffered leaf DMA: pushes run
+    before the leaf phase, next step's triangle rows fetched into the
+    other staging half) must be bit-identical to the plain dual+HBM path
+    in both modes, including dead-lane any-hit batches."""
+    rng = np.random.default_rng(29)
+    tris = rng.normal(size=(600, 3, 3)).astype(np.float32)
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    rays = Rays.make(rng.normal(size=(256, 3)).astype(np.float32) * 3.0,
+                     rng.normal(size=(256, 3)).astype(np.float32))
+    for mode in ("closest", "any"):
+        a = trace_packets(packed, rays, interpret=True, mode=mode,
+                          dual=True, hbm_tris=True)
+        b = trace_packets(packed, rays, interpret=True, mode=mode,
+                          dual=True, hbm_tris=True, prefetch=True)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        if mode == "closest":
+            np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+            np.testing.assert_array_equal(np.asarray(a.triangle_index),
+                                          np.asarray(b.triangle_index))
+    # Shadow-style batch: ~half the lanes dead (max_t <= min_t) exercises
+    # the any-mode post-leaf termination fixup on the prefetch path.
+    dead = rng.random(256) < 0.5
+    sh = Rays.make(np.asarray(rays.origin), np.asarray(rays.direction),
+                   min_t=1e-3,
+                   max_t=np.where(dead, 0.0, 10.0).astype(np.float32))
+    a = trace_packets(packed, sh, interpret=True, mode="any", dual=True,
+                      hbm_tris=True)
+    b = trace_packets(packed, sh, interpret=True, mode="any", dual=True,
+                      hbm_tris=True, prefetch=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+
+
 def test_packet_dual_queue_matches():
     """dual=True (split internal stack + leaf queue) must agree with the
     single mixed-stack path in both closest and any-hit modes."""
