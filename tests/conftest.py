@@ -18,6 +18,22 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of distinct XLA:CPU programs in one
+    process; letting them all stay live has twice produced a deterministic
+    SIGSEGV *inside* a later `backend_compile` call (~113 tests in, LLVM
+    JIT resource accumulation — the same prefix split across processes
+    passes).  Per-module cache clearing costs a few recompiles and keeps
+    the process well under the threshold.
+    """
+    yield
+    jax.clear_caches()
