@@ -56,13 +56,15 @@ def wait_for_device(deadline_s=1800, probe_every_s=60):
         time.sleep(probe_every_s)
 
 
-def timeit(fn, iters=5, batches=3):
+def timeit(fn, iters=5, batches=3, warm=False):
     """Best-of-batches timing: the remote-device tunnel has bursty latency,
-    so the minimum batch average is the honest device-throughput number."""
+    so the minimum batch average is the honest device-throughput number.
+    warm=True skips the warm-up call (the caller already ran fn once)."""
     import jax
 
-    out = fn()
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    if not warm:
+        out = fn()
+        jax.block_until_ready(jax.tree.leaves(out)[0])
     best = float("inf")
     for _ in range(batches):
         t0 = time.perf_counter()
@@ -71,6 +73,48 @@ def timeit(fn, iters=5, batches=3):
         jax.block_until_ready(jax.tree.leaves(out)[0])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+HEADLINE_CANDIDATES = {
+    "k8": (8, {}),
+    "k16": (16, {}),
+    "k16-ordered": (16, dict(ordered=True)),
+    "k32": (32, {}),
+}
+
+
+def _headline_candidate(label, packed=None):
+    """Measure ONE 67M-ray headline candidate; (n_rays, Mrays/s, n_hit).
+
+    The CPU step predictor (PERF_NOTES r2) has K=16 at -31% steps (-37%
+    ordered) and K=32 at -56% where the leaf phase is 57% of the frame;
+    measuring the candidates keeps the predicted win even if the staged
+    sweep never got chip time.  Runs standalone via
+    `bench.py --headline-candidate <label>` so each candidate's multi-GB
+    buffers and tunnel compiles live in a bounded child process."""
+    import jax.numpy as jnp
+
+    from rtk_tpu import BuildConfig
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.testing import scenes
+
+    k, kw = HEADLINE_CANDIDATES[label]
+    if packed is None:
+        btris = scenes.blob(subdivisions=6)[0]
+        packed = pack_scene(build_from_soup(
+            jnp.asarray(btris),
+            config=BuildConfig(branching=8, leaf_size=k)))
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
+                              8192, 8192, order="morton")
+    run = lambda: trace_packets(packed, rays, sort_rays=False, dual=True,
+                                **kw)
+    out = run()  # warm-up; doubles as the hit-count parity sample
+    n_hit = int(np.asarray(out.hit).sum())
+    del out
+    dt = timeit(run, iters=3, batches=2, warm=True)
+    return rays.count, rays.count / dt / 1e6, n_hit
 
 
 def main():
@@ -123,39 +167,38 @@ def main():
     # Headline at 67M rays: throughput grows with batch size (ray density
     # tightens each packet's traversal union and the auto packet width
     # scales up), so the biggest batch reflects sustained chip throughput.
-    # Auto-select the packed leaf size: the CPU step predictor (PERF_NOTES
-    # r2) has K=16 at -31% steps (-37% ordered) and K=32 at -56% where the
-    # leaf phase is 57% of the frame; measure the candidates and keep the
-    # best.  Parity across K is covered by the fuzz suite; the hit-count
-    # check here just catches gross breakage on this batch.
-    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                              8192, 8192, order="morton")
-    mrays, n_hit_ref = 0.0, None
-    for label, k, kw in (("k8", 8, {}), ("k16", 16, {}),
-                         ("k16-ordered", 16, dict(ordered=True)),
-                         ("k32", 32, {})):
+    # The packed leaf size is auto-selected (_headline_candidate docstring);
+    # parity across K is covered by the fuzz suite, the hit-count check
+    # here just catches gross breakage on this batch.
+    # K=8 (the r1-proven config) runs in-process and is the guaranteed
+    # baseline; the K=16/32 candidates each run in their OWN bounded
+    # subprocess (CLAUDE.md: 67M-ray configs leave multi-GB HBM buffers and
+    # a hung remote compile cannot be recovered in-process).
+    n_rays67, cand67, n_hit_ref = _headline_candidate("k8", packed=packed)
+    mrays = cand67
+    log(f"bunny 8192x8192 primary [k8]: {n_rays67} rays "
+        f"-> {mrays:.2f} Mrays/s")
+    import gc
+    import subprocess
+
+    gc.collect()  # drop the k8 67M-ray/hit device buffers before spawning
+    for label in ("k16", "k16-ordered", "k32"):
         try:
-            pk = packed if k == 8 else pack_scene(build_from_soup(
-                btris_dev, config=BuildConfig(branching=8, leaf_size=k)))
-            run = lambda: trace_packets(pk, rays, sort_rays=False,
-                                        dual=True, **kw)
-            dt = timeit(run, iters=3, batches=2)
-            n_hit = int(np.asarray(run().hit).sum())
-            if n_hit_ref is None:
-                n_hit_ref = n_hit
-            elif n_hit != n_hit_ref:
-                log(f"bunny 8192x8192 [{label}]: hit-count mismatch "
-                    f"({n_hit} vs {n_hit_ref}) — candidate rejected")
-                continue
-            cand = rays.count / dt / 1e6
-            log(f"bunny 8192x8192 primary [{label}]: {rays.count} rays in "
-                f"{dt*1e3:.1f} ms -> {cand:.2f} Mrays/s")
-            mrays = max(mrays, cand)
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-candidate", label],
+                timeout=900, capture_output=True, text=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
         except Exception as e:
             log(f"bunny 8192x8192 [{label}] failed: {type(e).__name__}: {e}")
-    if mrays == 0.0:
-        raise RuntimeError("every headline candidate failed — refusing to "
-                           "record a zero headline")
+            continue
+        if rec["n_hit"] != n_hit_ref:
+            log(f"bunny 8192x8192 [{label}]: hit-count mismatch "
+                f"({rec['n_hit']} vs {n_hit_ref}) — candidate rejected")
+            continue
+        log(f"bunny 8192x8192 primary [{label}]: {rec['mrays']:.2f} Mrays/s")
+        mrays = max(mrays, rec["mrays"])
     log(f"bunny 8192x8192 primary: {mrays:.2f} Mrays/s (headline, best K)")
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                               2048, 2048, order="morton")
@@ -380,4 +423,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--headline-candidate":
+        _label = sys.argv[2]
+        _n, _mrays, _n_hit = _headline_candidate(_label)
+        print(json.dumps({"label": _label, "mrays": round(_mrays, 3),
+                          "n_hit": _n_hit}))
+    else:
+        main()

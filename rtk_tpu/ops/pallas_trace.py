@@ -117,6 +117,19 @@ def _popcount8(v):
     return (v + (v >> 4)) & 0x0F
 
 
+def _prefetch_ok(prefetch, *, hbm_tris, dual, dual2, pair_pops, kz_tables):
+    """Eligibility gate for cross-step double-buffered leaf DMA.
+
+    Single source of truth: trace_packets uses it to resolve the user flag,
+    _run_kernel to size the doubled staging scratch + DMA semaphores (the
+    kernel asserts on, but trusts, the result).  Requires the dual leaf
+    queue (the carried next-top protocol) and HBM-resident triangles (the
+    DMA path); excluded from dual2/pair_pops/kz_tables which restructure
+    the leaf pop the carry protocol depends on."""
+    return bool(prefetch) and hbm_tris and dual and not (dual2 and dual) \
+        and not pair_pops and not kz_tables
+
+
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
@@ -138,8 +151,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     k_tris = leaf_size
     P = p_pk
     PKT = pkt
-    prefetch = (prefetch and hbm_tris and dual and not dual2
-                and not pair_pops and not kz_tables)
+    # The caller (_run_kernel) applies the prefetch eligibility gate and
+    # sizes the staging scratch + DMA semaphores to match (bufs=2); an
+    # ineligible combination reaching here would index past them.
+    assert not prefetch or (hbm_tris and dual and not dual2
+                            and not pair_pops and not kz_tables)
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys kept aligned with entries; the dual compaction drops them).
     prune = ordered and not dual and (narrow or islab)
@@ -1148,10 +1164,12 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
-    # Effective prefetch (must mirror _make_kernel's gate: the staging
-    # buffer and semaphore array double under it).
-    prefetch = (prefetch and hbm_tris and dual and not (dual2 and dual)
-                and not pair_pops and not kz_tables)
+    # Effective prefetch — the ONE place the eligibility gate is applied
+    # (the staging buffer and semaphore array double under it; the kernel
+    # asserts on, but trusts, this decision).
+    prefetch = _prefetch_ok(prefetch, hbm_tris=hbm_tris, dual=dual,
+                            dual2=dual2, pair_pops=pair_pops,
+                            kz_tables=kz_tables)
     bufs = 2 if prefetch else 1
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
@@ -1499,8 +1517,9 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         # resident scenes, PERF_NOTES r2 atrium attribution); off by
         # default until the staged timing lands.
         prefetch = False
-    prefetch = (bool(prefetch) and hbm_tris and dual and not dual2
-                and not pair_pops and not packed.kz_tables)
+    prefetch = _prefetch_ok(bool(prefetch), hbm_tris=hbm_tris, dual=dual,
+                            dual2=dual2, pair_pops=pair_pops,
+                            kz_tables=packed.kz_tables)
     qmask = None
     if filter_mask is not None:
         qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)

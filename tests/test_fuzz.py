@@ -72,7 +72,7 @@ def test_fuzz_engines_agree_with_oracle(seed):
         got_s = _stack.trace_closest(scene, rays, config=TraceConfig())
         got_p = trace_packets(packed, rays, interpret=True)
         engines = [("stack", got_s), ("packet", got_p)]
-        if cfg.leaf_size >= 8:
+        if cfg.leaf_size % 8 == 0:
             # prefetch (cross-step double-buffered leaf DMA) is the staged
             # headline candidate at K=8/16; force the HBM+dual gate so the
             # adversarial soups exercise the reordered-push path too.
