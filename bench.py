@@ -56,6 +56,21 @@ def wait_for_device(deadline_s=1800, probe_every_s=60):
         time.sleep(probe_every_s)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache shared across bench processes.
+
+    Tunnel compiles cost 3-40 s; the headline K-candidates each run in a
+    child process and would re-pay them.  A shared on-disk cache makes the
+    second process (and the next round's bench) load executables instead."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/rtk_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
+
 def timeit(fn, iters=5, batches=3, warm=False):
     """Best-of-batches timing: the remote-device tunnel has bursty latency,
     so the minimum batch average is the honest device-throughput number.
@@ -119,6 +134,7 @@ def _headline_candidate(label, packed=None):
 
 def main():
     wait_for_device()
+    _enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -424,6 +440,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--headline-candidate":
+        _enable_compile_cache()
         _label = sys.argv[2]
         _n, _mrays, _n_hit = _headline_candidate(_label)
         print(json.dumps({"label": _label, "mrays": round(_mrays, 3),

@@ -1,6 +1,8 @@
 #!/bin/bash
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_PLATFORMS=axon
+export JAX_COMPILATION_CACHE_DIR=/tmp/rtk_jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1.0
 # wait for all earlier chains to be gone
 for pid in /tmp/probe_r2b.pid /tmp/probe_r2c.pid /tmp/probe_r2d.pid /tmp/probe_r2e.pid; do
   while kill -0 $(cat $pid 2>/dev/null) 2>/dev/null; do sleep 60; done
