@@ -1534,6 +1534,57 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         prefetch=prefetch)
 
 
+def trace_packets_chunked(packed: PackedScene, rays: Rays,
+                          chunk: int = 1 << 24, **kw) -> PacketHits:
+    """trace_packets with bounded working memory for huge ray batches.
+
+    trace_packets materialises several N-sized intermediates besides its
+    outputs (coherence-sort keys and permutations, packet-component
+    tiles); past ~10^8 rays those overflow one chip's HBM.  This host
+    loop traces `chunk`-ray slices — each slice is still ONE fused
+    dispatch, so the fixed per-dispatch cost amortises while working
+    memory stays O(chunk) — then concatenates the per-ray results.  The
+    packed triangle tables are shared with the scene, not copied, and the
+    result's origin/direction reuse the caller's ray arrays.
+
+    A final partial slice is padded with dead rays (max_t=0 lanes retire
+    in the first step) up to `chunk`, so every slice reuses one compiled
+    program — a recompile costs more than tracing the dead pad.
+
+    Equivalent single-dispatch semantics: rtk scales query count purely by
+    host threads over an immutable blob (rtk.c:543-577); the analogue of
+    "more rays than memory" is this bounded loop.
+    """
+    n = rays.count
+    if n <= chunk:
+        return trace_packets(packed, rays, **kw)
+    outs = []
+    for i in range(0, n, chunk):
+        sl = jax.tree.map(lambda a: a[i:i + chunk], rays)
+        pad = chunk - sl.count
+        if pad:
+            sl = Rays(
+                origin=jnp.concatenate(
+                    [sl.origin, jnp.zeros((pad, 3), jnp.float32)]),
+                direction=jnp.concatenate(
+                    [sl.direction,
+                     jnp.tile(jnp.array([[1.0, 0.0, 0.0]], jnp.float32),
+                              (pad, 1))]),
+                min_t=jnp.concatenate(
+                    [sl.min_t, jnp.zeros((pad,), jnp.float32)]),
+                max_t=jnp.concatenate(
+                    [sl.max_t, jnp.zeros((pad,), jnp.float32)]))
+        h = trace_packets(packed, sl, **kw)
+        if pad:
+            h = h[:chunk - pad]
+        outs.append(h)
+    first = outs[0]
+    cat = lambda f: jnp.concatenate([getattr(o, f) for o in outs])
+    return first.replace(
+        hit=cat("hit"), t=cat("t"), u=cat("u"), v=cat("v"),
+        slot=cat("slot"), origin=rays.origin, direction=rays.direction)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",

@@ -166,6 +166,34 @@ def test_packet_prefetch_dma_matches():
     np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
 
 
+def test_packet_chunked_matches():
+    """trace_packets_chunked (bounded-memory host loop over chunk-ray
+    slices, dead-ray padded final slice) must be bit-identical to the
+    single-dispatch trace, including mesh/triangle record access through
+    the shared tables."""
+    from rtk_tpu.ops.pallas_trace import trace_packets_chunked
+
+    rng = np.random.default_rng(31)
+    tris = rng.normal(size=(300, 3, 3)).astype(np.float32)
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
+    packed = pack_scene(scene)
+    # 700 rays over chunk=256: two full slices + one padded partial.
+    rays = Rays.make(rng.normal(size=(700, 3)).astype(np.float32) * 3.0,
+                     rng.normal(size=(700, 3)).astype(np.float32))
+    a = trace_packets(packed, rays, interpret=True)
+    b = trace_packets_chunked(packed, rays, chunk=256, interpret=True)
+    assert b.count == rays.count
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.triangle_index),
+                                  np.asarray(b.triangle_index))
+    np.testing.assert_array_equal(np.asarray(a.mesh_index),
+                                  np.asarray(b.mesh_index))
+    # n <= chunk short-circuits to the plain path
+    c = trace_packets_chunked(packed, rays, chunk=4096, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(c.t))
+
+
 def test_packet_dual_queue_matches():
     """dual=True (split internal stack + leaf queue) must agree with the
     single mixed-stack path in both closest and any-hit modes."""
