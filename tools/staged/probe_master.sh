@@ -32,6 +32,7 @@ run_if_missing sahvar /tmp/sah_variants.py "sah dual ordered"
 run_if_missing ppkt /tmp/ppkt_67m.py "P=4 pkt=2048"
 run_if_missing anyhit /tmp/anyhit_diag.py "any dual:"
 run_if_missing prefetch /tmp/prefetch_tpu.py "DONE prefetch-dma"
+run_if_missing aot /tmp/aot_tpu.py "DONE aot-tpu"
 if ! grep -q '"metric"' /tmp/probe_r2c.out 2>/dev/null; then
   echo "=== [master] bench ==="
   timeout 5400 python bench.py 2>&1
