@@ -112,3 +112,73 @@ def load_packet_trace(blob: bytes) -> LoadedTrace:
     from jax import export as jexport
 
     return LoadedTrace(jexport.deserialize(blob))
+
+
+def export_refit_trace(packed: PackedScene, scene, n_rays: int,
+                       mode: str = "closest",
+                       platforms: Sequence[str] | None = None,
+                       **trace_kw) -> bytes:
+    """Serialize the fused refit+repack+trace program for deforming scenes.
+
+    Flat signature: ``(tri_pos, origin, direction, min_t, max_t) ->
+    (hit, t, u, v, slot, tri_v)`` where tri_pos is the frame's deformed
+    (T, 3, 3) vertex positions (same topology as `scene`).  Unlike
+    export_packet_trace, the scene TOPOLOGY is baked into the artifact
+    (refit walks the tree structure); the returned tri_v is the frame's
+    repacked vertex table so hit records interpolate deformed geometry.
+
+    The serving analogue of trace_packets_refit: one artifact animates a
+    character/cloth rig forever — per frame, one call, no retracing.
+    """
+    from jax import export as jexport
+
+    from rtk_tpu.ops.pallas_trace import trace_packets_refit
+
+    T = scene.num_tris  # tri_pos is in *original soup order* (scene.refit)
+
+    def flat(tri_pos, origin, direction, min_t, max_t):
+        h, _, packed2 = trace_packets_refit(
+            packed, scene, tri_pos,
+            Rays(origin=origin, direction=direction,
+                 min_t=min_t, max_t=max_t), mode=mode, **trace_kw)
+        return h.hit, h.t, h.u, h.v, h.slot, packed2.tri_v
+
+    args = (
+        jax.ShapeDtypeStruct((T, 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_rays, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_rays, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_rays,), jnp.float32),
+        jax.ShapeDtypeStruct((n_rays,), jnp.float32),
+    )
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = list(platforms)
+    with jax.enable_x64(False):
+        exp = jexport.export(jax.jit(flat), **kw)(*args)
+    return exp.serialize()
+
+
+class LoadedRefitTrace:
+    """A deserialized refit+trace program; call with (packed, tri_pos,
+    rays).  `packed` supplies only the static hit-assembly tables
+    (tri_vidx/tri_mesh/tri_prim — the slot mapping is repack-invariant);
+    the frame's vertex table comes back from the artifact."""
+
+    def __init__(self, exported):
+        self._exported = exported
+
+    def __call__(self, packed: PackedScene, tri_pos, rays: Rays
+                 ) -> PacketHits:
+        hit, t, u, v, slot, tri_v = self._exported.call(
+            tri_pos, rays.origin, rays.direction, rays.min_t, rays.max_t)
+        return PacketHits(
+            hit=hit, t=t, u=u, v=v, slot=slot,
+            origin=rays.origin, direction=rays.direction,
+            tri_v=tri_v, tri_vidx=packed.tri_vidx,
+            tri_mesh=packed.tri_mesh, tri_prim=packed.tri_prim)
+
+
+def load_refit_trace(blob: bytes) -> LoadedRefitTrace:
+    from jax import export as jexport
+
+    return LoadedRefitTrace(jexport.deserialize(blob))

@@ -60,6 +60,34 @@ def test_aot_artifact_serves_refit_tables():
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
 
 
+def test_aot_refit_trace_roundtrip():
+    """export_refit_trace: one artifact animates a deforming mesh — per
+    frame one call (refit+repack+trace fused), hit records interpolate the
+    DEFORMED geometry via the returned vertex table."""
+    from rtk_tpu.scene import build_from_soup as _b
+    from rtk_tpu.ops.pallas_trace import trace_packets_refit
+    from rtk_tpu.utils.aot import export_refit_trace, load_refit_trace
+
+    grid0 = scenes.deforming_grid(0.0, n=8)  # 128 tris
+    scene = _b(jnp.asarray(grid0), config=BuildConfig(branching=8,
+                                                      leaf_size=8))
+    packed = pack_scene(scene)
+    rays = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 16, 16)
+    lt = load_refit_trace(export_refit_trace(
+        packed, scene, rays.count, interpret=True))
+    for tphase in (0.2, 0.5):
+        frame = jnp.asarray(scenes.deforming_grid(tphase, n=8))
+        got = lt(packed, frame, rays)
+        ref, _, rp = trace_packets_refit(packed, scene, frame, rays,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(ref.hit))
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+        # the artifact's vertex table is the frame's repacked (deformed) one
+        np.testing.assert_array_equal(np.asarray(got.tri_v),
+                                      np.asarray(rp.tri_v))
+
+
 def test_aot_tpu_cross_lowering_serializes():
     """A TPU-lowered artifact exports from a CPU host (deployment: export
     in CI, run on the serving chip).  Callability needs a TPU, so this
