@@ -284,10 +284,16 @@ def main():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
-    dt = timeit(lambda: trace_packets(packed_a, cam, sort_rays=False,
+    # K=16 packed tables for the HBM-resident atrium: halves leaf steps
+    # and doubles each leaf DMA (512B -> 1KB), amortising the per-step
+    # DMA issue chatter.  Measured (PERF_NOTES r2 TPU): primary 14.3 vs
+    # 10.4 Mrays/s, bounce 0.32 vs 0.20 — K=16 wins both.
+    packed_a16 = pack_scene(build_from_soup(
+        jnp.asarray(atr), config=BuildConfig(branching=8, leaf_size=16)))
+    dt = timeit(lambda: trace_packets(packed_a16, cam, sort_rays=False,
                                       dual=True), iters=3)
     log(f"atrium ({atr.shape[0]} tris) primary: {cam.count/dt/1e6:.2f} Mrays/s")
-    dt = timeit(lambda: trace_packets(packed_a, bounce, dual=True), iters=2,
+    dt = timeit(lambda: trace_packets(packed_a16, bounce, dual=True), iters=2,
                 batches=2)
     log(f"atrium incoherent bounce: {cam.count/dt/1e6:.2f} Mrays/s")
     # Incoherent-ray engine v2 on the same batch: macro-grid DDA
