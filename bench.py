@@ -91,10 +91,18 @@ def timeit(fn, iters=5, batches=3, warm=False):
 
 
 HEADLINE_CANDIDATES = {
-    "k8": (8, {}),
-    "k16": (16, {}),
-    "k16-ordered": (16, dict(ordered=True)),
-    "k32": (32, {}),
+    # label: (leaf_size, trace kwargs, topology)
+    "k8": (8, {}, "lbvh"),
+    "k16": (16, {}, "lbvh"),
+    "k16-ordered": (16, dict(ordered=True), "lbvh"),
+    "k32": (32, {}, "lbvh"),
+    # Host-native binned-SAH topology through the identical kernel:
+    # measured +40% over LBVH at 67M (229 vs 164 Mrays/s, PERF_NOTES r2
+    # TPU) — dense 8192^2 packets reward low-area SAH cuts even though
+    # 512^2 step counts predicted the opposite.
+    "sah-k8": (8, {}, "sah"),
+    "sah-k16": (16, {}, "sah"),
+    "sah-k32": (32, {}, "sah"),
 }
 
 
@@ -115,8 +123,15 @@ def _headline_candidate(label, packed=None):
     from rtk_tpu.trace.packed import pack_scene
     from rtk_tpu.testing import scenes
 
-    k, kw = HEADLINE_CANDIDATES[label]
-    if packed is None:
+    k, kw, topo = HEADLINE_CANDIDATES[label]
+    if topo == "sah":
+        from rtk_tpu.testing.native_oracle import NativeOracle
+        from rtk_tpu.trace.packed import pack_binary_tree
+
+        btris = scenes.blob(subdivisions=6)[0]
+        orc = NativeOracle(btris.reshape(-1, 9), leaf_max=k)
+        packed = pack_binary_tree(btris, *orc.export_tree(), leaf_size=k)
+    elif packed is None:
         btris = scenes.blob(subdivisions=6)[0]
         packed = pack_scene(build_from_soup(
             jnp.asarray(btris),

@@ -1,0 +1,79 @@
+"""Headline: does leaf size stack with SAH topology at 67M rays?
+
+sah_67m measured SAH K=8 at 229 vs LBVH K=8's 164 Mrays/s (+40% —
+the 512^2 step-count prediction did NOT extrapolate: denser 8192^2
+packets reward low-area SAH cuts).  The leaf-size predictor has K=16
+at -31% steps on LBVH; this script measures K=16/32 (+-ordered) on
+the SAH topology at the bench headline camera.
+"""
+import time
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from rtk_tpu.config import BuildConfig
+from rtk_tpu.scene import build_from_soup
+from rtk_tpu.trace.packed import pack_scene, pack_binary_tree
+from rtk_tpu.ops.pallas_trace import trace_packets
+from rtk_tpu.testing import scenes
+from rtk_tpu.testing.native_oracle import NativeOracle
+
+T0 = time.perf_counter()
+
+
+def log(s):
+    print(f"[{time.perf_counter()-T0:6.0f}s] {s}", flush=True)
+
+
+tris = scenes.blob(subdivisions=6)[0]
+log(f"tris {tris.shape[0]}")
+
+side = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+cam = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
+                         side, side, order="morton")
+n = cam.count
+log(f"rays {n} (bench headline camera)")
+
+
+def timeit(f, iters=3, batches=2):
+    out = f()
+    jax.block_until_ready(out.t)
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        jax.block_until_ready(out.t)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+ref = None
+variants = [("lbvh-k8", 8, None, {})]
+for k in (16, 32):
+    variants.append((f"sah-k{k}", k, "sah", {}))
+variants.append(("sah-k16-ordered", 16, "sah", dict(ordered=True)))
+for name, k, topo, kw in variants:
+    if topo == "sah":
+        orc = NativeOracle(tris.reshape(-1, 9), leaf_max=k)
+        pk = pack_binary_tree(tris, *orc.export_tree(), leaf_size=k)
+    else:
+        pk = pack_scene(build_from_soup(
+            jnp.asarray(tris), config=BuildConfig(branching=8, leaf_size=k)))
+    f = lambda: trace_packets(pk, cam, sort_rays=False, dual=True, **kw)
+    dt = timeit(f)
+    log(f"{name}: {n/dt/1e6:.1f} Mrays/s ({dt*1e3:.0f} ms)")
+    got = f()
+    gh, gt = np.asarray(got.hit), np.asarray(got.t)
+    if ref is None:
+        ref = (gh, gt)
+    else:
+        ok = (gh == ref[0]).all() and np.allclose(
+            np.where(gh, gt, 0), np.where(ref[0], ref[1], 0),
+            rtol=1e-5, atol=1e-5)
+        log(f"  parity: {'OK' if ok else 'MISMATCH %d' % int((gh != ref[0]).sum())}")
+    del pk, got, gh, gt
+log("DONE sahk")
