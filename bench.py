@@ -1,10 +1,23 @@
 """Benchmark suite over the BASELINE.json acceptance configs (single chip).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the
-headline is primary-ray closest-hit throughput on the bunny-class scene
-(config 2), vs the 500 Mrays/s north-star target.  Per-config numbers go to
-stderr.  Procedural stand-ins replace the named assets (no network here):
-blob(6)=81,920 tris for the 69k bunny; atrium≈410k tris for 262k Sponza.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the headline measurement (round 2 lost its entire perf
+record to a driver timeout because the JSON printed only after every
+config), then runs the remaining configs — each in its own bounded
+subprocess — re-printing an updated JSON line only if a later headline
+candidate beats it, and once more at the very end so the final stdout
+line is always the headline record.
+
+Headline = primary-ray closest-hit throughput on the bunny-class scene
+(config 2, 8192^2 = 67M rays) vs the 500 Mrays/s north-star target.
+Per-config numbers go to stderr.  Procedural stand-ins replace the named
+assets (no network here): blob(6)=81,920 tris for the 69k bunny;
+atrium~=410k tris for 262k Sponza.
+
+Usage:
+  python bench.py                      # full suite (driver entry point)
+  python bench.py --config <name>      # one config, one JSON line out
+  python bench.py --headline-candidate <label>
 """
 from __future__ import annotations
 
@@ -21,16 +34,16 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_for_device(deadline_s=1800, probe_every_s=60):
+def wait_for_device(deadline_s=480, probe_every_s=45):
     """Block until the device backend answers a trivial dispatch.
 
     The axon TPU tunnel has outages measured in hours; if the driver's
     bench run lands in one, failing instantly records nothing for the
     round.  Probe in a SUBPROCESS (a hung in-process backend init cannot
-    be recovered) and give the tunnel up to `deadline_s` to return.
-    Proceeds after the deadline either way — a late failure is at least
-    an honest failure.
-    """
+    be recovered).  The deadline is capped well below the driver budget
+    (round 2 lesson: the old 1800 s deadline plus late JSON output ate
+    the whole budget) — proceed after it either way; a late failure is
+    at least an honest failure."""
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp; "
@@ -59,9 +72,12 @@ def wait_for_device(deadline_s=1800, probe_every_s=60):
 def _enable_compile_cache():
     """Persistent XLA compilation cache shared across bench processes.
 
-    Tunnel compiles cost 3-40 s; the headline K-candidates each run in a
-    child process and would re-pay them.  A shared on-disk cache makes the
-    second process (and the next round's bench) load executables instead."""
+    Tunnel compiles cost 3-40 s; every config runs in a child process and
+    would re-pay them.  A shared on-disk cache makes the second process
+    (and the next round's bench) load executables instead.  Note this
+    makes small-config numbers (e.g. Cornell) serving-warm: compile cost
+    is excluded from the timed region by design, and cross-round deltas
+    on those configs partly reflect cache state (first recorded r2)."""
     import jax
 
     try:
@@ -90,31 +106,39 @@ def timeit(fn, iters=5, batches=3, warm=False):
     return best
 
 
+def emit_headline(mrays):
+    """Print the driver-facing headline record NOW (never defer this)."""
+    print(json.dumps({
+        "metric": "primary_ray_closest_hit_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }), flush=True)
+
+
 HEADLINE_CANDIDATES = {
     # label: (leaf_size, trace kwargs, topology)
+    # Measured at 67M (r2 TPU, PERF_NOTES "SAH topology at the 67M
+    # headline"): sah-k8 229 vs k8 163.4; k16 108.0, k16-ordered 116.7,
+    # k32 <=116 all LOSE to k8 on the VMEM-resident bunny (the CPU step
+    # predictor's K=16 win is an HBM-DMA-amortisation effect that doesn't
+    # exist there) — dropped from the default candidate run.
+    "sah-k8": (8, {}, "sah"),
     "k8": (8, {}, "lbvh"),
     "k16": (16, {}, "lbvh"),
     "k16-ordered": (16, dict(ordered=True), "lbvh"),
     "k32": (32, {}, "lbvh"),
-    # Host-native binned-SAH topology through the identical kernel:
-    # measured +40% over LBVH at 67M (229 vs 164 Mrays/s, PERF_NOTES r2
-    # TPU) — dense 8192^2 packets reward low-area SAH cuts even though
-    # 512^2 step counts predicted the opposite.
-    "sah-k8": (8, {}, "sah"),
     "sah-k16": (16, {}, "sah"),
     "sah-k32": (32, {}, "sah"),
 }
 
 
-def _headline_candidate(label, packed=None):
+def _headline_candidate(label, side=8192):
     """Measure ONE 67M-ray headline candidate; (n_rays, Mrays/s, n_hit).
 
-    The CPU step predictor (PERF_NOTES r2) has K=16 at -31% steps (-37%
-    ordered) and K=32 at -56% where the leaf phase is 57% of the frame;
-    measuring the candidates keeps the predicted win even if the staged
-    sweep never got chip time.  Runs standalone via
-    `bench.py --headline-candidate <label>` so each candidate's multi-GB
-    buffers and tunnel compiles live in a bounded child process."""
+    Runs standalone via `bench.py --headline-candidate <label>` so each
+    candidate's multi-GB buffers and tunnel compiles live in a bounded
+    child process."""
     import jax.numpy as jnp
 
     from rtk_tpu import BuildConfig
@@ -124,20 +148,19 @@ def _headline_candidate(label, packed=None):
     from rtk_tpu.testing import scenes
 
     k, kw, topo = HEADLINE_CANDIDATES[label]
+    btris = scenes.blob(subdivisions=6)[0]
     if topo == "sah":
         from rtk_tpu.testing.native_oracle import NativeOracle
         from rtk_tpu.trace.packed import pack_binary_tree
 
-        btris = scenes.blob(subdivisions=6)[0]
         orc = NativeOracle(btris.reshape(-1, 9), leaf_max=k)
         packed = pack_binary_tree(btris, *orc.export_tree(), leaf_size=k)
-    elif packed is None:
-        btris = scenes.blob(subdivisions=6)[0]
+    else:
         packed = pack_scene(build_from_soup(
             jnp.asarray(btris),
             config=BuildConfig(branching=8, leaf_size=k)))
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                              8192, 8192, order="morton")
+                              side, side, order="morton")
     run = lambda: trace_packets(packed, rays, sort_rays=False, dual=True,
                                 **kw)
     out = run()  # warm-up; doubles as the hit-count parity sample
@@ -147,151 +170,187 @@ def _headline_candidate(label, packed=None):
     return rays.count, rays.count / dt / 1e6, n_hit
 
 
-def main():
-    wait_for_device()
-    _enable_compile_cache()
+def _run_config(name, timeout):
+    """Run one bench config in a bounded subprocess; parsed JSON or None.
 
+    The child's stderr (per-metric lines) is forwarded to ours so the
+    driver log shows every number as soon as the config finishes."""
+    import subprocess
+
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--config", name],
+            timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired as e:
+        for s in (e.stderr or b""), (e.stdout or b""):
+            txt = s.decode() if isinstance(s, bytes) else s
+            if txt:
+                sys.stderr.write(txt)
+        log(f"config [{name}] TIMED OUT after {timeout}s")
+        return None
+    if out.stderr:
+        sys.stderr.write(out.stderr)
+        sys.stderr.flush()
+    dt = time.perf_counter() - t0
+    try:
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        log(f"config [{name}] done in {dt:.0f}s")
+        return rec
+    except Exception as e:
+        log(f"config [{name}] FAILED rc={out.returncode} in {dt:.0f}s "
+            f"({type(e).__name__}: {e}); stdout tail: {out.stdout[-300:]!r}")
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Individual configs — each runs in its own process and prints ONE JSON line.
+# ---------------------------------------------------------------------------
+
+def config_build():
+    """LBVH build throughput.  Own process: after any Pallas launch this
+    runtime charges every dispatch a fixed multi-ms penalty which would
+    swamp a sub-millisecond build — a fresh process has no Pallas."""
     import jax
     import jax.numpy as jnp
 
-    from rtk_tpu import BuildConfig, Rays, refit
-    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu import BuildConfig
     from rtk_tpu.scene import build_from_soup
-    from rtk_tpu.trace.packed import pack_scene, repack_bounds
     from rtk_tpu.testing import scenes
 
-    log(f"device: {jax.devices()[0]}")
     cfg = BuildConfig(branching=8, leaf_size=8)
-
-    # ---- build throughput FIRST: after any Pallas launch this runtime
-    # charges every dispatch a fixed multi-ms penalty, which would swamp a
-    # sub-millisecond build ----
     btris = scenes.blob(subdivisions=6)[0]  # 81,920 tris
     btris_dev = jax.block_until_ready(jnp.asarray(btris))
     dt = timeit(lambda: build_from_soup(btris_dev, config=cfg), iters=10)
+    mtris = btris.shape[0] / dt / 1e6
     log(f"build: {btris.shape[0]} tris in {dt*1e3:.2f} ms "
-        f"({btris.shape[0]/dt/1e6:.1f} Mtris/s)")
+        f"({mtris:.1f} Mtris/s)")
+    return {"build_mtris": round(mtris, 1)}
 
-    # ---- config 1: Cornell box primary rays ----
+
+def config_cornell():
+    """Config 1: Cornell box 256^2 primary (dispatch-bound at this size)."""
+    import jax.numpy as jnp
+
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.testing import scenes
+
     tris = scenes.cornell_box()
-    scene = build_from_soup(jnp.asarray(tris))
-    packed = pack_scene(scene)
+    packed = pack_scene(build_from_soup(jnp.asarray(tris)))
     rays = scenes.cornell_camera(256, 256)
     dt = timeit(lambda: trace_packets(packed, rays))
-    log(f"cornell 256x256 primary: {rays.count/dt/1e6:.2f} Mrays/s")
+    mrays = rays.count / dt / 1e6
+    log(f"cornell 256x256 primary: {mrays:.2f} Mrays/s")
+    return {"cornell_mrays": round(mrays, 2)}
 
-    # ---- config 2: bunny-class primary + shadow (headline) ----
-    scene = build_from_soup(btris_dev, config=cfg)
-    packed = pack_scene(scene)
+
+def config_bunny():
+    """Config 2 (non-headline parts): bunny 512^2/1024^2 primary, 4M
+    shadow any-hit (sparse + compacted), and the measured reference-CPU
+    oracle ratio (corrected-rtk C++, single core)."""
+    import jax.numpy as jnp
+
+    from rtk_tpu import BuildConfig, Rays
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.testing import scenes
+
+    rec = {}
+    cfg = BuildConfig(branching=8, leaf_size=8)
+    btris = scenes.blob(subdivisions=6)[0]
+    packed = pack_scene(build_from_soup(jnp.asarray(btris), config=cfg))
     rays512 = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                                  512, 512, order="morton")
     dt = timeit(lambda: trace_packets(packed, rays512, sort_rays=False,
                                       dual=True), iters=5)
-    log(f"bunny 512x512 primary: {rays512.count/dt/1e6:.2f} Mrays/s "
+    rec["bunny_512_mrays"] = round(rays512.count / dt / 1e6, 2)
+    log(f"bunny 512x512 primary: {rec['bunny_512_mrays']:.2f} Mrays/s "
         f"({dt*1e3:.1f} ms incl. per-dispatch overhead)")
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                               1024, 1024, order="morton")
     dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False,
                                       dual=True), iters=5)
+    rec["bunny_1024_mrays"] = round(rays.count / dt / 1e6, 2)
     log(f"bunny 1024x1024 primary: {rays.count} rays in {dt*1e3:.1f} ms "
-        f"-> {rays.count/dt/1e6:.2f} Mrays/s")
-    # Headline at 67M rays: throughput grows with batch size (ray density
-    # tightens each packet's traversal union and the auto packet width
-    # scales up), so the biggest batch reflects sustained chip throughput.
-    # The packed leaf size is auto-selected (_headline_candidate docstring);
-    # parity across K is covered by the fuzz suite, the hit-count check
-    # here just catches gross breakage on this batch.
-    # K=8 (the r1-proven config) runs in-process and is the guaranteed
-    # baseline; the K=16/32 candidates each run in their OWN bounded
-    # subprocess (CLAUDE.md: 67M-ray configs leave multi-GB HBM buffers and
-    # a hung remote compile cannot be recovered in-process).
-    n_rays67, cand67, n_hit_ref = _headline_candidate("k8", packed=packed)
-    mrays = cand67
-    log(f"bunny 8192x8192 primary [k8]: {n_rays67} rays "
-        f"-> {mrays:.2f} Mrays/s")
-    import gc
-    import subprocess
+        f"-> {rec['bunny_1024_mrays']:.2f} Mrays/s")
 
-    gc.collect()  # drop the k8 67M-ray/hit device buffers before spawning
-    for label in ("k16", "k16-ordered", "k32"):
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--headline-candidate", label],
-                timeout=900, capture_output=True, text=True)
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            rec = json.loads(line)
-        except Exception as e:
-            log(f"bunny 8192x8192 [{label}] failed: {type(e).__name__}: {e}")
-            continue
-        if rec["n_hit"] != n_hit_ref:
-            log(f"bunny 8192x8192 [{label}]: hit-count mismatch "
-                f"({rec['n_hit']} vs {n_hit_ref}) — candidate rejected")
-            continue
-        log(f"bunny 8192x8192 primary [{label}]: {rec['mrays']:.2f} Mrays/s")
-        mrays = max(mrays, rec["mrays"])
-    log(f"bunny 8192x8192 primary: {mrays:.2f} Mrays/s (headline, best K)")
-    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                              2048, 2048, order="morton")
-    hits = trace_packets(packed, rays, sort_rays=False, dual=True)
+    rays2k = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
+                                2048, 2048, order="morton")
+    hits = trace_packets(packed, rays2k, sort_rays=False, dual=True)
     p = np.asarray(hits.position())
     light = np.array([3.0, 4.0, 2.0], np.float32)
     d = light[None] - p
     dist = np.linalg.norm(d, axis=1)
     shadow = Rays.make(p, d / np.maximum(dist[:, None], 1e-9), min_t=1e-3,
                        max_t=np.where(np.asarray(hits.hit), dist, 0.0))
-    dt = timeit(lambda: trace_packets(packed, shadow, mode="any"),
-                iters=5)
+    dt = timeit(lambda: trace_packets(packed, shadow, mode="any"), iters=5)
+    rec["bunny_shadow_mrays"] = round(shadow.count / dt / 1e6, 2)
     log(f"bunny shadow (any-hit, 4M rays, ~60% dead): "
-        f"{shadow.count/dt/1e6:.2f} Mrays/s")
+        f"{rec['bunny_shadow_mrays']:.2f} Mrays/s")
     # Renderer-realistic variant: shadow rays exist only for hit pixels
     # (miss pixels spawn none) — compacted on device.
     live = np.asarray(hits.hit)
     nlive = int(live.sum())
     mlive = max(1024, 1 << int(np.ceil(np.log2(max(nlive, 1)))))
     order = np.argsort(~live, kind="stable")[:mlive]
-    shadow_c = Rays.make(p[order], (d / np.maximum(dist[:, None], 1e-9))[order],
+    shadow_c = Rays.make(p[order],
+                         (d / np.maximum(dist[:, None], 1e-9))[order],
                          min_t=1e-3,
                          max_t=np.where(live[order], dist[order], 0.0))
-    dt = timeit(lambda: trace_packets(packed, shadow_c, mode="any"),
-                iters=5)
+    dt = timeit(lambda: trace_packets(packed, shadow_c, mode="any"), iters=5)
+    rec["bunny_shadow_compact_mrays"] = round(nlive / dt / 1e6, 2)
     log(f"bunny shadow compacted ({nlive} live rays): "
-        f"{nlive/dt/1e6:.2f} Mrays/s")
+        f"{rec['bunny_shadow_compact_mrays']:.2f} Mrays/s")
 
-    # ---- reference CPU baseline: the corrected-rtk C++ oracle on the same
-    # bunny config (single thread; rtk scales queries linearly with host
-    # threads, rtk.c:543-577 purity).  Recorded so "vs reference CPU" is a
-    # measured ratio, not a guess (VERDICT r1 item 9). ----
+    # Reference CPU baseline: the corrected-rtk C++ oracle on the same
+    # config (single thread; rtk scales queries linearly with host
+    # threads, rtk.c:543-577 purity).  Measured so "vs reference CPU" is
+    # a ratio, not a guess.
     try:
         from rtk_tpu.testing.native_oracle import NativeOracle
 
         orc = NativeOracle(btris.reshape(-1, 9))
-        r512 = rays512
-        o_np = np.asarray(r512.origin)
-        d_np = np.asarray(r512.direction)
         t0 = time.perf_counter()
-        _, _, _, idx = orc.trace(o_np, d_np, np.asarray(r512.min_t),
-                                 np.asarray(r512.max_t))
+        orc.trace(np.asarray(rays512.origin), np.asarray(rays512.direction),
+                  np.asarray(rays512.min_t), np.asarray(rays512.max_t))
         cpu_dt = time.perf_counter() - t0
-        import os as _os
-
-        cpu_mrays = r512.count / cpu_dt / 1e6
-        log(f"reference-CPU oracle (corrected rtk, scalar BVH2, "
-            f"{_os.cpu_count()} core): {cpu_mrays:.2f} Mrays/s "
-            f"-> TPU/CPU-core ratio {mrays/cpu_mrays:.0f}x")
+        rec["cpu_oracle_mrays"] = round(rays512.count / cpu_dt / 1e6, 2)
+        log(f"reference-CPU oracle (corrected rtk, scalar BVH2, 1 core): "
+            f"{rec['cpu_oracle_mrays']:.2f} Mrays/s")
     except Exception as e:
         log(f"reference-CPU oracle baseline unavailable: {e}")
+    return rec
 
-    # ---- config 3: Sponza-class 1-bounce diffuse ----
+
+def config_atrium():
+    """Config 3: Sponza-class 1-bounce diffuse.  Flat engine packs K=16
+    leaves (HBM-resident scene: halved leaf steps amortise the per-step
+    DMA chatter — PERF_NOTES r2 TPU: primary +38%, bounce +60%); the grid
+    engine comparison repacks the SAME K=16 tables so the bounce
+    comparison pits equal leaf configurations (round-2 advisor note)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtk_tpu import BuildConfig, Rays
+    from rtk_tpu.models.path import cosine_sample, geometric_normal
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.testing import scenes
+
+    rec = {}
     atr = scenes.atrium()
-    scene_a = build_from_soup(jnp.asarray(atr), config=cfg)
-    packed_a = pack_scene(scene_a)
+    scene_a = build_from_soup(jnp.asarray(atr),
+                              config=BuildConfig(branching=8, leaf_size=16))
+    packed_a16 = pack_scene(scene_a)
     cam = scenes.camera_rays((0, 6, 9), (0, 2, 0), (0, 1, 0), 60, 1024, 1024,
                              order="morton")
-    prim = trace_packets(packed_a, cam)
+    prim = trace_packets(packed_a16, cam)
     key = jax.random.PRNGKey(0)
-    from rtk_tpu.models.path import cosine_sample, geometric_normal
-
     n = geometric_normal(prim, cam.direction)
     bounce_dir = cosine_sample(key, n)
     origin = prim.position() + 1e-3 * n
@@ -299,35 +358,49 @@ def main():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
-    # K=16 packed tables for the HBM-resident atrium: halves leaf steps
-    # and doubles each leaf DMA (512B -> 1KB), amortising the per-step
-    # DMA issue chatter.  Measured (PERF_NOTES r2 TPU): primary 14.3 vs
-    # 10.4 Mrays/s, bounce 0.32 vs 0.20 — K=16 wins both.
-    packed_a16 = pack_scene(build_from_soup(
-        jnp.asarray(atr), config=BuildConfig(branching=8, leaf_size=16)))
     dt = timeit(lambda: trace_packets(packed_a16, cam, sort_rays=False,
                                       dual=True), iters=3)
-    log(f"atrium ({atr.shape[0]} tris) primary: {cam.count/dt/1e6:.2f} Mrays/s")
-    dt = timeit(lambda: trace_packets(packed_a16, bounce, dual=True), iters=2,
-                batches=2)
-    log(f"atrium incoherent bounce: {cam.count/dt/1e6:.2f} Mrays/s")
+    rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
+    log(f"atrium ({atr.shape[0]} tris) primary: "
+        f"{rec['atrium_primary_mrays']:.2f} Mrays/s")
+    dt = timeit(lambda: trace_packets(packed_a16, bounce, dual=True),
+                iters=2, batches=2)
+    rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
+    log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")
     # Incoherent-ray engine v2 on the same batch: macro-grid DDA
-    # re-binning (disjoint cells, exact residual).  Coarse dims converge
-    # fastest on this batch (CPU count profile, PERF_NOTES r2).
+    # re-binning (disjoint cells, exact residual), built from the SAME
+    # K=16 pack.  Coarse dims converge fastest (PERF_NOTES r2 profile).
     try:
         from rtk_tpu.trace.grid import (build_grid_from_scene,
                                         calibrate_caps, trace_packets_grid)
 
-        g = build_grid_from_scene(scene_a, packed=packed_a, dims=(7, 3, 7))
+        g = build_grid_from_scene(scene_a, packed=packed_a16, dims=(7, 3, 7))
         caps = calibrate_caps(g, bounce, rounds=8, skips=4)
         dt = timeit(lambda: trace_packets_grid(g, bounce, rounds=8,
                                                skips=4, caps=caps),
                     iters=2, batches=2)
-        log(f"atrium bounce via grid engine: {cam.count/dt/1e6:.2f} Mrays/s")
+        rec["atrium_bounce_grid_mrays"] = round(cam.count / dt / 1e6, 2)
+        log(f"atrium bounce via grid engine: "
+            f"{rec['atrium_bounce_grid_mrays']:.2f} Mrays/s")
     except Exception as e:
         log(f"grid-engine bounce entry failed: {type(e).__name__}: {e}")
+    return rec
 
-    # ---- config 4: deforming mesh refit + trace loop ----
+
+def config_refit():
+    """Config 4: deforming mesh — fused refit->repack->trace per frame,
+    plus the F-frame scan executor that amortises dispatch cost."""
+    import jax.numpy as jnp
+
+    from rtk_tpu import BuildConfig
+    from rtk_tpu.ops.pallas_trace import (trace_packets_refit,
+                                          trace_packets_refit_frames)
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.testing import scenes
+
+    rec = {}
+    cfg = BuildConfig(branching=8, leaf_size=8)
     grid0 = scenes.deforming_grid(0.0, n=96)  # 18,432 tris
     scene_d = build_from_soup(jnp.asarray(grid0), config=cfg)
     packed_d = pack_scene(scene_d)
@@ -336,21 +409,15 @@ def main():
     cam_d = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 256, 256,
                                order="morton")
 
-    from rtk_tpu.ops.pallas_trace import trace_packets_refit
-
     def frame(i):
-        # one fused device program: refit -> repack -> trace
         hits, _, _ = trace_packets_refit(packed_d, scene_d, frames[i % 3],
                                          cam_d, sort_rays=False)
         return hits
 
     dt = timeit(lambda: frame(1), iters=5)
+    rec["refit_ms_per_frame"] = round(dt * 1e3, 1)
     log(f"deforming refit+trace: {dt*1e3:.1f} ms/frame "
         f"({grid0.shape[0]/dt/1e6:.1f} Mtris/s refit incl. trace)")
-
-    # Animation sub-stepping executor: scan F frames inside ONE program —
-    # the honest amortisation of the fixed per-dispatch cost for clips.
-    from rtk_tpu.ops.pallas_trace import trace_packets_refit_frames
 
     F = 8
     clip = jnp.stack([jnp.asarray(scenes.deforming_grid(0.05 * i, n=96))
@@ -358,14 +425,29 @@ def main():
     dt = timeit(lambda: trace_packets_refit_frames(
         packed_d, scene_d, clip, cam_d, sort_rays=False)[-1],
         iters=3, batches=2)
+    rec["refit_scan_ms_per_frame"] = round(dt / F * 1e3, 1)
     log(f"deforming refit+trace, {F}-frame scan: {dt/F*1e3:.1f} ms/frame "
         f"amortised ({grid0.shape[0]*F/dt/1e6:.1f} Mtris/s)")
+    return rec
 
-    # ---- config 5: 10M+ instanced tris, TLAS/BLAS, 4-bounce wavefront ----
+
+def config_instanced():
+    """Config 5: 10.2M instanced tris (125 x 82k BLAS), TLAS/BLAS,
+    4-bounce wavefront with on-device shade/sample/compaction."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtk_tpu import BuildConfig, Rays
     from rtk_tpu.instancing import (build_instanced, pack_instanced,
                                     trace_closest_instanced_packets)
-    from rtk_tpu.models.path import cosine_sample, geometric_normal
+    from rtk_tpu.models.path import (_ray_sort_key, cosine_sample,
+                                     geometric_normal)
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.testing import scenes
 
+    cfg = BuildConfig(branching=8, leaf_size=8)
     blas_tris = scenes.blob(subdivisions=6)[0]  # 81,920 tris
     blas = build_from_soup(jnp.asarray(blas_tris), config=cfg)
     n_inst = 125  # 125 x 81,920 = 10.24M instanced triangles
@@ -378,15 +460,12 @@ def main():
         tf[i, :, :3] = np.eye(3, dtype=np.float32) * sc
         tf[i, :, 3] = (np.array([gx, gy, gz], np.float32) * 1.1
                        + rng5.random(3).astype(np.float32) * 0.2)
-    iscene = build_instanced([blas], np.zeros(n_inst, np.int64), tf)
-    pscene = pack_instanced(iscene)
+    pscene = pack_instanced(
+        build_instanced([blas], np.zeros(n_inst, np.int64), tf))
     cam5 = scenes.camera_rays((7, 6.5, 8), (2.2, 2.2, 2.2), (0, 1, 0), 55,
                               512, 512, order="morton")
     key5 = jax.random.PRNGKey(5)
     CAND5 = 4  # nearest-candidate rounds per trace (bounds compiles)
-    n5 = cam5.count
-
-    import functools
 
     scene_lo5 = jnp.asarray(tf[:, :, 3].min(axis=0) - 1.0)
     scene_hi5 = jnp.asarray(tf[:, :, 3].max(axis=0) + 2.0)
@@ -399,8 +478,6 @@ def main():
         nd = cosine_sample(kd, nrm)
         origin = hits.position() + 1e-3 * nrm
         alive = hits.hit
-        from rtk_tpu.models.path import _ray_sort_key
-
         key32 = _ray_sort_key(
             Rays(origin=origin, direction=nd,
                  min_t=rays_b.min_t, max_t=rays_b.max_t),
@@ -420,9 +497,7 @@ def main():
 
     def wavefront4():
         # Per-bounce: trace -> fused device shade/sample/compact; the only
-        # host sync is the live-count scalar that picks the pow2 bucket
-        # (VERDICT r1 item 4: the old loop materialised hit masks and
-        # built gather indices on host every bounce).
+        # host sync is the live-count scalar that picks the pow2 bucket.
         rays_b = cam5
         total = rays_b.count
         k = key5
@@ -444,27 +519,95 @@ def main():
         return total
 
     total5 = wavefront4()  # warm-up compiles all round shapes
-    import time as _time
-    t1 = _time.perf_counter()
+    t1 = time.perf_counter()
     wavefront4()
-    best5 = _time.perf_counter() - t1
+    best5 = time.perf_counter() - t1
+    mrays = total5 / best5 / 1e6
     log(f"instanced 10.2M tris (125 x 82k BLAS) 4-bounce wavefront: "
-        f"{total5} rays in {best5*1e3:.0f} ms -> {total5/best5/1e6:.2f} Mrays/s")
+        f"{total5} rays in {best5*1e3:.0f} ms -> {mrays:.2f} Mrays/s")
+    return {"instanced_mrays": round(mrays, 2)}
 
-    print(json.dumps({
-        "metric": "primary_ray_closest_hit_throughput",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s/chip",
-        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-    }))
+
+CONFIGS = {
+    # name: (fn, subprocess timeout seconds)
+    "build": (config_build, 420),
+    "cornell": (config_cornell, 420),
+    "bunny": (config_bunny, 900),
+    "atrium": (config_atrium, 900),
+    "refit": (config_refit, 600),
+    "instanced": (config_instanced, 900),
+}
+
+
+def main():
+    wait_for_device()
+    _enable_compile_cache()
+
+    import subprocess
+
+    # ---- HEADLINE FIRST (config 2, bunny 8192^2 = 67M primaries) ----
+    # sah-k8 is the measured-best topology (229 vs 164 Mrays/s at r2);
+    # k8/LBVH is the guaranteed fallback.  Each candidate runs in a
+    # bounded child process (multi-GB HBM buffers + unrecoverable hung
+    # remote compiles), and the headline JSON prints the moment the
+    # first candidate lands.
+    mrays = 0.0
+    n_hit_ref = None
+    for label, timeout in (("sah-k8", 900), ("k8", 900)):
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-candidate", label],
+                timeout=timeout, capture_output=True, text=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+        except Exception as e:
+            log(f"bunny 8192x8192 [{label}] failed after "
+                f"{time.perf_counter()-t0:.0f}s: {type(e).__name__}: {e}")
+            continue
+        log(f"bunny 8192x8192 primary [{label}]: {rec['mrays']:.2f} Mrays/s "
+            f"({rec['n_hit']} hits)")
+        if n_hit_ref is None:
+            n_hit_ref = rec["n_hit"]
+        elif rec["n_hit"] != n_hit_ref:
+            # Cross-topology runs may legitimately differ at exact
+            # nearest-hit ties (repo invariant) — that moves WHICH
+            # triangle wins, never whether a ray hits, so any delta is
+            # gross breakage.
+            log(f"bunny 8192x8192 [{label}]: hit-count mismatch "
+                f"({rec['n_hit']} vs {n_hit_ref}) — candidate rejected")
+            continue
+        if rec["mrays"] > mrays:
+            mrays = rec["mrays"]
+            emit_headline(mrays)  # un-losable: record it the moment we know
+    if mrays == 0.0:
+        log("headline: ALL candidates failed — no JSON emitted yet; "
+            "continuing with remaining configs")
+    else:
+        log(f"bunny 8192x8192 primary: {mrays:.2f} Mrays/s (headline)")
+
+    # ---- remaining configs, each isolated + bounded ----
+    results = {}
+    for name, (_, timeout) in CONFIGS.items():
+        rec = _run_config(name, timeout)
+        if rec:
+            results.update(rec)
+
+    log("bench summary: " + json.dumps(results))
+    if mrays > 0.0:
+        emit_headline(mrays)  # final line is always the headline record
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--headline-candidate":
         _enable_compile_cache()
-        _label = sys.argv[2]
-        _n, _mrays, _n_hit = _headline_candidate(_label)
-        print(json.dumps({"label": _label, "mrays": round(_mrays, 3),
+        _n, _mrays, _n_hit = _headline_candidate(sys.argv[2])
+        print(json.dumps({"label": sys.argv[2], "mrays": round(_mrays, 3),
                           "n_hit": _n_hit}))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        _enable_compile_cache()
+        _rec = CONFIGS[sys.argv[2]][0]()
+        print(json.dumps(_rec))
     else:
         main()

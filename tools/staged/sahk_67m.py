@@ -71,9 +71,17 @@ for name, k, topo, kw in variants:
     if ref is None:
         ref = (gh, gt)
     else:
-        ok = (gh == ref[0]).all() and np.allclose(
-            np.where(gh, gt, 0), np.where(ref[0], ref[1], 0),
-            rtol=1e-5, atol=1e-5)
-        log(f"  parity: {'OK' if ok else 'MISMATCH %d' % int((gh != ref[0]).sum())}")
+        # Cross-topology runs may legitimately differ at exact nearest-hit
+        # ties (repo invariant: strict `<`, first found wins) — count
+        # divergences and accept a tiny bound instead of demanding
+        # bit-equality (round-2 advisor note).
+        both = gh & ref[0]
+        n_mask = int((gh != ref[0]).sum())
+        n_t = int((~np.isclose(gt[both], ref[1][both],
+                               rtol=1e-5, atol=1e-5)).sum())
+        frac = (n_mask + n_t) / max(gh.size, 1)
+        ok = frac < 1e-5
+        log(f"  parity: {'OK' if ok else 'MISMATCH'} "
+            f"(mask diff {n_mask}, t diff {n_t}, frac {frac:.2e})")
     del pk, got, gh, gt
 log("DONE sahk")
