@@ -118,11 +118,13 @@ def emit_headline(mrays):
 
 HEADLINE_CANDIDATES = {
     # label: (leaf_size, trace kwargs, topology)
-    # Measured at 67M (r2 TPU, PERF_NOTES "SAH topology at the 67M
-    # headline"): sah-k8 229 vs k8 163.4; k16 108.0, k16-ordered 116.7,
-    # k32 <=116 all LOSE to k8 on the VMEM-resident bunny (the CPU step
-    # predictor's K=16 win is an HBM-DMA-amortisation effect that doesn't
-    # exist there) — dropped from the default candidate run.
+    # Measured at 67M (PERF_NOTES "SAH topology / SAH x leaf-size x
+    # ordered at the 67M headline"): sah-k16-ordered 240.5 > sah-k8 229
+    # > lbvh-k8 163.8 > sah-k16 177.9 > k16-ordered 116.7 > k16 108.0,
+    # sah-k32 128.7.  LBVH k16/k32 lose on the VMEM-resident bunny (the
+    # CPU step predictor's K=16 win is an HBM-DMA-amortisation effect
+    # that doesn't exist there) — dropped from the default candidate run.
+    "sah-k16-ordered": (16, dict(ordered=True), "sah"),
     "sah-k8": (8, {}, "sah"),
     "k8": (8, {}, "lbvh"),
     "k16": (16, {}, "lbvh"),
@@ -546,14 +548,15 @@ def main():
     import subprocess
 
     # ---- HEADLINE FIRST (config 2, bunny 8192^2 = 67M primaries) ----
-    # sah-k8 is the measured-best topology (229 vs 164 Mrays/s at r2);
-    # k8/LBVH is the guaranteed fallback.  Each candidate runs in a
-    # bounded child process (multi-GB HBM buffers + unrecoverable hung
-    # remote compiles), and the headline JSON prints the moment the
-    # first candidate lands.
+    # sah-k16-ordered is the measured-best topology (240.5 vs lbvh-k8's
+    # 163.8 Mrays/s, r3); sah-k8 (229) and k8/LBVH are the fallbacks.
+    # Each candidate runs in a bounded child process (multi-GB HBM
+    # buffers + unrecoverable hung remote compiles), and the headline
+    # JSON prints the moment the first candidate lands.
     mrays = 0.0
     n_hit_ref = None
-    for label, timeout in (("sah-k8", 900), ("k8", 900)):
+    for label, timeout in (("sah-k16-ordered", 900), ("sah-k8", 900),
+                           ("k8", 900)):
         t0 = time.perf_counter()
         try:
             out = subprocess.run(

@@ -15,6 +15,7 @@ from rtk_tpu.api import (
     Scene,
     TraceConfig,
     Tracer,
+    jit_filter,
     TriangleSoup,
     build_from_soup,
     build_sah_packed,

@@ -14,7 +14,7 @@ from rtk_tpu.builder.sah import build_sah_packed
 from rtk_tpu.config import BuildConfig, TraceConfig
 from rtk_tpu.mesh import MeshDesc, TriangleSoup, build_soup
 from rtk_tpu.scene import Scene, build_from_soup, refit
-from rtk_tpu.tracer import Tracer
+from rtk_tpu.tracer import Tracer, jit_filter
 from rtk_tpu.trace.stack import trace_any, trace_closest
 from rtk_tpu.types import Hits, PacketHits, Rays
 from rtk_tpu.utils.serialize import (load_any, load_instanced_scene,
@@ -49,6 +49,7 @@ __all__ = [
     "PacketHits",
     "Scene",
     "Tracer",
+    "jit_filter",
     "build_scene",
     "build_sah_packed",
     "build_from_soup",

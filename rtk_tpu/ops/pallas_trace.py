@@ -134,7 +134,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, kz_tables=False, pair_pops=False,
-                 dual2=False, kz_sel=False, prefetch=False):
+                 dual2=False, kz_sel=False, prefetch=False,
+                 filter_fn=None):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -175,8 +176,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
-               out_t, out_u, out_v, out_slot,
                *rest):
+        if filter_fn is not None:
+            ridx_ref, *rest = rest  # (P, PKT) i32 caller ray indices
+        out_t, out_u, out_v, out_slot, *rest = rest
         if stats:
             out_steps, *rest = rest
         if hbm_tris:
@@ -184,6 +187,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         else:
             stage_nodes, stage_tris, stack_ref = rest
 
+        ray_idx = ridx_ref[:] if filter_fn is not None else None
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         mint = mint_ref[:]
@@ -966,9 +970,26 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         # the mask column holds exact-integer float bits.
                         tm = verts[9].astype(jnp.int32)
                         ok = ok & ((tm & qmask_val) != 0)
+                    un, vn = u * rcp_det, v * rcp_det
+                    if filter_fn is not None:
+                        # User filter callable evaluated IN the leaf phase
+                        # (rtk_filter_fn intent, rtk.h:117,130): the
+                        # predicate is jax-traceable and closure-inlined —
+                        # each distinct filter is its own kernel build.
+                        from rtk_tpu.trace.stack import HitCandidate
+
+                        shape = t.shape
+                        cand = HitCandidate(
+                            t=t, u=un, v=vn,
+                            mesh_index=jnp.broadcast_to(
+                                verts[10].astype(jnp.int32), shape),
+                            triangle_index=jnp.broadcast_to(
+                                verts[11].astype(jnp.int32), shape),
+                            ray_index=ray_idx)
+                        ok = ok & filter_fn(cand)
                     if "noupdv" in lesion:
                         return t, u, v, ok, need
-                    return t, u * rcp_det, v * rcp_det, ok, need
+                    return t, un, vn, ok, need
 
                 if hbm_tris:
                     # staged as (halves*P*rows_per_leaf, 128): 8 records
@@ -983,17 +1004,20 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         st_rows = stage_tris[:]
                     st3 = st_rows.reshape(halves * P, k_tris // 8, 128)
 
+                    n_cols = 12 if filter_fn is not None else 10
+
                     def verts_of(h, k):
                         r, s16 = k // 8, (k % 8) * 16
                         blk = st3[h * P:(h + 1) * P]
                         return [blk[:, r, s16 + c:s16 + c + 1]
-                                for c in range(10)]
+                                for c in range(n_cols)]
                 else:
                     t3 = stage_tris[:].reshape(halves * P, k_tris, 16)
+                    n_cols = 12 if filter_fn is not None else 10
 
                     def verts_of(h, k):
                         r = t3[h * P:(h + 1) * P, k, :]  # (P, 16)
-                        return [r[:, c:c + 1] for c in range(10)]
+                        return [r[:, c:c + 1] for c in range(n_cols)]
 
                 def leaf_pass(hits_in, exact):
                     h_t, h_u, h_v, h_s = hits_in
@@ -1052,6 +1076,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     if use_mask:
                         tm = trows[:, 9:10].astype(jnp.int32)
                         ok = ok & ((tm & qmask_val) != 0)
+                    if filter_fn is not None:
+                        from rtk_tpu.trace.stack import HitCandidate
+
+                        cand = HitCandidate(
+                            t=t, u=u, v=v,
+                            mesh_index=jnp.broadcast_to(
+                                trows[:, 10:11].astype(jnp.int32), t.shape),
+                            triangle_index=jnp.broadcast_to(
+                                trows[:, 11:12].astype(jnp.int32), t.shape),
+                            ray_index=_rep(ray_idx, k_tris))
+                        ok = ok & filter_fn(cand)
                     ok = ok & _rep(leaf_vec.astype(jnp.float32),
                                    k_tris).astype(bool)
                     rr_t = t.reshape(P, k_tris, PKT)
@@ -1153,14 +1188,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "kz_tables", "pair_pops", "dual2",
-                     "kz_sel", "prefetch"),
+                     "kz_sel", "prefetch", "filter_fn"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
-                dual2=False, kz_sel=False, prefetch=False):
+                dual2=False, kz_sel=False, prefetch=False, filter_fn=None):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -1184,14 +1219,15 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           ordered=ordered, islab=islab, lesion=lesion,
                           use_mask=use_mask, kz_tables=kz_tables,
                           pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
-                          prefetch=prefetch)
+                          prefetch=prefetch, filter_fn=filter_fn)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid,),
-        in_specs=[full(), tri_spec] + [ray_spec] * 8,
+        # filter_fn adds a 9th ray component: the caller ray index tile.
+        in_specs=[full(), tri_spec] + [ray_spec] * len(ray_comps),
         out_specs=[ray_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((P * W, 8), jnp.int32),
@@ -1234,7 +1270,7 @@ def _trace_impl_jit(tpu: bool):
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
                          "stats", "pair_pops", "dual2", "kz_sel",
-                         "prefetch"),
+                         "prefetch", "filter_fn"),
         compiler_options=opts)
 
 
@@ -1253,7 +1289,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
                    pair_pops=False, dual2=False, kz_sel=False,
-                   prefetch=False):
+                   prefetch=False, filter_fn=None):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1339,6 +1375,13 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     edges = (True, True, True, True, True, True, False, False)
     ray_comps = tuple(comp(a, f, e)
                       for a, f, e in zip(comps8, fills, edges))
+    if filter_fn is not None:
+        # 9th ray component: the caller's ray index per lane, so the
+        # user filter predicate sees ray identity even through the
+        # coherence sorts.  Pad lanes carry index n (dead; never hit).
+        ridx = (idx[:n2].astype(jnp.int32) if idx is not None
+                else jnp.arange(n2, dtype=jnp.int32))
+        ray_comps = ray_comps + (comp(ridx, n, False),)
     tris_table = (packed.tris.reshape(-1, 128) if hbm_tris
                   else packed.tris)
     if qmask is None:
@@ -1358,7 +1401,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
-        kz_sel=kz_sel, prefetch=prefetch,
+        kz_sel=kz_sel, prefetch=prefetch, filter_fn=filter_fn,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1415,7 +1458,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   pair_pops: bool | None = None,
                   dual2: bool = False,
                   kz_sel: bool | None = None,
-                  prefetch: bool | None = None) -> PacketHits:
+                  prefetch: bool | None = None,
+                  filter_fn=None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1523,6 +1567,19 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     qmask = None
     if filter_mask is not None:
         qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)
+    if filter_fn is not None:
+        # User filter callables run IN the leaf phase (rtk_filter_fn
+        # intent, rtk.h:117,130): filter_fn must be jax-traceable and
+        # takes a HitCandidate (trace/stack.py) of (rows, PKT) tiles,
+        # returning a bool mask — the same contract as the stack engine.
+        # The candidate's mesh/triangle identity rides the triangle table
+        # as exact float columns, which caps exactness at 2^24.
+        if not callable(filter_fn):
+            raise TypeError("filter_fn must be callable")
+        if packed.num_tris >= (1 << 24):
+            raise ValueError(
+                "packet-kernel filter callables need triangle ids exact "
+                "in f32 (< 2^24 triangles); use the stack engine")
     return _trace_impl(
         packed, jnp.asarray(rays.origin), jnp.asarray(rays.direction),
         jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots, qmask,
@@ -1531,7 +1588,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
         pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
-        prefetch=prefetch)
+        prefetch=prefetch, filter_fn=filter_fn)
 
 
 def trace_packets_chunked(packed: PackedScene, rays: Rays,

@@ -191,6 +191,7 @@ def trace_grid_sharded(
     skips: int = 3,
     unit: int = 128,
     caps=None,
+    filter_mask: Optional[int] = None,
 ):
     """Sharded incoherent-ray trace on the macro-grid engine (GridScene
     replicated, ray batch split over the mesh).
@@ -214,7 +215,7 @@ def trace_grid_sharded(
         return trace_packets_grid(
             grid_local, rays_local, mode=mode, watertight=watertight,
             interpret=interpret, rounds=rounds, skips=skips, unit=unit,
-            caps=caps)
+            caps=caps, filter_mask=filter_mask)
 
     out_specs = PacketHits(
         hit=P(axis), t=P(axis), u=P(axis), v=P(axis), slot=P(axis),

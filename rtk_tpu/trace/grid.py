@@ -96,11 +96,17 @@ def choose_dims(extent: np.ndarray, n_tris: int, max_cells: int = 4096,
 def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
                config: BuildConfig = BuildConfig(), dims=None,
                max_cells: int = 4096, flat: PackedScene | None = None,
-               scene: Scene | None = None) -> GridScene:
+               scene: Scene | None = None, tri_mask=None) -> GridScene:
     """Build the macro-grid structure from a triangle soup.
 
     flat/scene: reuse an existing ordinary build of the SAME soup (same
     config) for the exact-fallback path; built here when not given.
+
+    tri_mask: optional (T,) per-triangle filter bits in soup order (24
+    bits, pack_scene semantics) — packed into BOTH the per-cell tables
+    and the exact-residual flat tables so filter_mask queries cull in
+    every round.  A caller-supplied `flat` must already carry the same
+    mask (pack_scene(scene, tri_mask=...)).
     """
     tp = np.asarray(tri_pos, np.float32)
     T = tp.shape[0]
@@ -208,13 +214,17 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
             lo, hi = int(ccum[r]), int(ccum[r + 1]) - 1
             roots[r] = (leaf_code(lo) if lo == hi
                         else rangemap[(lo, hi)])
-    cells_packed = pack_multiroot(merged, roots)
+    # The merged build's "soup" is the padded (cell, tri) pair list, so
+    # the mask enters pack_multiroot in pair order.
+    mask_pairs = (None if tri_mask is None
+                  else np.asarray(tri_mask, np.int64)[pair_tri])
+    cells_packed = pack_multiroot(merged, roots, tri_mask=mask_pairs)
 
     if flat is None:
         if scene is None:
             scene = build_from_soup(tp, tri_vidx, tri_mesh, tri_prim,
                                     config=config)
-        flat = pack_scene(scene)
+        flat = pack_scene(scene, tri_mask=tri_mask)
 
     # cells-table slot -> flat-table slot (for record unification).
     flat_sorted_of_slot = np.asarray(flat.tri_perm, np.int64)
@@ -691,7 +701,9 @@ def build_grid_from_scene(scene: Scene, packed: PackedScene | None = None,
                           **kw) -> GridScene:
     """Build the macro-grid structure from an already-built Scene,
     reusing its packed tables as the exact-fallback path (no second
-    LBVH build of the same soup)."""
+    LBVH build of the same soup).  kw accepts build_grid options
+    (dims, tri_mask, ...); a caller-supplied `packed` must carry the
+    same tri_mask."""
     perm = np.asarray(scene.perm, np.int64)
     valid = perm >= 0
     T = scene.num_tris

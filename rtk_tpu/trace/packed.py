@@ -183,10 +183,13 @@ MASK_COL = 9  # filter-mask column in the kernel tri row (float VALUE,
               # not bitcast: TPU flushes denormals, so integer bits in a
               # float table get destroyed; exact integers <= 2^24 survive)
 MASK_ALL = float(0xFFFFFF)  # 24-bit all-pass mask
+MESH_COL = 10  # mesh index as an exact float value (filter callables)
+PRIM_COL = 11  # triangle index as an exact float value (<= 2^24 exact;
+               # trace_packets rejects filter_fn on bigger soups)
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _tri_rows(tri_v, valid, mask=None):
+def _tri_rows(tri_v, valid, mask=None, mesh=None, prim=None):
     """Kernel triangle table rows.  Padding slots (valid=False) become NaN
     vertices: the intersector rejects them via the t-window without ever
     triggering the exact-sign zero-edge path (NaN == 0 is false), unlike
@@ -194,24 +197,33 @@ def _tri_rows(tri_v, valid, mask=None):
 
     Column MASK_COL carries the per-triangle filter-mask bits (the packet
     engine's built-in filter family, rtk.h:117,130 intent) as an exact
-    float value; all-pass when no mask is given."""
+    float value; all-pass when no mask is given.  Columns MESH_COL and
+    PRIM_COL carry the triangle's identity (mesh index, original triangle
+    index) as exact float values so in-kernel filter callables can see
+    the candidate's identity without a gather."""
     tp = tri_v.shape[0]
     flat = jnp.where(valid[:, None], tri_v.reshape(tp, 9), jnp.nan)
     if mask is None:
         mcol = jnp.full((tp, 1), MASK_ALL, jnp.float32)
     else:
         mcol = jnp.asarray(mask, jnp.float32).reshape(tp, 1)
+    mesh_c = (jnp.zeros((tp, 1), jnp.float32) if mesh is None
+              else jnp.asarray(mesh, jnp.float32).reshape(tp, 1))
+    prim_c = (jnp.full((tp, 1), -1.0, jnp.float32) if prim is None
+              else jnp.asarray(prim, jnp.float32).reshape(tp, 1))
     return jnp.concatenate(
-        [flat, mcol, jnp.zeros((tp, 6), jnp.float32)], axis=1)
+        [flat, mcol, mesh_c, prim_c, jnp.zeros((tp, 4), jnp.float32)],
+        axis=1)
 
 
-def _tri_rows_kz(tri_v, valid, mask=None):
+def _tri_rows_kz(tri_v, valid, mask=None, mesh=None, prim=None):
     """Three stacked kernel tables, vertex coords rotated per kz: table c
     stores (v[kx], v[ky], v[kz]) with kx=(c+1)%3, ky=(c+2)%3."""
     tables = []
     for c in range(3):
         kx, ky = (c + 1) % 3, (c + 2) % 3
-        tables.append(_tri_rows(tri_v[:, :, (kx, ky, c)], valid, mask))
+        tables.append(_tri_rows(tri_v[:, :, (kx, ky, c)], valid, mask,
+                                mesh, prim))
     return jnp.concatenate(tables, axis=0)
 
 
@@ -262,13 +274,15 @@ def pack_scene(scene: Scene, tri_mask=None,
             tri_mask[np.clip(soup_of_sorted, 0, tri_mask.shape[0] - 1)], 0)
         mask_p = sorted_mask[np.asarray(tri_perm)].astype(np.float64)
     rows_fn = _tri_rows_kz if kz_tables else _tri_rows
+    tri_mesh_p = jnp.take(scene.tri_mesh, perm, axis=0)
     return PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=rows_fn(tri_v, tri_prim_p >= 0, mask_p),
+        tris=rows_fn(tri_v, tri_prim_p >= 0, mask_p, tri_mesh_p,
+                     tri_prim_p),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
-        tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
+        tri_mesh=tri_mesh_p,
         tri_prim=tri_prim_p,
         slot_src=slot_src_j,
         tri_perm=perm,
@@ -278,7 +292,7 @@ def pack_scene(scene: Scene, tri_mask=None,
     )
 
 
-def pack_multiroot(scene: Scene, roots) -> PackedScene:
+def pack_multiroot(scene: Scene, roots, tri_mask=None) -> PackedScene:
     """Pack a FOREST of disjoint subtrees of one Scene in a single
     vectorised BFS (one _greedy_slots call for all roots — unlike
     pack_forest's per-root host loop, this stays fast at thousands of
@@ -287,6 +301,9 @@ def pack_multiroot(scene: Scene, roots) -> PackedScene:
     `roots`: (R,) binary node ids (or leaf codes <= -2 for single-leaf
     subtrees) whose subtrees must be disjoint and jointly cover every
     leaf exactly once.  The packed entry id of root r is simply r.
+
+    tri_mask: optional (num_tris,) per-triangle filter bits in ORIGINAL
+    soup order (24 bits), same semantics as pack_scene.
     """
     roots = np.asarray(roots, np.int64)
     k = scene.leaf_size
@@ -308,13 +325,26 @@ def pack_multiroot(scene: Scene, roots) -> PackedScene:
     perm = jnp.asarray(tri_perm)
     tri_v = jnp.take(scene.tri_v, perm, axis=0)
     tri_prim_p = jnp.take(scene.tri_prim, perm, axis=0)
+    tri_mesh_p = jnp.take(scene.tri_mesh, perm, axis=0)
+    mask_p = None
+    if tri_mask is not None:
+        tri_mask = np.asarray(tri_mask, np.int64)
+        if (tri_mask >> 24).any():
+            raise ValueError("tri_mask uses more than 24 bits")
+        # soup order -> Morton-sorted order -> packed order.
+        soup_of_sorted = np.asarray(scene.perm)
+        sorted_mask = np.where(
+            soup_of_sorted >= 0,
+            tri_mask[np.clip(soup_of_sorted, 0, tri_mask.shape[0] - 1)], 0)
+        mask_p = sorted_mask[np.asarray(tri_perm)].astype(np.float64)
     return PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=_tri_rows(tri_v, tri_prim_p >= 0, None),
+        tris=_tri_rows(tri_v, tri_prim_p >= 0, mask_p, tri_mesh_p,
+                       tri_prim_p),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
-        tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
+        tri_mesh=tri_mesh_p,
         tri_prim=tri_prim_p,
         slot_src=slot_src_j,
         tri_perm=perm,
@@ -410,7 +440,7 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
     return PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=_tri_rows(tv, validj, mask),
+        tris=_tri_rows(tv, validj, mask, tm, tp_),
         tri_v=tv,
         tri_vidx=tvi,
         tri_mesh=tm,
@@ -433,7 +463,8 @@ def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:
     rows_fn = _tri_rows_kz if packed.kz_tables else _tri_rows
     return packed.replace(
         nodes=nodes,
-        tris=rows_fn(tri_v, packed.tri_prim >= 0, mask_col),
+        tris=rows_fn(tri_v, packed.tri_prim >= 0, mask_col,
+                     packed.tri_mesh, packed.tri_prim),
         tri_v=tri_v)
 
 
@@ -477,13 +508,15 @@ def pack_forest(scene: Scene, roots) -> tuple[PackedScene, np.ndarray]:
     perm = jnp.asarray(tri_perm)
     tri_v = jnp.take(scene.tri_v, perm, axis=0)
     tri_prim_p = jnp.take(scene.tri_prim, perm, axis=0)
+    tri_mesh_p = jnp.take(scene.tri_mesh, perm, axis=0)
     packed = PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=_tri_rows(tri_v, tri_prim_p >= 0),
+        tris=_tri_rows(tri_v, tri_prim_p >= 0, None, tri_mesh_p,
+                       tri_prim_p),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
-        tri_mesh=jnp.take(scene.tri_mesh, perm, axis=0),
+        tri_mesh=tri_mesh_p,
         tri_prim=tri_prim_p,
         slot_src=slot_src_j,
         tri_perm=perm,

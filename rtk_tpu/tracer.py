@@ -37,6 +37,21 @@ from rtk_tpu.types import Hits, PacketHits, Rays
 AnyHits = Union[Hits, PacketHits]
 
 
+def jit_filter(fn: Callable) -> Callable:
+    """Mark a filter callable as jax-traceable so the Tracer keeps it on
+    the packet fast path (rtk_filter_fn intent, rtk.h:117,130).
+
+    The predicate receives a HitCandidate (trace/stack.py) of array tiles
+    — t, u, v, mesh_index, triangle_index, ray_index — and must return a
+    bool mask using only jax-traceable ops; it is inlined into the packet
+    kernel's leaf phase (each distinct function compiles its own kernel).
+    Unmarked callables keep routing to the XLA stack engine, which can
+    trace arbitrary Python.
+    """
+    fn.jittable = True
+    return fn
+
+
 class Tracer:
     def __init__(self, scene: Scene, engine: str = "auto",
                  config: TraceConfig = TraceConfig(), tri_mask=None):
@@ -48,9 +63,6 @@ class Tracer:
         if engine not in ("auto", "packet", "stack", "stackless",
                           "binned", "grid"):
             raise ValueError(f"unknown engine {engine!r}")
-        if engine == "grid" and tri_mask is not None:
-            raise ValueError("the grid engine does not carry tri_mask "
-                             "tables yet; use engine='packet'")
         self.scene = scene
         self.config = config
         self.tri_mask = tri_mask
@@ -94,7 +106,9 @@ class Tracer:
                filter_fn: Optional[Callable],
                coherent: Optional[bool] = None,
                filter_mask: Optional[int] = None) -> AnyHits:
-        if self.engine == "packet" and filter_fn is None:
+        packet_filter_ok = (filter_fn is None
+                            or getattr(filter_fn, "jittable", False))
+        if self.engine == "packet" and packet_filter_ok:
             from rtk_tpu.ops.pallas_trace import trace_packets
 
             dual = self.config.dual_queues
@@ -106,28 +120,34 @@ class Tracer:
             return trace_packets(self.packed, rays, mode=mode,
                                  watertight=self.config.watertight,
                                  dual=dual, filter_mask=filter_mask,
+                                 filter_fn=filter_fn,
                                  interpret=jax.default_backend() != "tpu")
-        if filter_mask is not None:
+        if filter_mask is not None and self.engine not in ("binned", "grid"):
             raise ValueError(
-                "filter_mask runs on the packet engine only; use "
-                "engine='packet' (or filter_fn on the stack engine)")
+                "filter_mask runs on the packet-kernel engines only "
+                "(packet/binned/grid); use filter_fn on the stack engine")
         if self.engine == "binned" and filter_fn is None:
             from rtk_tpu.trace.binned import trace_packets_binned
 
             return trace_packets_binned(
                 self.packed, rays, mode=mode,
                 watertight=self.config.watertight,
-                filter_mask=filter_mask)
+                filter_mask=filter_mask,
+                interpret=jax.default_backend() != "tpu")
         if self.engine == "grid" and filter_fn is None:
             from rtk_tpu.trace.grid import (build_grid_from_scene,
                                             trace_packets_grid)
 
             if self._grid is None:
+                # self.packed already carries the tri_mask column; the
+                # per-cell tables need it packed in too.
                 self._grid = build_grid_from_scene(self.scene,
-                                                   packed=self.packed)
+                                                   packed=self.packed,
+                                                   tri_mask=self.tri_mask)
             return trace_packets_grid(
                 self._grid, rays, mode=mode,
                 watertight=self.config.watertight,
+                filter_mask=filter_mask,
                 interpret=jax.default_backend() == "cpu")
         if self.engine == "stackless" and filter_fn is None:
             from rtk_tpu.trace.stackless import build_stackless, trace_stackless

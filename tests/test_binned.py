@@ -1,5 +1,6 @@
 """Binned (re-binned) incoherent-ray engine: exact parity with the flat
 packet engine (trace/binned.py; PERF_NOTES r2 — the union-waste fix)."""
+import pytest
 import numpy as np
 
 from rtk_tpu import build_scene
@@ -19,6 +20,7 @@ def _packed():
     return pack_scene(scene)
 
 
+@pytest.mark.smoke
 def test_subtree_bins_cover_tree():
     packed = _packed()
     roots, lo, hi = subtree_bins(packed, 2)

@@ -1,4 +1,5 @@
 """rtk C-API shim parity (compat.py vs rtk.h:119-130 semantics)."""
+import pytest
 import numpy as np
 
 from rtk_tpu import compat
@@ -15,6 +16,7 @@ def _mesh():
                     position_type="f32", index_type="u32")
 
 
+@pytest.mark.smoke
 def test_build_and_trace_single_ray():
     logs = []
     desc = compat.RtkSceneDesc([_mesh()],

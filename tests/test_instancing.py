@@ -1,4 +1,5 @@
 """TLAS/BLAS instancing vs a brute-force transformed-geometry oracle."""
+import pytest
 import numpy as np
 
 from rtk_tpu import Rays, build_scene
@@ -87,6 +88,7 @@ def test_instanced_candidate_cap():
     assert agree > 0.95
 
 
+@pytest.mark.smoke
 def test_instanced_packet_kernel_matches_brute():
     from rtk_tpu.instancing import pack_instanced, trace_closest_instanced_packets
 

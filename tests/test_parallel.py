@@ -1,6 +1,7 @@
 """Sharded tracing on the virtual 8-device CPU mesh."""
 import jax
 import numpy as np
+import pytest
 
 from rtk_tpu import build_scene, trace_closest
 from rtk_tpu.parallel.shard import (
@@ -21,6 +22,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.smoke
 def test_sharded_matches_single_device():
     scene = _scene()
     rays = scenes.cornell_camera(32, 32)  # 1024 rays, divisible by 8
@@ -50,6 +52,7 @@ def test_sharded_any_hit():
     assert np.asarray(got.hit).all()
 
 
+@pytest.mark.smoke
 def test_packet_engine_sharded_matches_single():
     """Packet kernel under shard_map on the virtual 8-device mesh."""
     import jax

@@ -15,6 +15,7 @@ def _scene():
         (tris.reshape(-1, 3), np.arange(tris.shape[0] * 3).reshape(-1, 3)))
 
 
+@pytest.mark.smoke
 def test_roundtrip(tmp_path):
     scene = _scene()
     path = str(tmp_path / "scene.rtk8")
@@ -62,6 +63,7 @@ def test_validation():
         load_scene(bytes(data[:256]))
 
 
+@pytest.mark.smoke
 def test_packed_roundtrip(tmp_path):
     """PackedScene round-trip: the packed blob is the runtime format —
     load-and-trace with NO repack (VERDICT r1 item 9; rtk.c:1732-1774)."""

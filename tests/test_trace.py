@@ -70,6 +70,7 @@ def test_blob_camera():
     _compare(tris, rays)
 
 
+@pytest.mark.smoke
 def test_ray_t_window():
     tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
     scene = build_scene(_soup_of(tri))
@@ -84,6 +85,7 @@ def test_ray_t_window():
     assert bool(hit.hit[0]) and abs(float(hit.t[0]) - 1.0) < 1e-6
 
 
+@pytest.mark.smoke
 def test_hit_record_fields():
     tris = scenes.cornell_box()
     soup = build_soup(_soup_of(tris))
