@@ -90,7 +90,12 @@ def _enable_compile_cache():
 def timeit(fn, iters=5, batches=3, warm=False):
     """Best-of-batches timing: the remote-device tunnel has bursty latency,
     so the minimum batch average is the honest device-throughput number.
-    warm=True skips the warm-up call (the caller already ran fn once)."""
+    warm=True skips the warm-up call (the caller already ran fn once).
+
+    CACHE HAZARD (r3): the axon terminal serves repeated IDENTICAL
+    dispatches from a result cache (~1 ms readings on 300 ms kernels —
+    tools/staged/sah300c_67m.py).  Every fn passed here MUST make each
+    call's input bytes unique; use vary_rays()/a cycling counter."""
     import jax
 
     if not warm:
@@ -104,6 +109,26 @@ def timeit(fn, iters=5, batches=3, warm=False):
         jax.block_until_ready(jax.tree.leaves(out)[0])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def vary_rays(rays, m=16):
+    """m copies of a ray batch, each with a semantically-dead min_t
+    epsilon so repeated timed dispatches never have identical input
+    bytes (see timeit's cache hazard).  Epsilons sit at ~1e-7, far below
+    any scene hit distance; rays at min_t=0 keep the open-window miss
+    semantics."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from rtk_tpu.types import Rays
+
+    base = jnp.asarray(rays.min_t)
+    variants = [Rays(origin=rays.origin, direction=rays.direction,
+                     min_t=base + jnp.float32(1e-7) * (i + 1),
+                     max_t=rays.max_t) for i in range(m)]
+    ctr = itertools.count()
+    return lambda: variants[next(ctr) % m]
 
 
 def emit_headline(mrays):
@@ -163,12 +188,14 @@ def _headline_candidate(label, side=8192):
             config=BuildConfig(branching=8, leaf_size=k)))
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                               side, side, order="morton")
-    run = lambda: trace_packets(packed, rays, sort_rays=False, dual=True,
-                                **kw)
-    out = run()  # warm-up; doubles as the hit-count parity sample
+    out = trace_packets(packed, rays, sort_rays=False, dual=True,
+                        **kw)  # warm-up; doubles as the hit-count sample
     n_hit = int(np.asarray(out.hit).sum())
     del out
-    dt = timeit(run, iters=3, batches=2, warm=True)
+    nxt = vary_rays(rays, m=8)
+    dt = timeit(lambda: trace_packets(packed, nxt(), sort_rays=False,
+                                      dual=True, **kw),
+                iters=3, batches=2, warm=True)
     return rays.count, rays.count / dt / 1e6, n_hit
 
 
@@ -221,10 +248,17 @@ def config_build():
     from rtk_tpu.scene import build_from_soup
     from rtk_tpu.testing import scenes
 
+    import itertools
+
     cfg = BuildConfig(branching=8, leaf_size=8)
     btris = scenes.blob(subdivisions=6)[0]  # 81,920 tris
-    btris_dev = jax.block_until_ready(jnp.asarray(btris))
-    dt = timeit(lambda: build_from_soup(btris_dev, config=cfg), iters=10)
+    # Unique input bytes per timed call (timeit cache hazard): a dead
+    # 1e-6 translation leaves build cost identical.
+    btris_v = [jax.block_until_ready(jnp.asarray(btris) + 1e-6 * i)
+               for i in range(16)]
+    ctr = itertools.count()
+    dt = timeit(lambda: build_from_soup(btris_v[next(ctr) % 16],
+                                        config=cfg), iters=10)
     mtris = btris.shape[0] / dt / 1e6
     log(f"build: {btris.shape[0]} tris in {dt*1e3:.2f} ms "
         f"({mtris:.1f} Mtris/s)")
@@ -243,7 +277,8 @@ def config_cornell():
     tris = scenes.cornell_box()
     packed = pack_scene(build_from_soup(jnp.asarray(tris)))
     rays = scenes.cornell_camera(256, 256)
-    dt = timeit(lambda: trace_packets(packed, rays))
+    nxt = vary_rays(rays)
+    dt = timeit(lambda: trace_packets(packed, nxt()))
     mrays = rays.count / dt / 1e6
     log(f"cornell 256x256 primary: {mrays:.2f} Mrays/s")
     return {"cornell_mrays": round(mrays, 2)}
@@ -267,14 +302,16 @@ def config_bunny():
     packed = pack_scene(build_from_soup(jnp.asarray(btris), config=cfg))
     rays512 = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                                  512, 512, order="morton")
-    dt = timeit(lambda: trace_packets(packed, rays512, sort_rays=False,
+    nxt512 = vary_rays(rays512)
+    dt = timeit(lambda: trace_packets(packed, nxt512(), sort_rays=False,
                                       dual=True), iters=5)
     rec["bunny_512_mrays"] = round(rays512.count / dt / 1e6, 2)
     log(f"bunny 512x512 primary: {rec['bunny_512_mrays']:.2f} Mrays/s "
         f"({dt*1e3:.1f} ms incl. per-dispatch overhead)")
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                               1024, 1024, order="morton")
-    dt = timeit(lambda: trace_packets(packed, rays, sort_rays=False,
+    nxt1k = vary_rays(rays)
+    dt = timeit(lambda: trace_packets(packed, nxt1k(), sort_rays=False,
                                       dual=True), iters=5)
     rec["bunny_1024_mrays"] = round(rays.count / dt / 1e6, 2)
     log(f"bunny 1024x1024 primary: {rays.count} rays in {dt*1e3:.1f} ms "
@@ -289,7 +326,8 @@ def config_bunny():
     dist = np.linalg.norm(d, axis=1)
     shadow = Rays.make(p, d / np.maximum(dist[:, None], 1e-9), min_t=1e-3,
                        max_t=np.where(np.asarray(hits.hit), dist, 0.0))
-    dt = timeit(lambda: trace_packets(packed, shadow, mode="any"), iters=5)
+    nxts = vary_rays(shadow)
+    dt = timeit(lambda: trace_packets(packed, nxts(), mode="any"), iters=5)
     rec["bunny_shadow_mrays"] = round(shadow.count / dt / 1e6, 2)
     log(f"bunny shadow (any-hit, 4M rays, ~60% dead): "
         f"{rec['bunny_shadow_mrays']:.2f} Mrays/s")
@@ -303,7 +341,8 @@ def config_bunny():
                          (d / np.maximum(dist[:, None], 1e-9))[order],
                          min_t=1e-3,
                          max_t=np.where(live[order], dist[order], 0.0))
-    dt = timeit(lambda: trace_packets(packed, shadow_c, mode="any"), iters=5)
+    nxtc = vary_rays(shadow_c)
+    dt = timeit(lambda: trace_packets(packed, nxtc(), mode="any"), iters=5)
     rec["bunny_shadow_compact_mrays"] = round(nlive / dt / 1e6, 2)
     log(f"bunny shadow compacted ({nlive} live rays): "
         f"{rec['bunny_shadow_compact_mrays']:.2f} Mrays/s")
@@ -360,12 +399,14 @@ def config_atrium():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
-    dt = timeit(lambda: trace_packets(packed_a16, cam, sort_rays=False,
-                                      dual=True), iters=3)
+    nxtc_a = vary_rays(cam)
+    dt = timeit(lambda: trace_packets(packed_a16, nxtc_a(),
+                                      sort_rays=False, dual=True), iters=3)
     rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium ({atr.shape[0]} tris) primary: "
         f"{rec['atrium_primary_mrays']:.2f} Mrays/s")
-    dt = timeit(lambda: trace_packets(packed_a16, bounce, dual=True),
+    nxtb = vary_rays(bounce)
+    dt = timeit(lambda: trace_packets(packed_a16, nxtb(), dual=True),
                 iters=2, batches=2)
     rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")
@@ -378,7 +419,7 @@ def config_atrium():
 
         g = build_grid_from_scene(scene_a, packed=packed_a16, dims=(7, 3, 7))
         caps = calibrate_caps(g, bounce, rounds=8, skips=4)
-        dt = timeit(lambda: trace_packets_grid(g, bounce, rounds=8,
+        dt = timeit(lambda: trace_packets_grid(g, nxtb(), rounds=8,
                                                skips=4, caps=caps),
                     iters=2, batches=2)
         rec["atrium_bounce_grid_mrays"] = round(cam.count / dt / 1e6, 2)
@@ -411,12 +452,17 @@ def config_refit():
     cam_d = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 256, 256,
                                order="morton")
 
+    nxt_cam = vary_rays(cam_d)  # unique inputs per call (timeit hazard)
+
     def frame(i):
         hits, _, _ = trace_packets_refit(packed_d, scene_d, frames[i % 3],
-                                         cam_d, sort_rays=False)
+                                         nxt_cam(), sort_rays=False)
         return hits
 
-    dt = timeit(lambda: frame(1), iters=5)
+    import itertools
+
+    fctr = itertools.count()
+    dt = timeit(lambda: frame(next(fctr)), iters=6)
     rec["refit_ms_per_frame"] = round(dt * 1e3, 1)
     log(f"deforming refit+trace: {dt*1e3:.1f} ms/frame "
         f"({grid0.shape[0]/dt/1e6:.1f} Mtris/s refit incl. trace)")
@@ -425,7 +471,7 @@ def config_refit():
     clip = jnp.stack([jnp.asarray(scenes.deforming_grid(0.05 * i, n=96))
                       for i in range(F)])
     dt = timeit(lambda: trace_packets_refit_frames(
-        packed_d, scene_d, clip, cam_d, sort_rays=False)[-1],
+        packed_d, scene_d, clip, nxt_cam(), sort_rays=False)[-1],
         iters=3, batches=2)
     rec["refit_scan_ms_per_frame"] = round(dt / F * 1e3, 1)
     log(f"deforming refit+trace, {F}-frame scan: {dt/F*1e3:.1f} ms/frame "
@@ -497,12 +543,16 @@ def config_instanced():
             min_t=jnp.full((m,), 1e-3, jnp.float32),
             max_t=jnp.where(live, np.float32(3.4e38), 0.0))
 
-    def wavefront4():
+    nxt_cam5 = vary_rays(cam5)
+
+    def wavefront4(k=None):
         # Per-bounce: trace -> fused device shade/sample/compact; the only
         # host sync is the live-count scalar that picks the pow2 bucket.
-        rays_b = cam5
+        # Each call gets a fresh camera variant + RNG key so no dispatch
+        # repeats identical inputs (timeit cache hazard).
+        rays_b = nxt_cam5()
         total = rays_b.count
-        k = key5
+        k = key5 if k is None else k
         hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                   max_candidates=CAND5)
         for bounce in range(3):
@@ -521,9 +571,13 @@ def config_instanced():
         return total
 
     total5 = wavefront4()  # warm-up compiles all round shapes
+    # Distinct keys per timed call (unique bounce-round inputs; the
+    # timeit cache hazard).  Best-of-two absorbs a bucket-flip recompile.
     t1 = time.perf_counter()
-    wavefront4()
-    best5 = time.perf_counter() - t1
+    wavefront4(jax.random.PRNGKey(11))
+    t2 = time.perf_counter()
+    wavefront4(jax.random.PRNGKey(12))
+    best5 = min(t2 - t1, time.perf_counter() - t2)
     mrays = total5 / best5 / 1e6
     log(f"instanced 10.2M tris (125 x 82k BLAS) 4-bounce wavefront: "
         f"{total5} rays in {best5*1e3:.0f} ms -> {mrays:.2f} Mrays/s")

@@ -68,6 +68,11 @@ class GridScene(struct.PyTreeNode):
     cell_size: Array  # (3,) f32
     dims: tuple = struct.field(pytree_node=False)
     n_occ: int = struct.field(pytree_node=False)
+    # build_grid(march=True): a second forest pack with one root per CELL
+    # (empty cells get childless rows), entry id == cell id — the fused
+    # march kernel adopts cells by index with no rank lookup.
+    cells_march: PackedScene | None = None
+    march_to_flat: Array | None = None
 
 
 def _interleave6(q: np.ndarray) -> np.ndarray:
@@ -96,7 +101,8 @@ def choose_dims(extent: np.ndarray, n_tris: int, max_cells: int = 4096,
 def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
                config: BuildConfig = BuildConfig(), dims=None,
                max_cells: int = 4096, flat: PackedScene | None = None,
-               scene: Scene | None = None, tri_mask=None) -> GridScene:
+               scene: Scene | None = None, tri_mask=None,
+               march: bool = False) -> GridScene:
     """Build the macro-grid structure from a triangle soup.
 
     flat/scene: reuse an existing ordinary build of the SAME soup (same
@@ -219,6 +225,14 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
     mask_pairs = (None if tri_mask is None
                   else np.asarray(tri_mask, np.int64)[pair_tri])
     cells_packed = pack_multiroot(merged, roots, tri_mask=mask_pairs)
+    cells_march = None
+    if march:
+        # One root per CELL (empty cells -1 -> childless rows): the march
+        # kernel adopts cells by index, entry id == cell id.
+        roots_cells = np.full(dx * dy * dz, -1, np.int64)
+        roots_cells[ucell] = roots
+        cells_march = pack_multiroot(merged, roots_cells,
+                                     tri_mask=mask_pairs)
 
     if flat is None:
         if scene is None:
@@ -253,15 +267,20 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
     # sorted->input pair row — composing only the first mapped records to
     # a scrambled triangle within the right cell: t was correct, the
     # reported triangle/vertex records were not.)
-    cells_sorted = np.asarray(cells_packed.tri_perm, np.int64)
     merged_perm = np.asarray(merged.perm, np.int64)
-    cells_pair = np.where(
-        cells_sorted >= 0,
-        merged_perm[np.clip(cells_sorted, 0, None)], -1)
-    cells_orig = np.where(cells_pair >= 0,
-                          pair_tri[np.clip(cells_pair, 0, None)], -1)
-    c2f = np.where(cells_orig >= 0,
-                   flat_of_orig[np.clip(cells_orig, 0, None)], -1)
+
+    def c2f_of(pack):
+        cells_sorted = np.asarray(pack.tri_perm, np.int64)
+        cells_pair = np.where(
+            cells_sorted >= 0,
+            merged_perm[np.clip(cells_sorted, 0, None)], -1)
+        cells_orig = np.where(cells_pair >= 0,
+                              pair_tri[np.clip(cells_pair, 0, None)], -1)
+        return np.where(cells_orig >= 0,
+                        flat_of_orig[np.clip(cells_orig, 0, None)], -1)
+
+    c2f = c2f_of(cells_packed)
+    march_c2f = None if cells_march is None else c2f_of(cells_march)
 
     # Combined rank/distance table: occupied cell -> rank (>= 0); empty
     # cell -> -d where d is the CHEBYSHEV distance to the nearest occupied
@@ -302,6 +321,9 @@ def build_grid(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
         cell_size=jnp.asarray(cs.astype(np.float32)),
         dims=dims,
         n_occ=n_occ,
+        cells_march=cells_march,
+        march_to_flat=(None if march_c2f is None
+                       else jnp.asarray(march_c2f.astype(np.int32))),
     )
 
 

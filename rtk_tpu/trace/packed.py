@@ -91,7 +91,10 @@ def _greedy_slots(left, right, area, root=0):
     `root` may be an ARRAY of binary roots (disjoint subtrees): one
     vectorised BFS packs the whole forest, root r landing at packed row r
     (multi-root numbering needs _pack_meta(root_rows=len(root))).  Leaf
-    codes (<= -2) are allowed as roots and become single-leaf rows.
+    codes (<= -2) are allowed as roots and become single-leaf rows; -1
+    roots become EMPTY rows (no children, inverted bounds) — the march
+    kernel adopts cells by index, so empty grid cells need a real row
+    that drains in one pop.
     """
     levels = []
     frontier = np.atleast_1d(np.asarray(root, np.int64))
@@ -101,9 +104,11 @@ def _greedy_slots(left, right, area, root=0):
         slots = np.full((f, W), -1, np.int64)
         if first:
             isleaf = frontier <= -2
+            isempty = frontier == -1
             fc = np.clip(frontier, 0, None)
-            slots[:, 0] = np.where(isleaf, frontier, left[fc])
-            slots[:, 1] = np.where(isleaf, -1, right[fc])
+            slots[:, 0] = np.where(isempty, -1,
+                                   np.where(isleaf, frontier, left[fc]))
+            slots[:, 1] = np.where(isleaf | isempty, -1, right[fc])
             first = False
         else:
             slots[:, 0] = left[frontier]
@@ -299,8 +304,10 @@ def pack_multiroot(scene: Scene, roots, tri_mask=None) -> PackedScene:
     roots, e.g. the macro-grid engine's per-cell trees).
 
     `roots`: (R,) binary node ids (or leaf codes <= -2 for single-leaf
-    subtrees) whose subtrees must be disjoint and jointly cover every
-    leaf exactly once.  The packed entry id of root r is simply r.
+    subtrees, or -1 for EMPTY rows) whose subtrees must be disjoint and
+    jointly cover every leaf exactly once.  The packed entry id of root
+    r is simply r — the march kernel relies on this to adopt grid cells
+    by cell index with no lookup table.
 
     tri_mask: optional (num_tris,) per-triangle filter bits in ORIGINAL
     soup order (24 bits), same semantics as pack_scene.
