@@ -92,21 +92,28 @@ def timeit(fn, iters=5, batches=3, warm=False):
     so the minimum batch average is the honest device-throughput number.
     warm=True skips the warm-up call (the caller already ran fn once).
 
-    CACHE HAZARD (r3): the axon terminal serves repeated IDENTICAL
-    dispatches from a result cache (~1 ms readings on 300 ms kernels —
-    tools/staged/sah300c_67m.py).  Every fn passed here MUST make each
-    call's input bytes unique; use vary_rays()/a cycling counter."""
+    MEASUREMENT HAZARDS (r3, PERF_NOTES): (a) repeated IDENTICAL
+    dispatches return ~1 ms (result cache) — every fn passed here MUST
+    make each call's input bytes unique (vary_rays()/a cycling counter);
+    (b) block_until_ready has been observed returning at ENQUEUE — sync
+    with a real 1-element readback instead."""
     import jax
 
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        try:
+            np.asarray(leaf.reshape(-1)[:1])
+        except Exception:
+            jax.block_until_ready(leaf)
+
     if not warm:
-        out = fn()
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        sync(fn())
     best = float("inf")
     for _ in range(batches):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -415,9 +422,11 @@ def config_atrium():
     # K=16 pack.  Coarse dims converge fastest (PERF_NOTES r2 profile).
     try:
         from rtk_tpu.trace.grid import (build_grid_from_scene,
-                                        calibrate_caps, trace_packets_grid)
+                                        calibrate_caps, trace_packets_grid,
+                                        trace_packets_march)
 
-        g = build_grid_from_scene(scene_a, packed=packed_a16, dims=(7, 3, 7))
+        g = build_grid_from_scene(scene_a, packed=packed_a16, dims=(7, 3, 7),
+                                  march=True)
         caps = calibrate_caps(g, bounce, rounds=8, skips=4)
         dt = timeit(lambda: trace_packets_grid(g, nxtb(), rounds=8,
                                                skips=4, caps=caps),
@@ -425,6 +434,15 @@ def config_atrium():
         rec["atrium_bounce_grid_mrays"] = round(cam.count / dt / 1e6, 2)
         log(f"atrium bounce via grid engine: "
             f"{rec['atrium_bounce_grid_mrays']:.2f} Mrays/s")
+        # Incoherent-ray engine v3: the fused in-kernel march (one
+        # dispatch, packets adopt cells as their subtrees drain).
+        for mpkt in (256, 512):
+            dt = timeit(lambda: trace_packets_march(g, nxtb(), pkt=mpkt),
+                        iters=2, batches=2)
+            key = f"atrium_bounce_march{mpkt}_mrays"
+            rec[key] = round(cam.count / dt / 1e6, 2)
+            log(f"atrium bounce via fused march (pkt={mpkt}): "
+                f"{rec[key]:.2f} Mrays/s")
     except Exception as e:
         log(f"grid-engine bounce entry failed: {type(e).__name__}: {e}")
     return rec
@@ -567,7 +585,7 @@ def config_instanced():
             hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                       max_candidates=CAND5)
             total += n_alive
-        jax.block_until_ready(hits.t)
+        np.asarray(hits.t[:1])  # real sync (enqueue-level block hazard)
         return total
 
     total5 = wavefront4()  # warm-up compiles all round shapes

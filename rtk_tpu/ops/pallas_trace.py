@@ -135,7 +135,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, kz_tables=False, pair_pops=False,
                  dual2=False, kz_sel=False, prefetch=False,
-                 filter_fn=None):
+                 filter_fn=None, march=None):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -160,6 +160,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys kept aligned with entries; the dual compaction drops them).
     prune = ordered and not dual and (narrow or islab)
+    # march: the fused macro-grid DDA (VERDICT r3 item 4 — re-binning
+    # INSIDE the kernel).  Packets adopt grid cells: when a packet's
+    # stack drains, its rays in the just-traversed cell retire or DDA-
+    # advance, and the packet pushes the next pending cell's root.  The
+    # scene must be packed with ONE ROOT PER CELL (pack_multiroot with
+    # -1 empties) so the root entry id IS the cell id — adoption stays
+    # pure vector math + one packed-bit extract, no lookup table.
+    # march = (dx, dy, dz, glo_x, glo_y, glo_z, cs_x, cs_y, cs_z).
+    assert march is None or not (dual or ordered or kz_tables or kz_sel
+                                 or pair_pops or prefetch or dual2
+                                 or not narrow), \
+        "march composes with the plain mixed-stack kernel only"
     dual2 = dual2 and dual
     halves = 2 if dual2 else 1
     # `lesion` (perf diagnosis only — WRONG RESULTS): a set of component
@@ -183,9 +195,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         if stats:
             out_steps, *rest = rest
         if hbm_tris:
-            stage_nodes, stage_tris, stack_ref, tri_sems = rest
+            stage_nodes, stage_tris, stack_ref, tri_sems, *rest = rest
         else:
-            stage_nodes, stage_tris, stack_ref = rest
+            stage_nodes, stage_tris, stack_ref, *rest = rest
+        if march is not None:
+            mi_ref, mt_ref, mc_ref = rest
 
         ray_idx = ridx_ref[:] if filter_fn is not None else None
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -268,17 +282,19 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             mint_lo = jnp.min(mint, axis=1, keepdims=True)
 
         pid = pl.program_id(0)
-        for p in range(P):  # only the root rows need init (garbage above
-            # each packet's sp is never read); per-packet roots support
-            # multi-root (instanced/merged-BLAS) tables.
-            root_row = jnp.full((1, 8), roots_ref[pid * P + p], jnp.int32)
-            if prune:
-                # Column 1 carries the entry distance; the root must never
-                # look stale.
-                root_row = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 1,
-                    NEG_BIG_BITS, root_row)
-            stack_ref[pl.ds(p * STACK_D, 1), :] = root_row
+        if march is None:
+            for p in range(P):  # only the root rows need init (garbage
+                # above each packet's sp is never read); per-packet roots
+                # support multi-root (instanced/merged-BLAS) tables.
+                root_row = jnp.full((1, 8), roots_ref[pid * P + p],
+                                    jnp.int32)
+                if prune:
+                    # Column 1 carries the entry distance; the root must
+                    # never look stale.
+                    root_row = jnp.where(
+                        jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 1,
+                        NEG_BIG_BITS, root_row)
+                stack_ref[pl.ds(p * STACK_D, 1), :] = root_row
 
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
         assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
@@ -348,6 +364,47 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         # chain.  Loop-invariant mask; applied to the slab cull t below.
         deadm = maxt <= mint
 
+        if march is not None:
+            MDX, MDY, MDZ = march[0], march[1], march[2]
+            m_glo = march[3:6]
+            m_cs = march[6:9]
+            m_dims = (MDX, MDY, MDZ)
+            rcps3 = (rcpx, rcpy, rcpz)
+            ocs3 = (ox, oy, oz)
+            dcs3 = (dx, dy, dz)
+            # DDA entry (same math as trace/grid.py _grid_impl init):
+            # grid-entry t, first cell, per-axis next-boundary ts.
+            m_near = jnp.full((P, PKT), -_BIG)
+            m_far = jnp.full((P, PKT), _BIG)
+            for a in range(3):
+                t0_ = (m_glo[a] - ocs3[a]) * rcps3[a]
+                t1_ = (m_glo[a] + m_cs[a] * m_dims[a] - ocs3[a]) * rcps3[a]
+                m_near = jnp.maximum(m_near, jnp.minimum(t0_, t1_))
+                m_far = jnp.minimum(m_far, jnp.maximum(t0_, t1_))
+            m_s0 = jnp.maximum(m_near, 0.0)
+            m_done0 = (m_near > m_far) | (m_far < 0.0) | deadm
+            m_ii = []
+            m_tm0 = []
+            for a in range(3):
+                pa = ocs3[a] + dcs3[a] * m_s0
+                ia = jnp.clip(
+                    jnp.floor((pa - m_glo[a]) / m_cs[a]).astype(jnp.int32),
+                    0, m_dims[a] - 1)
+                nb = m_glo[a] + (
+                    ia + (dcs3[a] >= 0).astype(jnp.int32)).astype(
+                        jnp.float32) * m_cs[a]
+                m_ii.append(ia)
+                m_tm0.append((nb - ocs3[a]) * rcps3[a])
+            mi_ref[:] = jnp.concatenate(
+                [jnp.where(m_done0, -1, m_ii[0]), m_ii[1], m_ii[2]], axis=0)
+            mt_ref[:] = jnp.concatenate(m_tm0, axis=0)
+            mc_ref[:] = jnp.zeros((P, PKT), jnp.int32)
+            # Per-ray step sign / crossing deltas are loop constants.
+            m_step = [jnp.where(dcs3[a] >= 0, 1, -1).astype(jnp.int32)
+                      for a in range(3)]
+            m_tdel = [m_cs[a] * jnp.abs(rcps3[a]) for a in range(3)]
+            M_BIGC = jnp.int32(0x3FFFFFFF)  # "no pending cell" sentinel
+
         def cond(carry):
             return carry[0] > 0
 
@@ -366,6 +423,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 # descriptors must match them exactly).  parity: which
                 # staging half those DMAs target.
                 _, sps_i, sps_l, lraws_c, t0s_c, parity = carry
+            elif march is not None:
+                _, sps_i, sps_l, fin_mask = carry
             else:
                 _, sps_i, sps_l = carry
             hit_t = out_t[:]
@@ -378,6 +437,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             cull_t = jnp.where(deadm, -_BIG, hit_t)
             if mode == "any":
                 cull_t = jnp.where(out_slot[:] >= 0, -_BIG, cull_t)
+            if march is not None:
+                # Rays whose own march hasn't reached the packet's adopted
+                # cell must not widen its traversal union: each ray's own
+                # cell chain covers every cell it needs (they still take
+                # free leaf hits from staged triangles).
+                cull_t = jnp.where(mc_ref[:] > 0, cull_t, -_BIG)
 
             ents = []
             new_spi = []
@@ -1139,18 +1204,132 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
             total, final_spi, final_spl = do_push(
                 f_all if mode == "any" else None)
-            return (total, tuple(final_spi), tuple(final_spl))
+            if march is None:
+                return (total, tuple(final_spi), tuple(final_spl))
+
+            # ---- march adoption: packets whose stack is empty retire /
+            # DDA-advance the rays of the cell they just drained and push
+            # the next pending cell's root.  Runs AFTER do_push so the
+            # root row at stack position 0 survives the push phase's
+            # unconditional filler store. ----
+            need_bits = jnp.int32(0)
+            for p in range(P):
+                needp = ((sps_i[p] == 0)
+                         & (((fin_mask >> p) & 1) == 0))
+                need_bits = need_bits | (needp.astype(jnp.int32) << p)
+
+            def adopt_vals():
+                mi = mi_ref[:]
+                mt = mt_ref[:]
+                mix = mi[0 * P:1 * P]
+                miy = mi[1 * P:2 * P]
+                miz = mi[2 * P:3 * P]
+                tmx = mt[0 * P:1 * P]
+                tmy = mt[1 * P:2 * P]
+                tmz = mt[2 * P:3 * P]
+                need_col = _bits_to_col_mask(need_bits, P)  # (P, 1)
+                marching = mix >= 0
+                act = marching & need_col
+                in_c = (mc_ref[:] > 0) & act
+                # retire: the just-drained cell's exit bounds any later
+                # cell's entry, so a hit at or before it is final.
+                exit_t = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
+                fin = in_c & (out_t[:] <= exit_t)
+                if mode == "any":
+                    fin = fin | (act & (out_slot[:] >= 0))
+                adv = in_c & ~fin
+                # one DDA step for the advancing rays
+                mx = (tmx <= tmy) & (tmx <= tmz)
+                my = ~mx & (tmy <= tmz)
+                mz = ~mx & ~my
+                ix2 = mix + jnp.where(mx, m_step[0], 0)
+                iy2 = miy + jnp.where(my, m_step[1], 0)
+                iz2 = miz + jnp.where(mz, m_step[2], 0)
+                outg = ((ix2 < 0) | (ix2 >= MDX) | (iy2 < 0) | (iy2 >= MDY)
+                        | (iz2 < 0) | (iz2 >= MDZ))
+                mix = jnp.where(adv, ix2, mix)
+                miy = jnp.where(adv, iy2, miy)
+                miz = jnp.where(adv, iz2, miz)
+                tmx = jnp.where(adv & mx, tmx + m_tdel[0], tmx)
+                tmy = jnp.where(adv & my, tmy + m_tdel[1], tmy)
+                tmz = jnp.where(adv & mz, tmz + m_tdel[2], tmz)
+                dead_now = fin | (adv & outg)
+                mix = jnp.where(dead_now, -1, mix)
+                marching = mix >= 0
+                cell = (mix * MDY + miy) * MDZ + miz
+                cellk = jnp.where(marching & need_col, cell, M_BIGC)
+                nxt = jnp.min(cellk, axis=1, keepdims=True)  # (P, 1)
+                alive = nxt < M_BIGC
+                alive_bits = jnp.sum(
+                    alive.astype(jnp.int32) << pcol).astype(jnp.int32)
+                new_in = (cell == nxt) & marching
+                in_out = jnp.where(need_col, new_in,
+                                   mc_ref[:] > 0).astype(jnp.int32)
+                return (mix, miy, miz, tmx, tmy, tmz, in_out, nxt,
+                        alive_bits)
+
+            def adopt_skip():
+                mi = mi_ref[:]
+                mt = mt_ref[:]
+                return (mi[0 * P:1 * P], mi[1 * P:2 * P], mi[2 * P:3 * P],
+                        mt[0 * P:1 * P], mt[1 * P:2 * P], mt[2 * P:3 * P],
+                        mc_ref[:], jnp.full((P, 1), M_BIGC, jnp.int32),
+                        jnp.int32(0))
+
+            (mixn, miyn, mizn, tmxn, tmyn, tmzn, mcn, nxt,
+             alive_bits) = jax.lax.cond(need_bits != 0,
+                                        adopt_vals, adopt_skip)
+
+            @pl.when(need_bits != 0)
+            def _apply_adoption():
+                mi_ref[:] = jnp.concatenate([mixn, miyn, mizn], axis=0)
+                mt_ref[:] = jnp.concatenate([tmxn, tmyn, tmzn], axis=0)
+                mc_ref[:] = mcn
+                for p in range(P):
+                    @pl.when((((need_bits & alive_bits) >> p) & 1) == 1)
+                    def _push_root(p=p):
+                        # The root ENTRY of cell c is c (pack_multiroot
+                        # identity with one root per cell).
+                        stack_ref[pl.ds(p * STACK_D, 1), :] = (
+                            jnp.broadcast_to(nxt[p:p + 1, :], (1, 8)))
+
+            live = need_bits & alive_bits
+            fin_mask = (fin_mask | (need_bits & ~alive_bits)).astype(
+                jnp.int32)
+            fspi = []
+            total = jnp.int32(0)
+            for p in range(P):
+                si = jnp.where(((live >> p) & 1) == 1, jnp.int32(1),
+                               final_spi[p]).astype(jnp.int32)
+                fspi.append(si)
+                # a not-finished packet with an empty stack adopts next
+                # step — keep the loop alive for it.
+                pend = (jnp.where(si == 0, 1, 0)
+                        * (1 - ((fin_mask >> p) & 1))).astype(jnp.int32)
+                total = (total + si + final_spl[p] + pend).astype(jnp.int32)
+            return (total, tuple(fspi), tuple(final_spl), fin_mask)
 
         # Hit state initialises in the output refs (miss: t = max_t).
         out_t[:] = maxt
         out_u[:] = jnp.zeros((P, PKT), jnp.float32)
         out_v[:] = jnp.zeros((P, PKT), jnp.float32)
         out_slot[:] = jnp.full((P, PKT), -1, jnp.int32)
-        init = (
+        if march is not None:
+            # Stacks start EMPTY: the first step's adoption pushes each
+            # packet's entry cell.  fin_mask bit p: packet p has no
+            # marching rays left (set once its adoption finds none).
+            init = (
+                jnp.int32(1),
+                tuple(jnp.int32(0) for _ in range(P)),
+                tuple(jnp.int32(0) for _ in range(P)),
+                jnp.int32(0),
+            )
+        else:
+          init = (
             jnp.int32(P),
             tuple(jnp.int32(1) for _ in range(P)),  # int stacks hold the root
             tuple(jnp.int32(0) for _ in range(P)),  # leaf queues empty
-        )
+          )
         if prefetch:
             # Prologue: the first step's waits need matching starts.  The
             # leaf queues are empty, so fetch row 0 into half 0 — the pop
@@ -1188,14 +1367,15 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "kz_tables", "pair_pops", "dual2",
-                     "kz_sel", "prefetch", "filter_fn"),
+                     "kz_sel", "prefetch", "filter_fn", "march"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
-                dual2=False, kz_sel=False, prefetch=False, filter_fn=None):
+                dual2=False, kz_sel=False, prefetch=False, filter_fn=None,
+                march=None):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -1219,7 +1399,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           ordered=ordered, islab=islab, lesion=lesion,
                           use_mask=use_mask, kz_tables=kz_tables,
                           pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
-                          prefetch=prefetch, filter_fn=filter_fn)
+                          prefetch=prefetch, filter_fn=filter_fn,
+                          march=march)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1237,7 +1418,11 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
              else pltpu.VMEM((halves * P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
         ] + ([pltpu.SemaphoreType.DMA((bufs * halves * P,))]
-             if hbm_tris else []),
+             if hbm_tris else [])
+          + ([pltpu.VMEM((3 * P, PKT), jnp.int32),   # march cell ix/iy/iz
+              pltpu.VMEM((3 * P, PKT), jnp.float32),  # march tmx/tmy/tmz
+              pltpu.VMEM((P, PKT), jnp.int32)]        # march in-cell mask
+             if march is not None else []),
     )
     out = pl.pallas_call(
         kernel,
@@ -1270,7 +1455,7 @@ def _trace_impl_jit(tpu: bool):
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
                          "stats", "pair_pops", "dual2", "kz_sel",
-                         "prefetch", "filter_fn"),
+                         "prefetch", "filter_fn", "march"),
         compiler_options=opts)
 
 
@@ -1289,7 +1474,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
                    pair_pops=False, dual2=False, kz_sel=False,
-                   prefetch=False, filter_fn=None):
+                   prefetch=False, filter_fn=None, march=None):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1402,6 +1587,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
         kz_sel=kz_sel, prefetch=prefetch, filter_fn=filter_fn,
+        march=march,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1459,7 +1645,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   dual2: bool = False,
                   kz_sel: bool | None = None,
                   prefetch: bool | None = None,
-                  filter_fn=None) -> PacketHits:
+                  filter_fn=None,
+                  march: tuple | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
@@ -1580,6 +1767,16 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             raise ValueError(
                 "packet-kernel filter callables need triangle ids exact "
                 "in f32 (< 2^24 triangles); use the stack engine")
+    if march is not None:
+        # Fused macro-grid march (trace/grid.py build_grid(march=True)):
+        # march = (dx, dy, dz, glo_x, glo_y, glo_z, cs_x, cs_y, cs_z),
+        # all python scalars (static — one kernel per grid geometry).
+        # The packed table must have one root per cell (entry id == cell).
+        if dual or ordered or dual2 or packed.kz_tables:
+            raise ValueError("march composes with the plain mixed-stack "
+                             "kernel only (no dual/ordered/kz)")
+        march = (int(march[0]), int(march[1]), int(march[2]),
+                 *(float(v) for v in march[3:9]))
     return _trace_impl(
         packed, jnp.asarray(rays.origin), jnp.asarray(rays.direction),
         jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots, qmask,
@@ -1588,7 +1785,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
         pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
-        prefetch=prefetch, filter_fn=filter_fn)
+        prefetch=prefetch, filter_fn=filter_fn, march=march)
 
 
 def trace_packets_chunked(packed: PackedScene, rays: Rays,

@@ -834,3 +834,128 @@ def trace_packets_grid(
     if debug_counts:
         return hits, dbg
     return hits
+
+
+# ---------------------------------------------------------------------------
+# Fused march: the WHOLE DDA loop inside ONE packet-kernel dispatch
+# (VERDICT r3 item 4 — "fuse the re-binning INTO the kernel").
+# ---------------------------------------------------------------------------
+
+def _march_impl(grid_arrays, o, d, mint, maxt, *, march, mode, watertight,
+                interpret, n, pkt, filter_mask):
+    """One fused program: entry-cell grouping sort -> ONE march-kernel
+    dispatch (packets adopt cells in-kernel as their subtrees drain) ->
+    unsort -> record unification onto the flat tables.
+
+    Replaces the rounds engine's per-round host-visible machinery (one
+    grouping sort + one dispatch + one scatter PER ROUND, whose fixed
+    cost cancelled the 3.3x row saving — PERF_NOTES r2 grid verdict).
+    """
+    from rtk_tpu.ops.pallas_trace import trace_packets
+
+    cells_march, flat, m2f = grid_arrays
+    dx_, dy_, dz_ = march[0], march[1], march[2]
+    glo = march[3:6]
+    cs = march[6:9]
+    M = o.shape[0]
+
+    # Entry cell per ray (same init math as the kernel's) — the one-time
+    # grouping key; rays missing the grid sort to the back.
+    ox, oy, ozz = o[:, 0], o[:, 1], o[:, 2]
+    rcp = [_crcp(d[:, a]) for a in range(3)]
+    near = jnp.full((M,), -_BIG)
+    far = jnp.full((M,), _BIG)
+    for a, oc in enumerate((ox, oy, ozz)):
+        t0 = (glo[a] - oc) * rcp[a]
+        t1 = (glo[a] + cs[a] * march[a] - oc) * rcp[a]
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    s0 = jnp.maximum(near, 0.0)
+    miss = (near > far) | (far < 0.0) | (maxt <= mint)
+    cell = jnp.zeros((M,), jnp.int32)
+    for a, (oc, dims_a) in enumerate(zip((ox, oy, ozz), (dx_, dy_, dz_))):
+        pa = oc + d[:, a] * s0
+        ia = jnp.clip(jnp.floor((pa - glo[a]) / cs[a]).astype(jnp.int32),
+                      0, dims_a - 1)
+        cell = cell * dims_a + ia
+    key = jnp.where(miss, jnp.uint32(0xFFFFFFFF), cell.astype(jnp.uint32))
+    idx = jnp.arange(M, dtype=jnp.uint32)
+    (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint_s, maxt_s) = jax.lax.sort(
+        (key, idx, ox, oy, ozz, d[:, 0], d[:, 1], d[:, 2], mint, maxt),
+        num_keys=1)
+    rs = Rays(origin=jnp.stack([ox, oy, ozz], axis=1),
+              direction=jnp.stack([dxx, dyy, dzz], axis=1),
+              min_t=mint_s, max_t=maxt_s)
+    h = trace_packets(cells_march, rs, mode=mode, watertight=watertight,
+                      interpret=interpret, pkt=pkt, sort_rays=False,
+                      march=march, filter_mask=filter_mask)
+    slot = jnp.where(h.slot >= 0, jnp.take(m2f, jnp.maximum(h.slot, 0)),
+                     -1)
+    _, t, u, v, slot = jax.lax.sort((idx, h.t, h.u, h.v, slot), num_keys=1)
+    return t[:n], u[:n], v[:n], slot[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _march_jit(tpu: bool, march, mode, watertight, interpret, n, pkt,
+               filter_mask):
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
+    return jax.jit(
+        functools.partial(_march_impl, march=march, mode=mode,
+                          watertight=watertight, interpret=interpret,
+                          n=n, pkt=pkt, filter_mask=filter_mask),
+        compiler_options=opts)
+
+
+def trace_packets_march(
+    grid: GridScene,
+    rays: Rays,
+    mode: str = "closest",
+    watertight: bool = True,
+    interpret: bool = False,
+    pkt: int = 512,
+    filter_mask: int | None = None,
+) -> PacketHits:
+    """Trace an incoherent ray batch with the fused in-kernel grid march.
+
+    Needs build_grid(march=True) (a per-cell-root forest pack).  Same
+    hit-record contract as trace_packets; exact by construction — every
+    ray traverses its own full cell chain until its best hit precedes
+    the current cell's exit, with no round/capacity budget to overflow
+    (the rounds engine's abort-to-residual machinery disappears).
+    """
+    if grid.cells_march is None:
+        raise ValueError("trace_packets_march needs build_grid(march=True)")
+    n = rays.count
+    glo = np.asarray(grid.grid_lo, np.float64)
+    cs = np.asarray(grid.cell_size, np.float64)
+    march = (int(grid.dims[0]), int(grid.dims[1]), int(grid.dims[2]),
+             float(glo[0]), float(glo[1]), float(glo[2]),
+             float(cs[0]), float(cs[1]), float(cs[2]))
+    blk = 8 * pkt
+    M = (n + blk - 1) // blk * blk
+
+    def padded(a, fill):
+        a = jnp.asarray(a)
+        pad = [(0, M - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    fn = _march_jit(jax.default_backend() == "tpu", march, mode,
+                    watertight, interpret, n, pkt,
+                    None if filter_mask is None else int(filter_mask))
+    t, u, v, slot = fn(
+        (grid.cells_march, grid.flat, grid.march_to_flat),
+        padded(rays.origin, 0.0), padded(rays.direction, 1.0),
+        padded(rays.min_t, 0.0), padded(rays.max_t, 0.0))
+    return PacketHits(
+        hit=slot >= 0,
+        t=t,
+        u=u,
+        v=v,
+        slot=slot,
+        origin=jnp.asarray(rays.origin),
+        direction=jnp.asarray(rays.direction),
+        tri_v=grid.flat.tri_v,
+        tri_vidx=grid.flat.tri_vidx,
+        tri_mesh=grid.flat.tri_mesh,
+        tri_prim=grid.flat.tri_prim,
+    )

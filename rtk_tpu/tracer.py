@@ -61,7 +61,7 @@ class Tracer:
         the built-in filter family; arbitrary filter_fn callables still
         route to the XLA stack engine (rtk.h:117,130)."""
         if engine not in ("auto", "packet", "stack", "stackless",
-                          "binned", "grid"):
+                          "binned", "grid", "march"):
             raise ValueError(f"unknown engine {engine!r}")
         self.scene = scene
         self.config = config
@@ -122,10 +122,26 @@ class Tracer:
                                  dual=dual, filter_mask=filter_mask,
                                  filter_fn=filter_fn,
                                  interpret=jax.default_backend() != "tpu")
-        if filter_mask is not None and self.engine not in ("binned", "grid"):
+        if filter_mask is not None and self.engine not in ("binned", "grid",
+                                                           "march"):
             raise ValueError(
                 "filter_mask runs on the packet-kernel engines only "
-                "(packet/binned/grid); use filter_fn on the stack engine")
+                "(packet/binned/grid/march); use filter_fn on the stack "
+                "engine")
+        if self.engine == "march" and filter_fn is None:
+            from rtk_tpu.trace.grid import (build_grid_from_scene,
+                                            trace_packets_march)
+
+            if self._grid is None or self._grid.cells_march is None:
+                self._grid = build_grid_from_scene(self.scene,
+                                                   packed=self.packed,
+                                                   tri_mask=self.tri_mask,
+                                                   march=True)
+            return trace_packets_march(
+                self._grid, rays, mode=mode,
+                watertight=self.config.watertight,
+                filter_mask=filter_mask,
+                interpret=jax.default_backend() != "tpu")
         if self.engine == "binned" and filter_fn is None:
             from rtk_tpu.trace.binned import trace_packets_binned
 

@@ -244,7 +244,7 @@ def test_grid_engine_via_tracer():
     _assert_parity(got, ref)
 
 
-@pytest.mark.parametrize("engine", ["packet", "binned", "grid"])
+@pytest.mark.parametrize("engine", ["packet", "binned", "grid", "march"])
 def test_filter_mask_culls_across_engines(engine):
     """tri_mask culling must hold through EVERY packet-kernel engine —
     the re-binning rounds AND their exact residuals (VERDICT r2 item 8:
@@ -281,3 +281,71 @@ def test_filter_mask_culls_across_engines(engine):
         gsh = np.asarray(gs.hit)
         assert gsh.any()
         assert (np.asarray(gs.triangle_index)[gsh] % 2 == 1).all()
+
+
+@pytest.mark.smoke
+def test_march_fused_parity():
+    """Fused in-kernel march (trace_packets_march): bit parity with the
+    flat packet engine on incoherent AND coherent batches, any-mode, and
+    t-windows — with NO round/capacity budget (exact by construction)."""
+    from rtk_tpu.trace.grid import build_grid, trace_packets_march
+
+    tris = scenes.blob(subdivisions=3)[0]
+    g = build_grid(tris, config=CFG, dims=(3, 2, 3), march=True)
+
+    rng = np.random.default_rng(7)
+    n = 512
+    rays = Rays.make(rng.normal(size=(n, 3)).astype(np.float32) * 0.6,
+                     rng.normal(size=(n, 3)).astype(np.float32))
+    got = trace_packets_march(g, rays, interpret=True, pkt=128)
+    ref = trace_packets(g.flat, rays, interpret=True)
+    _assert_parity(got, ref)
+
+    cam = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 32, 32)
+    got_c = trace_packets_march(g, cam, interpret=True, pkt=128)
+    ref_c = trace_packets(g.flat, cam, interpret=True)
+    _assert_parity(got_c, ref_c)
+    assert np.asarray(got_c.hit).any() and not np.asarray(got_c.hit).all()
+
+    ga = trace_packets_march(g, rays, mode="any", interpret=True, pkt=128)
+    ra = trace_packets(g.flat, rays, mode="any", interpret=True)
+    np.testing.assert_array_equal(np.asarray(ga.hit), np.asarray(ra.hit))
+
+    rays_w = Rays.make(rng.normal(size=(n, 3)).astype(np.float32) * 0.6,
+                       rng.normal(size=(n, 3)).astype(np.float32),
+                       min_t=0.3, max_t=0.9)
+    gw = trace_packets_march(g, rays_w, interpret=True, pkt=128)
+    rw = trace_packets(g.flat, rays_w, interpret=True)
+    _assert_parity(gw, rw)
+    tt = np.asarray(gw.t)[np.asarray(gw.hit)]
+    assert ((tt > 0.3) & (tt < 0.9)).all()
+
+
+def test_march_filter_mask_culls():
+    from rtk_tpu.trace.grid import build_grid, trace_packets_march
+
+    tris = scenes.blob(subdivisions=3)[0]
+    t = tris.shape[0]
+    tm = np.where(np.arange(t) % 2 == 1, 1, 2).astype(np.uint32)
+    g = build_grid(tris, config=CFG, dims=(3, 2, 3), march=True,
+                   tri_mask=tm)
+    rng = np.random.default_rng(3)
+    rays = Rays.make(rng.normal(size=(384, 3)).astype(np.float32) * 0.6,
+                     rng.normal(size=(384, 3)).astype(np.float32))
+    got = trace_packets_march(g, rays, interpret=True, pkt=128,
+                              filter_mask=1)
+    gh = np.asarray(got.hit)
+    assert gh.any()
+    assert (np.asarray(got.triangle_index)[gh] % 2 == 1).all()
+    ref = trace_packets(g.flat, rays, interpret=True, filter_mask=1)
+    _assert_parity(got, ref)
+
+
+def test_march_requires_march_pack():
+    from rtk_tpu.trace.grid import build_grid, trace_packets_march
+
+    tris = scenes.blob(subdivisions=3)[0]
+    g = build_grid(tris, config=CFG, dims=(3, 2, 3))
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 8, 8)
+    with np.testing.assert_raises(ValueError):
+        trace_packets_march(g, rays, interpret=True)
