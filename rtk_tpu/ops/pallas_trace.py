@@ -1263,8 +1263,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 alive_bits = jnp.sum(
                     alive.astype(jnp.int32) << pcol).astype(jnp.int32)
                 new_in = (cell == nxt) & marching
-                in_out = jnp.where(need_col, new_in,
-                                   mc_ref[:] > 0).astype(jnp.int32)
+                # Select in i32: Mosaic cannot lower a bool-valued select
+                # at (P, PKT) (i8->i1 trunci); mc_ref holds 0/1 i32.
+                in_out = jnp.where(need_col, new_in.astype(jnp.int32),
+                                   mc_ref[:])
                 return (mix, miy, miz, tmx, tmy, tmz, in_out, nxt,
                         alive_bits)
 

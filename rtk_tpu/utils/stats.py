@@ -149,16 +149,29 @@ class TraceStats:
 
 def measure_trace(tracer, rays, iters: int = 5, mode: str = "closest",
                   with_steps: bool = False) -> TraceStats:
-    """Time a trace through a Tracer; optionally collect kernel step counts."""
+    """Time a trace through a Tracer; optionally collect kernel step counts.
+
+    Measurement hazards (PERF_NOTES r3): repeated IDENTICAL dispatches
+    can be served from the remote runtime's result cache, and
+    block_until_ready has been observed returning at enqueue — so each
+    timed call perturbs min_t by a dead epsilon and the loop syncs with
+    a real 1-element readback."""
     import jax
+    import jax.numpy as jnp
+
+    from rtk_tpu.types import Rays
 
     run = tracer.closest if mode == "closest" else tracer.any
+    base = jnp.asarray(rays.min_t)
+    varied = [Rays(origin=rays.origin, direction=rays.direction,
+                   min_t=base + jnp.float32(1e-7) * (i + 1),
+                   max_t=rays.max_t) for i in range(iters)]
     hits = run(rays)
-    jax.block_until_ready(hits.t)
+    np.asarray(hits.t[:1])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        hits = run(rays)
-    jax.block_until_ready(hits.t)
+    for i in range(iters):
+        hits = run(varied[i])
+    np.asarray(hits.t[:1])
     dt = (time.perf_counter() - t0) / iters
 
     steps = None

@@ -42,20 +42,35 @@ log(f"export: {len(blob)} bytes in {time.perf_counter()-t0:.1f}s")
 t0 = time.perf_counter()
 lt = load_packet_trace(blob)
 h = lt(packed, rays)
-jax.block_until_ready(h.t)
+np.asarray(h.t[:1])  # real sync (enqueue-level block hazard)
 log(f"load+first-call: {time.perf_counter()-t0:.1f}s")
 
 ref = trace_packets(packed, rays, sort_rays=False, dual=True)
-jax.block_until_ready(ref.t)
 ok_t = bool(np.array_equal(np.asarray(h.t), np.asarray(ref.t)))
 ok_hit = bool(np.array_equal(np.asarray(h.hit), np.asarray(ref.hit)))
 log(f"parity vs direct: t={ok_t} hit={ok_hit}")
 
+# Unique input bytes per timed call + readback sync (PERF_NOTES r3
+# measurement hazards).
+from rtk_tpu.types import Rays
+
+varied = [Rays(origin=rays.origin, direction=rays.direction,
+               min_t=jnp.full((rays.count,), 1e-7 * (i + 1), jnp.float32),
+               max_t=rays.max_t) for i in range(5)]
 t0 = time.perf_counter()
-for _ in range(5):
-    h = lt(packed, rays)
-jax.block_until_ready(h.t)
+for i in range(5):
+    h = lt(packed, varied[i])
+np.asarray(h.t[:1])
 dt = (time.perf_counter() - t0) / 5
 log(f"steady-state artifact call: {dt*1e3:.1f} ms "
     f"({rays.count/dt/1e6:.1f} Mrays/s)")
+
+# Cold-jit comparison in the SAME process class: time a fresh jit of the
+# direct call (compile included) for the "zero-warmup serving" claim.
+t0 = time.perf_counter()
+h2 = trace_packets(packed, varied[0], sort_rays=False, dual=True,
+                   pkt=512)  # distinct pkt -> genuinely cold kernel build
+np.asarray(h2.t[:1])
+log(f"cold jit+compile of a NEW kernel variant: "
+    f"{time.perf_counter()-t0:.1f}s (vs artifact load+first-call above)")
 log("DONE aot-tpu")

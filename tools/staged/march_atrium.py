@@ -15,6 +15,14 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
+import jax as _jax_cfg
+
+try:  # persistent compile cache: re-runs skip the 30-90 s tunnel compiles
+    _jax_cfg.config.update("jax_compilation_cache_dir", "/tmp/rtk_jax_cache")
+    _jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from rtk_tpu.config import BuildConfig
 from rtk_tpu.models.path import cosine_sample, geometric_normal
 from rtk_tpu.ops.pallas_trace import trace_packets
