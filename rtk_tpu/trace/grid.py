@@ -878,7 +878,15 @@ def _march_impl(grid_arrays, o, d, mint, maxt, *, march, mode, watertight,
         ia = jnp.clip(jnp.floor((pa - glo[a]) / cs[a]).astype(jnp.int32),
                       0, dims_a - 1)
         cell = cell * dims_a + ia
-    key = jnp.where(miss, jnp.uint32(0xFFFFFFFF), cell.astype(jnp.uint32))
+    # Group by (entry cell, direction octant): packet members then march
+    # SIMILAR cell chains, which bounds each packet's distinct-cell count
+    # (the fused march visits every pending cell of its rays one at a
+    # time — chain coherence is what keeps that set small).
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32) * 4
+              + (d[:, 1] >= 0).astype(jnp.uint32) * 2
+              + (d[:, 2] >= 0).astype(jnp.uint32))
+    key = jnp.where(miss, jnp.uint32(0xFFFFFFFF),
+                    (cell.astype(jnp.uint32) << jnp.uint32(3)) | octant)
     idx = jnp.arange(M, dtype=jnp.uint32)
     (key, idx, ox, oy, ozz, dxx, dyy, dzz, mint_s, maxt_s) = jax.lax.sort(
         (key, idx, ox, oy, ozz, d[:, 0], d[:, 1], d[:, 2], mint, maxt),

@@ -65,6 +65,10 @@ variants = [
     ("noupdv", dict(dual=True, lesion="noupdv")),
     ("noslab", dict(dual=True, lesion="noslab")),
     ("nondual-prune", dict(dual=False)),
+    # P=16: half the blocks at the same pkt — wins iff the step cost is
+    # not fully serialized on the per-packet scalar chain (r1 measured
+    # P=16 dead at pkt=128; untested at 2048).
+    ("p16", dict(dual=True, p_pk=16)),
 ]
 for name, kw in variants:
     try:
