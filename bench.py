@@ -605,11 +605,11 @@ def config_instanced():
 CONFIGS = {
     # name: (fn, subprocess timeout seconds)
     "build": (config_build, 420),
-    "cornell": (config_cornell, 420),
+    "cornell": (config_cornell, 600),
     "bunny": (config_bunny, 900),
-    "atrium": (config_atrium, 900),
+    "atrium": (config_atrium, 1200),
     "refit": (config_refit, 600),
-    "instanced": (config_instanced, 900),
+    "instanced": (config_instanced, 1200),
 }
 
 
@@ -666,6 +666,11 @@ def main():
     results = {}
     for name, (_, timeout) in CONFIGS.items():
         rec = _run_config(name, timeout)
+        if rec is None:
+            # Tunnel compile hangs are transient (observed 18-min stalls
+            # that later complete); one retry rides the compile cache.
+            log(f"config [{name}]: retrying once")
+            rec = _run_config(name, timeout)
         if rec:
             results.update(rec)
 
