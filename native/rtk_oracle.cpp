@@ -80,6 +80,21 @@ constexpr int kLeafMax = 4;
 static int g_leaf_max = kLeafMax;  // rtko_build2 override
 constexpr int kBins = 16;
 
+// Step-quantized SAH (rtko_build3): the TPU packet kernel tests leaves
+// in fixed K-row tiles (trace/packed.py pads every leaf to leaf_size
+// rows), so a visited leaf costs ceil(count/K) STEPS regardless of how
+// full it is.  Weighting the greedy SAH by leaf steps instead of
+// triangle count drives children toward full-K leaves: fewer leaves,
+// fewer leaf pops, shallower trees.  0 = classic count-weighted cost.
+static int g_step_quant = 0;
+constexpr int kExactSweep = 256;  // full object sweep below this count
+
+static inline float wq(int n) {
+  return g_step_quant > 0
+             ? (float)((n + g_step_quant - 1) / g_step_quant)
+             : (float)n;
+}
+
 static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
                           int32_t first, int32_t count, int depth) {
   Node node;
@@ -93,6 +108,46 @@ static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
 
   bool make_leaf = count <= g_leaf_max || depth >= 64;
   int32_t mid = first;
+  if (!make_leaf && g_step_quant > 0 && count <= kExactSweep) {
+    // Exact object-split sweep (all 3 axes, every split index) with
+    // step-quantized weights: near the leaves the split INDEX is what
+    // aligns children to full-K multiples, and bin boundaries are too
+    // coarse to find it.
+    float best = kInf;
+    int best_ax = 0;
+    int32_t best_i = count / 2;
+    std::vector<float> rarea((size_t)count);
+    for (int ax3 = 0; ax3 < 3; ++ax3) {
+      std::sort(items.begin() + first, items.begin() + first + count,
+                [ax3](const BuildItem& a, const BuildItem& b) {
+                  return axis(a.centroid, ax3) < axis(b.centroid, ax3);
+                });
+      Box acc;
+      for (int32_t i = count - 1; i >= 1; --i) {
+        acc.grow(items[first + i].box);
+        rarea[i] = acc.area();
+      }
+      acc = Box();
+      for (int32_t i = 1; i < count; ++i) {
+        acc.grow(items[first + i - 1].box);
+        float c = acc.area() * wq(i) + rarea[i] * wq(count - i);
+        if (c < best) { best = c; best_ax = ax3; best_i = i; }
+      }
+    }
+    if (best_ax != 2) {  // items are left sorted on axis 2 from the loop
+      std::sort(items.begin() + first, items.begin() + first + count,
+                [best_ax](const BuildItem& a, const BuildItem& b) {
+                  return axis(a.centroid, best_ax)
+                         < axis(b.centroid, best_ax);
+                });
+    }
+    mid = first + best_i;
+    int32_t l = build_node(s, items, first, mid - first, depth + 1);
+    int32_t r = build_node(s, items, mid, first + count - mid, depth + 1);
+    s.nodes[me].left = l;
+    s.nodes[me].right = r;
+    return me;
+  }
   if (!make_leaf) {
     // Binned SAH over the widest centroid axis.
     Vec3 ext{cb.hi.x - cb.lo.x, cb.hi.y - cb.lo.y, cb.hi.z - cb.lo.z};
@@ -125,7 +180,7 @@ static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
       for (int b = kBins - 1; b >= 1; --b) {
         acc.grow(bin_box[b]);
         acc_n += bin_n[b];
-        right_area[b] = acc_n ? acc.area() * acc_n : 0.f;
+        right_area[b] = acc_n ? acc.area() * wq(acc_n) : 0.f;
       }
       float best = kInf;
       int best_bin = -1;
@@ -135,7 +190,7 @@ static int32_t build_node(Scene& s, std::vector<BuildItem>& items,
         acc.grow(bin_box[b]);
         acc_n += bin_n[b];
         if (acc_n == 0 || acc_n == count) continue;
-        float cost = acc.area() * acc_n + right_area[b + 1];
+        float cost = acc.area() * wq(acc_n) + right_area[b + 1];
         if (cost < best) { best = cost; best_bin = b; }
       }
       float leaf_cost = node.box.area() * count;
@@ -344,6 +399,19 @@ void* rtko_build2(const float* tris, int64_t n, int leaf_max) {
   g_leaf_max = leaf_max < 1 ? 1 : leaf_max;
   void* s = rtko_build(tris, n);
   g_leaf_max = kLeafMax;
+  return s;
+}
+
+// Step-quantized SAH build: greedy cost counts ceil(count/quant) leaf
+// steps per side (the packet kernel's real unit — every leaf pop tests
+// exactly leaf_size padded rows), with an exact aligned object-split
+// sweep below kExactSweep items.  quant <= 0 behaves like rtko_build2.
+void* rtko_build3(const float* tris, int64_t n, int leaf_max, int quant) {
+  g_leaf_max = leaf_max < 1 ? 1 : leaf_max;
+  g_step_quant = quant > 0 ? quant : 0;
+  void* s = rtko_build(tris, n);
+  g_leaf_max = kLeafMax;
+  g_step_quant = 0;
   return s;
 }
 

@@ -21,7 +21,7 @@ from rtk_tpu.trace.packed import PackedScene, pack_binary_tree
 
 
 def build_sah_packed(meshes, config: BuildConfig = BuildConfig(),
-                     tri_mask=None) -> PackedScene:
+                     tri_mask=None, step_quant: bool = False) -> PackedScene:
     """Build a PackedScene with host-native binned-SAH topology.
 
     Accepts the same mesh inputs as build_scene (MeshDesc, (positions,
@@ -29,13 +29,20 @@ def build_sah_packed(meshes, config: BuildConfig = BuildConfig(),
     tables directly (no intermediate Scene: SAH topology has no Karras
     leaf-range structure to refit over — use the LBVH path for
     deforming scenes).
+
+    step_quant: weight the SAH by leaf STEPS
+    (ceil(count/leaf_size)) — the packet kernel tests leaves in fixed
+    K-row tiles, so this is its real cost unit; leaf occupancy rises
+    from ~0.72 to ~0.97 with ~26% fewer leaves and nodes.  Topology
+    only; hit results are identical semantics either way.
     """
     from rtk_tpu.mesh import TriangleSoup, build_soup
     from rtk_tpu.utils.native_sah import NativeOracle
 
     soup = meshes if isinstance(meshes, TriangleSoup) else build_soup(meshes)
     tri_pos = np.asarray(soup.tri_pos, np.float32)
-    orc = NativeOracle(tri_pos.reshape(-1, 9), leaf_max=config.leaf_size)
+    orc = NativeOracle(tri_pos.reshape(-1, 9), leaf_max=config.leaf_size,
+                       step_quant=step_quant)
     return pack_binary_tree(
         tri_pos, *orc.export_tree(), leaf_size=config.leaf_size,
         tri_vidx=soup.tri_vidx, tri_mesh=soup.tri_mesh,

@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -135,7 +136,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, kz_tables=False, pair_pops=False,
                  dual2=False, kz_sel=False, prefetch=False,
-                 filter_fn=None, march=None):
+                 filter_fn=None, march=None, kz_static=None):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -172,6 +173,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                  or pair_pops or prefetch or dual2
                                  or not narrow), \
         "march composes with the plain mixed-stack kernel only"
+    # kz_static: BATCH-uniform shear axis, fixed at compile time.  The
+    # caller proved every ray's dominant |d| axis is kz_static (true by
+    # construction for any camera whose view cone stays within 45 deg of
+    # a coordinate axis) and pre-rotated the ONE triangle table to match
+    # — the leaf phase then reads vertex coords directly, dropping all 18
+    # per-triangle axis-select ops with none of the costs that killed the
+    # dynamic variants (kz_tables: 3x table -> HBM DMA chatter; kz_sel:
+    # (P,1) column-select relayouts; kz_blocks: 3x code -> spills).
+    assert kz_static is None or (narrow and not kz_tables and not kz_sel
+                                 and march is None), \
+        "kz_static needs the narrow tri_test path without kz variants"
     dual2 = dual2 and dual
     halves = 2 if dual2 else 1
     # `lesion` (perf diagnosis only — WRONG RESULTS): a set of component
@@ -219,18 +231,34 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         rcpx, rcpy, rcpz = crcp(dx), crcp(dy), crcp(dz)
 
         # Shear basis (rtk.c:550-567).
-        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-        maxc = jnp.maximum(adx, jnp.maximum(ady, adz))
-        kz = jnp.where(adx == maxc, 0, jnp.where(ady == maxc, 1, 2))
-        kx = jnp.where(kz == 2, 0, kz + 1)
-        ky = jnp.where(kx == 2, 0, kx + 1)
-        d_kz = _axis_sel(kz, dx, dy, dz)
-        sx = -_axis_sel(kx, dx, dy, dz) / d_kz
-        sy = -_axis_sel(ky, dx, dy, dz) / d_kz
-        sz = 1.0 / d_kz
-        o_kx = _axis_sel(kx, ox, oy, oz)
-        o_ky = _axis_sel(ky, ox, oy, oz)
-        o_kz = _axis_sel(kz, ox, oy, oz)
+        if kz_static is not None:
+            # Batch-uniform shear axis: pure static indexing, no selects.
+            # (Any axis with d_kz != 0 is mathematically valid — dominance
+            # is a numerical-precision choice, which the caller's
+            # uniformity proof preserves.)
+            kzc_ = int(kz_static)
+            kxc_ = 0 if kzc_ == 2 else kzc_ + 1
+            kyc_ = 0 if kxc_ == 2 else kxc_ + 1
+            dd3 = (dx, dy, dz)
+            oo3 = (ox, oy, oz)
+            d_kz = dd3[kzc_]
+            sx = -dd3[kxc_] / d_kz
+            sy = -dd3[kyc_] / d_kz
+            sz = 1.0 / d_kz
+            o_kx, o_ky, o_kz = oo3[kxc_], oo3[kyc_], oo3[kzc_]
+        else:
+            adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+            maxc = jnp.maximum(adx, jnp.maximum(ady, adz))
+            kz = jnp.where(adx == maxc, 0, jnp.where(ady == maxc, 1, 2))
+            kx = jnp.where(kz == 2, 0, kz + 1)
+            ky = jnp.where(kx == 2, 0, kx + 1)
+            d_kz = _axis_sel(kz, dx, dy, dz)
+            sx = -_axis_sel(kx, dx, dy, dz) / d_kz
+            sy = -_axis_sel(ky, dx, dy, dz) / d_kz
+            sz = 1.0 / d_kz
+            o_kx = _axis_sel(kx, ox, oy, oz)
+            o_ky = _axis_sel(ky, ox, oy, oz)
+            o_kz = _axis_sel(kz, ox, oy, oz)
 
         if not narrow:
             # Loop-invariant repeated tiles for the one-shot batched phases.
@@ -250,9 +278,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
         # Loop-invariant shear-axis masks for the leaf phase (hoisted out of
         # the per-triangle axis selects: k is a ray constant).
-        kx0, kx1 = kx == 0, kx == 1
-        ky0, ky1 = ky == 0, ky == 1
-        kz0, kz1 = kz == 0, kz == 1
+        if kz_static is None:
+            kx0, kx1 = kx == 0, kx == 1
+            ky0, ky1 = ky == 0, ky == 1
+            kz0, kz1 = kz == 0, kz == 1
 
         def selk(m0, m1, ax, ay, az):
             return jnp.where(m0, ax, jnp.where(m1, ay, az))
@@ -984,9 +1013,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     for j in range(3):
                         vx, vy, vz = (verts[3 * j], verts[3 * j + 1],
                                       verts[3 * j + 2])
-                        if kz_tables or "noselk" in lesion:
-                            # kz_tables: vertex coords arrive pre-rotated
-                            # to (kx, ky, kz) for this packet's bin.
+                        if (kz_tables or kz_static is not None
+                                or "noselk" in lesion):
+                            # kz_tables / kz_static: vertex coords arrive
+                            # pre-rotated to (kx, ky, kz) for this packet's
+                            # bin (or the whole batch's static axis).
                             px, py, pz = vx - o_kx, vy - o_ky, vz - o_kz
                         elif kz_sel:
                             # kz-uniform packet: per-packet (P, 1) column
@@ -1369,7 +1400,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "kz_tables", "pair_pops", "dual2",
-                     "kz_sel", "prefetch", "filter_fn", "march"),
+                     "kz_sel", "prefetch", "filter_fn", "march",
+                     "kz_static"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
@@ -1377,7 +1409,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
                 dual2=False, kz_sel=False, prefetch=False, filter_fn=None,
-                march=None):
+                march=None, kz_static=None):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -1402,7 +1434,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           use_mask=use_mask, kz_tables=kz_tables,
                           pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
                           prefetch=prefetch, filter_fn=filter_fn,
-                          march=march)
+                          march=march, kz_static=kz_static)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1457,7 +1489,7 @@ def _trace_impl_jit(tpu: bool):
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
                          "stats", "pair_pops", "dual2", "kz_sel",
-                         "prefetch", "filter_fn", "march"),
+                         "prefetch", "filter_fn", "march", "kz_static"),
         compiler_options=opts)
 
 
@@ -1476,7 +1508,8 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
                    pair_pops=False, dual2=False, kz_sel=False,
-                   prefetch=False, filter_fn=None, march=None):
+                   prefetch=False, filter_fn=None, march=None,
+                   kz_static=None):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1569,8 +1602,19 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         ridx = (idx[:n2].astype(jnp.int32) if idx is not None
                 else jnp.arange(n2, dtype=jnp.int32))
         ray_comps = ray_comps + (comp(ridx, n, False),)
-    tris_table = (packed.tris.reshape(-1, 128) if hbm_tris
-                  else packed.tris)
+    tris = packed.tris
+    if kz_static is not None and kz_static != 2:
+        # Rotate the single table's vertex columns to (kx, ky, kz) once —
+        # same convention as _tri_rows_kz (kx=(kz+1)%3, ky=(kz+2)%3); for
+        # kz=2 the packed layout already IS the rotated one.  A 16-column
+        # permute of the whole table is a few MB, fused into this program.
+        kxr, kyr = (kz_static + 1) % 3, (kz_static + 2) % 3
+        cols = []
+        for j in range(3):
+            cols += [3 * j + kxr, 3 * j + kyr, 3 * j + kz_static]
+        cols += list(range(9, tris.shape[1]))
+        tris = tris[:, jnp.asarray(cols, jnp.int32)]
+    tris_table = tris.reshape(-1, 128) if hbm_tris else tris
     if qmask is None:
         qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
     n_packets = npad // PKT
@@ -1589,7 +1633,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
         kz_sel=kz_sel, prefetch=prefetch, filter_fn=filter_fn,
-        march=march,
+        march=march, kz_static=kz_static,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1648,8 +1692,20 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   kz_sel: bool | None = None,
                   prefetch: bool | None = None,
                   filter_fn=None,
-                  march: tuple | None = None) -> PacketHits:
+                  march: tuple | None = None,
+                  kz_static: int | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
+
+    kz_static (0/1/2): CALLER-PROVED batch-uniform shear axis — every
+    ray's dominant |direction| component is this axis (true by
+    construction for any camera whose view cone stays within 45 degrees
+    of a coordinate axis, e.g. the primary-ray batch of a sub-90-degree
+    fov camera looking down an axis).  The kernel then fixes the shear
+    basis at compile time and reads a once-rotated triangle table, which
+    removes all 18 per-triangle axis-select ops from the leaf phase
+    (~12% of the 67M-ray headline frame).  Rays violating the contract
+    get reduced watertight precision (their shear axis is not their
+    dominant one), never crashes; `uniform_kz(rays)` checks a host batch.
 
     Hit-record contract matches rtk_trace_ray (rtk.c:543-577): t, u, v,
     vertex records, mesh/triangle indices; miss leaves t = max_t.  The
@@ -1699,6 +1755,16 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         # flag (bit-exact, tested) but never auto-enabled.
         kz_sel = False
     kz_sel = bool(kz_sel) and not packed.kz_tables
+    if kz_static is not None:
+        if kz_static not in (0, 1, 2):
+            raise ValueError("kz_static must be 0, 1 or 2 (axis index)")
+        if packed.kz_tables or kz_sel:
+            raise ValueError("kz_static replaces the kz_tables/kz_sel "
+                             "variants; use one mechanism")
+        if march is not None:
+            raise ValueError("kz_static does not compose with march")
+        if not narrow:
+            raise ValueError("kz_static needs the narrow leaf path")
     if kz_sel and packet_roots is not None:
         raise ValueError("kz_sel rebins rays and cannot carry "
                          "per-packet roots; pass kz_sel=False")
@@ -1787,7 +1853,21 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
         pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
-        prefetch=prefetch, filter_fn=filter_fn, march=march)
+        prefetch=prefetch, filter_fn=filter_fn, march=march,
+        kz_static=None if kz_static is None else int(kz_static))
+
+
+def uniform_kz(rays: Rays) -> int | None:
+    """The batch's shared dominant |direction| axis, or None if mixed.
+
+    Host-side check for the trace_packets(kz_static=...) contract (uses
+    the kernel's exact tie rule: x beats y beats z at equal magnitude).
+    """
+    ad = np.abs(np.asarray(rays.direction, np.float32))
+    maxc = ad.max(axis=1)
+    kzr = np.where(ad[:, 0] == maxc, 0, np.where(ad[:, 1] == maxc, 1, 2))
+    k0 = int(kzr[0])
+    return k0 if bool((kzr == k0).all()) else None
 
 
 def trace_packets_chunked(packed: PackedScene, rays: Rays,

@@ -51,6 +51,9 @@ def _load():
     lib.rtko_build2.restype = ctypes.c_void_p
     lib.rtko_build2.argtypes = [ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int64, ctypes.c_int]
+    lib.rtko_build3.restype = ctypes.c_void_p
+    lib.rtko_build3.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                ctypes.c_int64, ctypes.c_int, ctypes.c_int]
     lib.rtko_node_count.restype = ctypes.c_int64
     lib.rtko_node_count.argtypes = [ctypes.c_void_p]
     lib.rtko_export.restype = None
@@ -68,20 +71,26 @@ def _load():
 class NativeOracle:
     """Corrected-rtk CPU oracle: build once, trace ray batches."""
 
-    def __init__(self, tri_pos: np.ndarray, leaf_max: int | None = None):
+    def __init__(self, tri_pos: np.ndarray, leaf_max: int | None = None,
+                 step_quant: bool = False):
+        """step_quant: weight the SAH by leaf STEPS (ceil(count/leaf_max))
+        instead of triangle count — the packet kernel tests leaves in
+        fixed leaf_size-row tiles, so this is its real cost unit.  Drives
+        children toward full-K leaves (fewer leaf pops, shallower trees);
+        hit results are identical either way (topology only)."""
         lib = _load()
         tris = np.ascontiguousarray(tri_pos, np.float32).reshape(-1, 9)
         self._n = tris.shape[0]
+        fp = tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         if leaf_max is None:
-            self._handle = lib.rtko_build(
-                tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                ctypes.c_int64(self._n),
-            )
+            self._handle = lib.rtko_build(fp, ctypes.c_int64(self._n))
+        elif step_quant:
+            self._handle = lib.rtko_build3(
+                fp, ctypes.c_int64(self._n), ctypes.c_int(int(leaf_max)),
+                ctypes.c_int(int(leaf_max)))
         else:
             self._handle = lib.rtko_build2(
-                tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                ctypes.c_int64(self._n), ctypes.c_int(int(leaf_max)),
-            )
+                fp, ctypes.c_int64(self._n), ctypes.c_int(int(leaf_max)))
         self._lib = lib
 
     def export_tree(self):
