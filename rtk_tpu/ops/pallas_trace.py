@@ -136,7 +136,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, kz_tables=False, pair_pops=False,
                  dual2=False, kz_sel=False, prefetch=False,
-                 filter_fn=None, march=None, kz_static=None):
+                 filter_fn=None, march=None, kz_static=None,
+                 tris128=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -184,6 +185,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     assert kz_static is None or (narrow and not kz_tables and not kz_sel
                                  and march is None), \
         "kz_static needs the narrow tri_test path without kz variants"
+    # tris128: the VMEM-resident triangle table laid out (Tp*16/128, 128)
+    # — 8 records per 128-lane row, exactly the HBM layout — instead of
+    # (Tp, 16).  A (rows, 16) VMEM operand pads its 16 lanes to 128, so
+    # the legacy layout costs 8x its logical bytes of VMEM (measured:
+    # f32[114176,16] -> a 55.75 MB input window); the 128-lane layout
+    # costs logical bytes only, freeing ~49 MB for bigger scenes to stay
+    # VMEM-resident (the atrium's leaf phase loses ~2x to HBM DMA
+    # chatter, PERF_NOTES r2 attribution).
+    assert not tris128 or (not hbm_tris and not kz_tables and narrow
+                           and leaf_size % 8 == 0), \
+        "tris128 is the VMEM narrow path with lane-aligned leaves"
     dual2 = dual2 and dual
     halves = 2 if dual2 else 1
     # `lesion` (perf diagnosis only — WRONG RESULTS): a set of component
@@ -598,9 +610,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                             src0 = t0s[p]
                             if kz_tables:
                                 src0 = src0 + kz_bases[p]
-                            stage_tris[
-                                pl.ds((h * P + p) * k_tris, k_tris), :
-                            ] = tris_ref[pl.ds(src0, k_tris), :]
+                            if tris128:
+                                # 8 records per 128-lane row: a leaf's K
+                                # tris are K/8 whole rows (src0 = leaf
+                                # id * K, K % 8 == 0 asserted).
+                                rpl = k_tris // 8
+                                stage_tris[
+                                    pl.ds((h * P + p) * rpl, rpl), :
+                                ] = tris_ref[pl.ds(src0 // 8, rpl), :]
+                            else:
+                                stage_tris[
+                                    pl.ds((h * P + p) * k_tris, k_tris), :
+                                ] = tris_ref[pl.ds(src0, k_tris), :]
 
             int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
@@ -1087,7 +1108,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         return t, u, v, ok, need
                     return t, un, vn, ok, need
 
-                if hbm_tris:
+                if hbm_tris or tris128:
                     # staged as (halves*P*rows_per_leaf, 128): 8 records
                     # per row; half h of packet p at row block h*P+p.
                     # Under prefetch the buffer is doubled and this step's
@@ -1401,7 +1422,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "kz_tables", "pair_pops", "dual2",
                      "kz_sel", "prefetch", "filter_fn", "march",
-                     "kz_static"),
+                     "kz_static", "tris128"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
@@ -1409,7 +1430,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
                 dual2=False, kz_sel=False, prefetch=False, filter_fn=None,
-                march=None, kz_static=None):
+                march=None, kz_static=None, tris128=False):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -1434,7 +1455,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           use_mask=use_mask, kz_tables=kz_tables,
                           pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
                           prefetch=prefetch, filter_fn=filter_fn,
-                          march=march, kz_static=kz_static)
+                          march=march, kz_static=kz_static,
+                          tris128=tris128)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1448,7 +1470,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
             pltpu.VMEM((P * W, 8), jnp.int32),
             (pltpu.VMEM((bufs * halves * P * leaf_size // 8, 128),
                         jnp.float32)
-             if hbm_tris
+             if hbm_tris or tris128
              else pltpu.VMEM((halves * P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
         ] + ([pltpu.SemaphoreType.DMA((bufs * halves * P,))]
@@ -1614,7 +1636,13 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
             cols += [3 * j + kxr, 3 * j + kyr, 3 * j + kz_static]
         cols += list(range(9, tris.shape[1]))
         tris = tris[:, jnp.asarray(cols, jnp.int32)]
-    tris_table = tris.reshape(-1, 128) if hbm_tris else tris
+    # VMEM tables use the 128-lane record layout whenever leaves are
+    # lane-aligned: a (Tp, 16) VMEM operand pads to 128 lanes (8x its
+    # logical bytes); the (Tp*16/128, 128) layout costs logical bytes.
+    tris128 = (not hbm_tris and not packed.kz_tables and narrow
+               and packed.leaf_size % 8 == 0)
+    tris_table = (tris.reshape(-1, 128) if (hbm_tris or tris128)
+                  else tris)
     if qmask is None:
         qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
     n_packets = npad // PKT
@@ -1633,7 +1661,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
         kz_sel=kz_sel, prefetch=prefetch, filter_fn=filter_fn,
-        march=march, kz_static=kz_static,
+        march=march, kz_static=kz_static, tris128=tris128,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
