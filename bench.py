@@ -151,11 +151,14 @@ def emit_headline(mrays):
 HEADLINE_CANDIDATES = {
     # label: (leaf_size, trace kwargs, topology)
     # Measured at 67M (PERF_NOTES "SAH topology / SAH x leaf-size x
-    # ordered at the 67M headline"): sah-k16-ordered 240.5 > sah-k8 229
-    # > lbvh-k8 163.8 > sah-k16 177.9 > k16-ordered 116.7 > k16 108.0,
-    # sah-k32 128.7.  LBVH k16/k32 lose on the VMEM-resident bunny (the
-    # CPU step predictor's K=16 win is an HBM-DMA-amortisation effect
-    # that doesn't exist there) — dropped from the default candidate run.
+    # ordered / step-quantized SAH at the 67M headline"):
+    # sahq-k16-ordered 243.9 > sah-k16-ordered 235-240 > sah-k8 229 >
+    # sahq-k8-ordered+kzs2 212.2 > lbvh-k8 163.8 > ... — sahq = step-
+    # quantized SAH (rtko_build3), the kernel's real leaf-step cost
+    # model.  LBVH k16/k32 lose on the VMEM-resident bunny (the CPU
+    # step predictor's K=16 win is an HBM-DMA-amortisation effect that
+    # doesn't exist there) — dropped from the default candidate run.
+    "sahq-k16-ordered": (16, dict(ordered=True), "sahq"),
     "sah-k16-ordered": (16, dict(ordered=True), "sah"),
     "sah-k8": (8, {}, "sah"),
     "k8": (8, {}, "lbvh"),
@@ -183,11 +186,12 @@ def _headline_candidate(label, side=8192):
 
     k, kw, topo = HEADLINE_CANDIDATES[label]
     btris = scenes.blob(subdivisions=6)[0]
-    if topo == "sah":
+    if topo in ("sah", "sahq"):
         from rtk_tpu.testing.native_oracle import NativeOracle
         from rtk_tpu.trace.packed import pack_binary_tree
 
-        orc = NativeOracle(btris.reshape(-1, 9), leaf_max=k)
+        orc = NativeOracle(btris.reshape(-1, 9), leaf_max=k,
+                           step_quant=topo == "sahq")
         packed = pack_binary_tree(btris, *orc.export_tree(), leaf_size=k)
     else:
         packed = pack_scene(build_from_soup(
@@ -620,15 +624,16 @@ def main():
     import subprocess
 
     # ---- HEADLINE FIRST (config 2, bunny 8192^2 = 67M primaries) ----
-    # sah-k16-ordered is the measured-best topology (240.5 vs lbvh-k8's
-    # 163.8 Mrays/s, r3); sah-k8 (229) and k8/LBVH are the fallbacks.
+    # sahq-k16-ordered is the measured-best topology (243.9 Mrays/s, r3
+    # step-quantized SAH); sah-k16-ordered (235-240) and k8/LBVH
+    # (163.8) are the fallbacks.
     # Each candidate runs in a bounded child process (multi-GB HBM
     # buffers + unrecoverable hung remote compiles), and the headline
     # JSON prints the moment the first candidate lands.
     mrays = 0.0
     n_hit_ref = None
-    for label, timeout in (("sah-k16-ordered", 900), ("sah-k8", 900),
-                           ("k8", 900)):
+    for label, timeout in (("sahq-k16-ordered", 900),
+                           ("sah-k16-ordered", 900), ("k8", 900)):
         t0 = time.perf_counter()
         try:
             out = subprocess.run(

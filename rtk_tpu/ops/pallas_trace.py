@@ -1497,6 +1497,12 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
 # Keep the whole scene in VMEM only while it fits comfortably (~16 MB/core,
 # shared with ray blocks, stages and stacks).
 VMEM_TRI_BUDGET_BYTES = 8 * 1024 * 1024
+# Middle tier: tables up to this many LOGICAL bytes stay VMEM-resident in
+# the tris128 (Tp*16/128, 128) layout (no 8x lane padding).  Above it,
+# triangles live in HBM with per-leaf DMA staging.  v5e VMEM is 128 MB,
+# shared with ray blocks, stages, stacks and register spill slots (~50 MB
+# at pkt=2048 dual) — 40 MB of table is the comfortable ceiling.
+VMEM128_TRI_BUDGET_BYTES = 40 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)
@@ -1511,7 +1517,8 @@ def _trace_impl_jit(tpu: bool):
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
                          "stats", "pair_pops", "dual2", "kz_sel",
-                         "prefetch", "filter_fn", "march", "kz_static"),
+                         "prefetch", "filter_fn", "march", "kz_static",
+                         "tris128"),
         compiler_options=opts)
 
 
@@ -1531,7 +1538,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    islab=False, lesion=None, use_mask=False, stats=False,
                    pair_pops=False, dual2=False, kz_sel=False,
                    prefetch=False, filter_fn=None, march=None,
-                   kz_static=None):
+                   kz_static=None, tris128=None):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1636,11 +1643,19 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
             cols += [3 * j + kxr, 3 * j + kyr, 3 * j + kz_static]
         cols += list(range(9, tris.shape[1]))
         tris = tris[:, jnp.asarray(cols, jnp.int32)]
-    # VMEM tables use the 128-lane record layout whenever leaves are
-    # lane-aligned: a (Tp, 16) VMEM operand pads to 128 lanes (8x its
-    # logical bytes); the (Tp*16/128, 128) layout costs logical bytes.
-    tris128 = (not hbm_tris and not packed.kz_tables and narrow
-               and packed.leaf_size % 8 == 0)
+    # VMEM-table layout tiers (measured at the 67M bunny headline):
+    #   (Tp, 16)          — pads 16 lanes to 128 (8x logical VMEM) but its
+    #                       16-lane record slices stage/slice fastest:
+    #                       243.9 vs 229.9 Mrays/s under tris128.  Default
+    #                       while the padded size fits the budget.
+    #   (Tp*16/128, 128)  — tris128: logical-bytes VMEM; the only way
+    #                       atrium-class scenes (~30 MB) stay VMEM-resident
+    #                       instead of paying per-leaf-step HBM DMA chatter.
+    if tris128 is None:
+        tris128 = (not hbm_tris and not packed.kz_tables and narrow
+                   and packed.leaf_size % 8 == 0
+                   and packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES)
+    tris128 = bool(tris128) and not hbm_tris
     tris_table = (tris.reshape(-1, 128) if (hbm_tris or tris128)
                   else tris)
     if qmask is None:
@@ -1721,7 +1736,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   prefetch: bool | None = None,
                   filter_fn=None,
                   march: tuple | None = None,
-                  kz_static: int | None = None) -> PacketHits:
+                  kz_static: int | None = None,
+                  tris128: bool | None = None) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     kz_static (0/1/2): CALLER-PROVED batch-uniform shear axis — every
@@ -1793,6 +1809,11 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             raise ValueError("kz_static does not compose with march")
         if not narrow:
             raise ValueError("kz_static needs the narrow leaf path")
+    if tris128:
+        if packed.leaf_size % 8 or packed.kz_tables or not narrow:
+            raise ValueError("tris128 needs lane-aligned leaves "
+                             "(leaf_size % 8 == 0), no kz_tables, and "
+                             "the narrow leaf path")
     if kz_sel and packet_roots is not None:
         raise ValueError("kz_sel rebins rays and cannot carry "
                          "per-packet roots; pass kz_sel=False")
@@ -1803,7 +1824,15 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         raise ValueError("kz-binned scenes reorder rays and cannot carry "
                          "per-packet roots; pack with kz_tables=False")
     if hbm_tris is None:
-        hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
+        nb = packed.tris.nbytes
+        if nb <= VMEM_TRI_BUDGET_BYTES:
+            hbm_tris = False  # legacy 16-lane VMEM layout (fastest)
+        elif (nb <= VMEM128_TRI_BUDGET_BYTES and narrow
+              and not packed.kz_tables and packed.leaf_size % 8 == 0
+              and march is None):
+            hbm_tris = False  # tris128 VMEM tier (auto in _trace_impl_fn)
+        else:
+            hbm_tris = True
     if hbm_tris and packed.leaf_size % 8 != 0:
         raise ValueError(
             "HBM-resident triangles require leaf_size % 8 == 0 "
@@ -1882,7 +1911,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         use_mask=filter_mask is not None, stats=stats,
         pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
         prefetch=prefetch, filter_fn=filter_fn, march=march,
-        kz_static=None if kz_static is None else int(kz_static))
+        kz_static=None if kz_static is None else int(kz_static),
+        tris128=tris128)
 
 
 def uniform_kz(rays: Rays) -> int | None:

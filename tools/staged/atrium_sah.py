@@ -91,12 +91,25 @@ def timeit(f, rays, iters=2, batches=2):
     return best, nh
 
 
+for tag, pk in packs.items():
+    log(f"{tag}: table {pk.tris.nbytes/2**20:.1f} MB logical "
+        f"({pk.tris.shape[0]} rows)")
+
+# tris128 makes a VMEM-resident atrium possible for the first time (the
+# (Tp,16) layout cost 8x logical bytes; 410k tris ~ 27-35 MB now).  The
+# r2 attribution blamed ~2x of the atrium gap on per-leaf-step HBM DMA
+# issue/wait — "vmem" variants measure exactly that.
 for batch_name, rays in [("primary", cam), ("bounce", bounce)]:
     nh_ref = None
     for ptag in ("lbvh-k16", "sah-k16", "sahq-k16", "sahq-k32"):
-        for fname, kw in [("dual", dict(dual=True)),
-                          ("ordered+prune", dict(ordered=True))]:
-            if fname == "ordered+prune" and ptag not in ("sahq-k16",):
+        for fname, kw in [
+                ("dual hbm", dict(dual=True)),
+                ("dual vmem", dict(dual=True, hbm_tris=False)),
+                ("ordered+prune vmem", dict(ordered=True, hbm_tris=False)),
+        ]:
+            if fname == "dual hbm" and ptag not in ("lbvh-k16", "sahq-k16"):
+                continue  # HBM baseline only where informative
+            if fname.startswith("ordered") and ptag != "sahq-k16":
                 continue  # prune variant only on the quantized pack
             try:
                 pk = packs[ptag]
@@ -111,5 +124,5 @@ for batch_name, rays in [("primary", cam), ("bounce", bounce)]:
                     f"({dt*1e3:.0f} ms, {nh} hits){note}")
             except Exception as e:
                 log(f"{batch_name} {ptag} {fname}: FAILED "
-                    f"{type(e).__name__}: {e}")
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
 log("DONE atrium_sah")
