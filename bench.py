@@ -379,11 +379,11 @@ def config_bunny():
 
 
 def config_atrium():
-    """Config 3: Sponza-class 1-bounce diffuse.  Flat engine packs K=16
-    leaves (HBM-resident scene: halved leaf steps amortise the per-step
-    DMA chatter — PERF_NOTES r2 TPU: primary +38%, bounce +60%); the grid
-    engine comparison repacks the SAME K=16 tables so the bounce
-    comparison pits equal leaf configurations (round-2 advisor note)."""
+    """Config 3: Sponza-class 1-bounce diffuse.  Flat engine uses the
+    step-quantized SAH K=16 topology (static scene -> host build;
+    atrium_sah probe r3: bounce 2.1x and primary 1.6x over LBVH-K16,
+    hit-parity) — primary adds ordered+prune (+6%); the grid engine
+    keeps its own merged-LBVH cells built from the LBVH scene."""
     import jax
     import jax.numpy as jnp
 
@@ -399,9 +399,21 @@ def config_atrium():
     scene_a = build_from_soup(jnp.asarray(atr),
                               config=BuildConfig(branching=8, leaf_size=16))
     packed_a16 = pack_scene(scene_a)
+    try:
+        from rtk_tpu.testing.native_oracle import NativeOracle
+        from rtk_tpu.trace.packed import pack_binary_tree
+
+        orc = NativeOracle(atr.reshape(-1, 9), leaf_max=16,
+                           step_quant=True)
+        packed_q16 = pack_binary_tree(atr, *orc.export_tree(),
+                                      leaf_size=16)
+        del orc
+    except Exception as e:
+        log(f"atrium sahq build unavailable ({e}); using LBVH tables")
+        packed_q16 = packed_a16
     cam = scenes.camera_rays((0, 6, 9), (0, 2, 0), (0, 1, 0), 60, 1024, 1024,
                              order="morton")
-    prim = trace_packets(packed_a16, cam)
+    prim = trace_packets(packed_q16, cam)
     key = jax.random.PRNGKey(0)
     n = geometric_normal(prim, cam.direction)
     bounce_dir = cosine_sample(key, n)
@@ -411,13 +423,14 @@ def config_atrium():
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
     nxtc_a = vary_rays(cam)
-    dt = timeit(lambda: trace_packets(packed_a16, nxtc_a(),
-                                      sort_rays=False, dual=True), iters=3)
+    dt = timeit(lambda: trace_packets(packed_q16, nxtc_a(),
+                                      sort_rays=False, ordered=True),
+                iters=3)
     rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium ({atr.shape[0]} tris) primary: "
         f"{rec['atrium_primary_mrays']:.2f} Mrays/s")
     nxtb = vary_rays(bounce)
-    dt = timeit(lambda: trace_packets(packed_a16, nxtb(), dual=True),
+    dt = timeit(lambda: trace_packets(packed_q16, nxtb(), dual=True),
                 iters=2, batches=2)
     rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")
