@@ -137,7 +137,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  use_mask=False, kz_tables=False, pair_pops=False,
                  dual2=False, kz_sel=False, prefetch=False,
                  filter_fn=None, march=None, kz_static=None,
-                 tris128=False):
+                 tris128=False, leaf_flush=0):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -1153,6 +1153,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                 h_u = jnp.where(upd, uk, h_u)
                                 h_v = jnp.where(upd, vk, h_v)
                             h_s = jnp.where(upd, t0c + k, h_s)
+                            if (leaf_flush and (k + 1) % leaf_flush == 0
+                                    and k + 1 < k_tris):
+                                # Scheduling fence: without it Mosaic
+                                # interleaves all K unrolled triangle
+                                # chains (profitable ILP with the select
+                                # chains; register-spill hell without
+                                # them under kz_static — 146.9M spill
+                                # slots at K=16, sahq2_67m probe).
+                                (h_t, h_u, h_v, h_s,
+                                 needv) = jax.lax.optimization_barrier(
+                                     (h_t, h_u, h_v, h_s, needv))
                     return (h_t, h_u, h_v, h_s), needv
 
                 if "noleaf" in lesion:
@@ -1422,7 +1433,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "kz_tables", "pair_pops", "dual2",
                      "kz_sel", "prefetch", "filter_fn", "march",
-                     "kz_static", "tris128"),
+                     "kz_static", "tris128", "leaf_flush"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
@@ -1430,7 +1441,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
                 dual2=False, kz_sel=False, prefetch=False, filter_fn=None,
-                march=None, kz_static=None, tris128=False):
+                march=None, kz_static=None, tris128=False, leaf_flush=0):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -1456,7 +1467,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
                           prefetch=prefetch, filter_fn=filter_fn,
                           march=march, kz_static=kz_static,
-                          tris128=tris128)
+                          tris128=tris128, leaf_flush=leaf_flush)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1518,7 +1529,7 @@ def _trace_impl_jit(tpu: bool):
                          "ordered", "islab", "lesion", "use_mask",
                          "stats", "pair_pops", "dual2", "kz_sel",
                          "prefetch", "filter_fn", "march", "kz_static",
-                         "tris128"),
+                         "tris128", "leaf_flush"),
         compiler_options=opts)
 
 
@@ -1538,7 +1549,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    islab=False, lesion=None, use_mask=False, stats=False,
                    pair_pops=False, dual2=False, kz_sel=False,
                    prefetch=False, filter_fn=None, march=None,
-                   kz_static=None, tris128=None):
+                   kz_static=None, tris128=None, leaf_flush=0):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1677,6 +1688,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
         kz_sel=kz_sel, prefetch=prefetch, filter_fn=filter_fn,
         march=march, kz_static=kz_static, tris128=tris128,
+        leaf_flush=leaf_flush,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1737,7 +1749,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   filter_fn=None,
                   march: tuple | None = None,
                   kz_static: int | None = None,
-                  tris128: bool | None = None) -> PacketHits:
+                  tris128: bool | None = None,
+                  leaf_flush: int = 0) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     kz_static (0/1/2): CALLER-PROVED batch-uniform shear axis — every
@@ -1912,7 +1925,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
         prefetch=prefetch, filter_fn=filter_fn, march=march,
         kz_static=None if kz_static is None else int(kz_static),
-        tris128=tris128)
+        tris128=tris128, leaf_flush=int(leaf_flush))
 
 
 def uniform_kz(rays: Rays) -> int | None:
