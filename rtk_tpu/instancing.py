@@ -310,13 +310,26 @@ class PackedInstancedScene(struct.PyTreeNode):
     packed_roots: Array  # (B,) i32 packed node id per BLAS
 
 
-def pack_instanced(iscene: InstancedScene) -> PackedInstancedScene:
+def pack_instanced(iscene: InstancedScene, packed=None,
+                   packed_roots=None) -> PackedInstancedScene:
+    """Pack the merged BLAS forest for the packet kernel.
+
+    packed/packed_roots: optional override tables (e.g. the host-SAH
+    forest from builder.sah.build_sah_forest — static BLAS geometry
+    traced many times benefits from the higher-quality topology exactly
+    like flat static scenes do).  Must cover the same BLAS list in the
+    same order; record contract (per-BLAS tri ids) is unchanged."""
     from rtk_tpu.trace.packed import pack_forest
 
-    packed, roots = pack_forest(iscene.merged, np.asarray(iscene.roots))
+    if packed is None:
+        packed, packed_roots = pack_forest(iscene.merged,
+                                           np.asarray(iscene.roots))
+    elif packed_roots is None:
+        raise ValueError("pack_instanced(packed=...) needs packed_roots")
     return PackedInstancedScene(
         iscene=iscene, packed=packed,
-        packed_roots=jnp.asarray(roots))
+        packed_roots=jnp.asarray(np.asarray(packed_roots, np.int64),
+                                 jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -1161,9 +1161,16 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                 # chains; register-spill hell without
                                 # them under kz_static — 146.9M spill
                                 # slots at K=16, sahq2_67m probe).
-                                (h_t, h_u, h_v, h_s,
-                                 needv) = jax.lax.optimization_barrier(
-                                     (h_t, h_u, h_v, h_s, needv))
+                                # optimization_barrier is unimplemented
+                                # in Mosaic, so round-trip the carries
+                                # through the output refs (a memory
+                                # dependency the scheduler must respect;
+                                # mid-phase ref values are overwritten
+                                # at phase end either way).
+                                out_t[:], out_u[:] = h_t, h_u
+                                out_v[:], out_slot[:] = h_v, h_s
+                                h_t, h_u = out_t[:], out_u[:]
+                                h_v, h_s = out_v[:], out_slot[:]
                     return (h_t, h_u, h_v, h_s), needv
 
                 if "noleaf" in lesion:

@@ -361,7 +361,7 @@ def pack_multiroot(scene: Scene, roots, tri_mask=None) -> PackedScene:
 
 
 def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
-                     order, root: int, leaf_size: int, tri_vidx=None,
+                     order, root, leaf_size: int, tri_vidx=None,
                      tri_mesh=None, tri_prim=None,
                      tri_mask=None) -> PackedScene:
     """Pack an ARBITRARY host-built binary BVH for the packet kernel.
@@ -377,6 +377,11 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
     node bounds.  tri_v: (T, 3, 3) soup.  No Scene exists, so refit/
     repack is not supported for the result; tri_perm holds original soup
     ids (pad -1).
+
+    `root` may be an ARRAY of binary root ids whose subtrees are
+    disjoint and jointly cover every leaf exactly once (a forest, e.g.
+    per-BLAS host-SAH trees for the instanced path): packed entry id of
+    root r is then simply r (pack_multiroot convention).
     """
     left = np.asarray(left, np.int64)
     right = np.asarray(right, np.int64)
@@ -401,10 +406,19 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
 
     lm = mapped(left)
     rm = mapped(right)
-    root_m = int(-(lidx[root] + 2) if is_leaf[root] else root)
-    area = _area(box_lo, box_hi)
-    slot_src = _greedy_slots(lm, rm, area, root=root_m)
-    meta, leaf_order = _pack_meta(slot_src)
+    roots = np.asarray(root, np.int64).reshape(-1)
+    roots_m = np.where(is_leaf[roots], -(lidx[roots] + 2), roots)
+    if np.ndim(root) == 0:
+        slot_src = _greedy_slots(lm, rm, _area(box_lo, box_hi),
+                                 root=int(roots_m[0]))
+        meta, leaf_order = _pack_meta(slot_src)
+    else:
+        # Forest: packed entry id of root r is r (root rows reserved
+        # first, pack_multiroot convention) — multi-BLAS SAH tables.
+        slot_src = _greedy_slots(lm, rm, _area(box_lo, box_hi),
+                                 root=roots_m)
+        meta, leaf_order = _pack_meta(slot_src,
+                                      root_rows=roots_m.shape[0])
     assert leaf_order.shape[0] == nl, (leaf_order.shape[0], nl)
 
     # (nl, k) triangle ids per leaf (pad -1), in leaf-visit order.

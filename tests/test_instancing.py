@@ -151,3 +151,50 @@ def test_instanced_packets_exact_with_small_candidate_cap():
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(igot), np.asarray(iref))
+
+
+def test_instanced_sah_forest_matches_lbvh_pack():
+    """SAH BLAS tables (build_sah_forest -> pack_instanced override) must
+    trace identically to the merged-LBVH pack (same kernel, different
+    per-BLAS topology; exact-t ties may resolve differently)."""
+    from rtk_tpu.builder.sah import build_sah_forest
+    from rtk_tpu.config import BuildConfig
+    from rtk_tpu.instancing import (pack_instanced,
+                                    trace_closest_instanced_packets)
+
+    try:
+        import rtk_tpu.utils.native_sah as ns
+
+        ns._load()
+    except Exception as e:  # pragma: no cover - no toolchain
+        pytest.skip(f"native builder unavailable: {e}")
+
+    rng = np.random.default_rng(5)
+    blob_tris = scenes.blob(subdivisions=2)[0]
+    box_tris = scenes.box([-0.5, -0.5, -0.5], [0.5, 0.5, 0.5])
+    cfg = BuildConfig(branching=8, leaf_size=8)
+    blas = [build_scene(_soup_of(blob_tris), cfg),
+            build_scene(_soup_of(box_tris), cfg)]
+    inst_blas = rng.integers(0, 2, 5).astype(np.int32)
+    tf = np.stack([
+        _transform(0.5 + rng.random(), rng.random() * 6.28,
+                   *(rng.random(3) * 6 - 3))
+        for _ in range(5)
+    ])
+    iscene = build_instanced(blas, inst_blas, tf)
+    ps_lbvh = pack_instanced(iscene)
+    pk, roots = build_sah_forest([blob_tris, box_tris], cfg)
+    ps_sah = pack_instanced(iscene, packed=pk, packed_roots=roots)
+
+    o = (rng.normal(size=(300, 3)) * 5).astype(np.float32)
+    d = rng.normal(size=(300, 3)).astype(np.float32)
+    rays = Rays.make(o, d)
+    ha, ia = trace_closest_instanced_packets(ps_lbvh, rays, interpret=True)
+    hb, ib = trace_closest_instanced_packets(ps_sah, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ha.hit), np.asarray(hb.hit))
+    np.testing.assert_allclose(np.asarray(ha.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+    same_t = np.isclose(np.asarray(ha.t), np.asarray(hb.t))
+    diff = (np.asarray(ia) != np.asarray(ib)) & np.asarray(ha.hit)
+    # instance/record divergence only allowed at exact-t ties
+    assert (same_t | ~diff).all()
