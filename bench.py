@@ -533,6 +533,16 @@ def config_instanced():
     cfg = BuildConfig(branching=8, leaf_size=8)
     blas_tris = scenes.blob(subdivisions=6)[0]  # 81,920 tris
     blas = build_from_soup(jnp.asarray(blas_tris), config=cfg)
+    # Static BLAS -> host step-quantized SAH tables (same topology-class
+    # win the flat static scenes measured; falls back to the merged-LBVH
+    # pack if the native builder is unavailable).
+    sah_pack = None
+    try:
+        from rtk_tpu.builder.sah import build_sah_forest
+
+        sah_pack = build_sah_forest([blas_tris], cfg)
+    except Exception as e:
+        log(f"instanced sahq build unavailable ({e}); using LBVH tables")
     n_inst = 125  # 125 x 81,920 = 10.24M instanced triangles
     side = 5
     tf = np.zeros((n_inst, 3, 4), np.float32)
@@ -543,8 +553,10 @@ def config_instanced():
         tf[i, :, :3] = np.eye(3, dtype=np.float32) * sc
         tf[i, :, 3] = (np.array([gx, gy, gz], np.float32) * 1.1
                        + rng5.random(3).astype(np.float32) * 0.2)
-    pscene = pack_instanced(
-        build_instanced([blas], np.zeros(n_inst, np.int64), tf))
+    iscene5 = build_instanced([blas], np.zeros(n_inst, np.int64), tf)
+    pscene = (pack_instanced(iscene5) if sah_pack is None
+              else pack_instanced(iscene5, packed=sah_pack[0],
+                                  packed_roots=sah_pack[1]))
     cam5 = scenes.camera_rays((7, 6.5, 8), (2.2, 2.2, 2.2), (0, 1, 0), 55,
                               512, 512, order="morton")
     key5 = jax.random.PRNGKey(5)
