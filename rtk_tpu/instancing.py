@@ -610,8 +610,8 @@ def trace_closest_instanced_packets(
     hits = PacketHits(
         hit=best["slot"] >= 0,
         t=best["t"],
-        u=best["u"],
-        v=best["v"],
+        u_k=best["u"],
+        v_k=best["v"],
         slot=best["slot"],
         # World rays: position() yields the world-space hit point (t is a
         # world-space distance).  vertex_position stays in the hit

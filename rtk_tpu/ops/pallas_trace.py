@@ -137,7 +137,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  use_mask=False, kz_tables=False, pair_pops=False,
                  dual2=False, kz_sel=False, prefetch=False,
                  filter_fn=None, march=None, kz_static=None,
-                 tris128=False, leaf_flush=0):
+                 tris128=False, leaf_flush=0, defer_t=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -1232,8 +1232,9 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         tk = rr_t[:, k, :]
                         upd = rr_ok[:, k, :] & (tk < h_t)
                         h_t = jnp.where(upd, tk, h_t)
-                        h_u = jnp.where(upd, rr_u[:, k, :], h_u)
-                        h_v = jnp.where(upd, rr_v[:, k, :], h_v)
+                        if "noupdv" not in lesion:
+                            h_u = jnp.where(upd, rr_u[:, k, :], h_u)
+                            h_v = jnp.where(upd, rr_v[:, k, :], h_v)
                         h_s = jnp.where(upd, tri0_col + k, h_s)
                     out_t[:], out_u[:], out_v[:], out_slot[:] = (
                         h_t, h_u, h_v, h_s)
@@ -1448,7 +1449,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, kz_tables=False, pair_pops=False,
                 dual2=False, kz_sel=False, prefetch=False, filter_fn=None,
-                march=None, kz_static=None, tris128=False, leaf_flush=0):
+                march=None, kz_static=None, tris128=False, leaf_flush=0,
+                defer_t=False):
     P = p_pk
     PKT = pkt
     halves = 2 if (dual2 and dual) else 1
@@ -1536,7 +1538,7 @@ def _trace_impl_jit(tpu: bool):
                          "ordered", "islab", "lesion", "use_mask",
                          "stats", "pair_pops", "dual2", "kz_sel",
                          "prefetch", "filter_fn", "march", "kz_static",
-                         "tris128", "leaf_flush"),
+                         "tris128", "leaf_flush", "defer_uv"),
         compiler_options=opts)
 
 
@@ -1556,7 +1558,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    islab=False, lesion=None, use_mask=False, stats=False,
                    pair_pops=False, dual2=False, kz_sel=False,
                    prefetch=False, filter_fn=None, march=None,
-                   kz_static=None, tris128=None, leaf_flush=0):
+                   kz_static=None, tris128=None, leaf_flush=0, defer_uv=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1699,15 +1701,26 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
-    u = out_u.reshape(-1)[:n2]
-    v = out_v.reshape(-1)[:n2]
     slot = out_slot.reshape(-1)[:n2]
-    if idx is not None:
-        # Unscatter to caller order: one multi-operand sort by original
-        # index (sorts are fast on TPU; 1M-element gathers are not).
-        # kz-bin pads carry idx >= n and sort behind the real rays.
-        _, t, u, v, slot = jax.lax.sort((idx, t, u, v, slot), num_keys=1)
-    t, u, v, slot = t[:n], u[:n], v[:n], slot[:n]
+    if defer_uv:
+        # u/v were never carried (kernel ran the noupdv leaf path); the
+        # lazy PacketHits recomputes them on access.  Two fewer sort
+        # operands in the unscatter, too.
+        if idx is not None:
+            _, t, slot = jax.lax.sort((idx, t, slot), num_keys=1)
+        t, slot = t[:n], slot[:n]
+        u = v = jnp.zeros_like(t)
+    else:
+        u = out_u.reshape(-1)[:n2]
+        v = out_v.reshape(-1)[:n2]
+        if idx is not None:
+            # Unscatter to caller order: one multi-operand sort by
+            # original index (sorts are fast on TPU; 1M-element gathers
+            # are not).  kz-bin pads carry idx >= n and sort behind the
+            # real rays.
+            _, t, u, v, slot = jax.lax.sort((idx, t, u, v, slot),
+                                            num_keys=1)
+        t, u, v, slot = t[:n], u[:n], v[:n], slot[:n]
 
     hit = slot >= 0
     if stats:
@@ -1718,16 +1731,16 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
             _, steps = jax.lax.sort((idx, steps), num_keys=1)
         steps = steps[:n]
         return PacketHits(
-            hit=hit, t=t, u=jnp.where(hit, u, 0.0),
-            v=jnp.where(hit, v, 0.0), slot=slot, origin=origin,
+            hit=hit, t=t, u_k=jnp.where(hit, u, 0.0),
+            v_k=jnp.where(hit, v, 0.0), slot=slot, origin=origin,
             direction=direction, tri_v=packed.tri_v,
             tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
-            tri_prim=packed.tri_prim), steps
+            tri_prim=packed.tri_prim, uv_deferred=defer_uv), steps
     return PacketHits(
         hit=hit,
         t=t,
-        u=jnp.where(hit, u, 0.0),
-        v=jnp.where(hit, v, 0.0),
+        u_k=jnp.where(hit, u, 0.0),
+        v_k=jnp.where(hit, v, 0.0),
         slot=slot,
         origin=origin,
         direction=direction,
@@ -1735,6 +1748,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         tri_vidx=packed.tri_vidx,
         tri_mesh=packed.tri_mesh,
         tri_prim=packed.tri_prim,
+        uv_deferred=defer_uv,
     )
 
 
@@ -1757,7 +1771,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   march: tuple | None = None,
                   kz_static: int | None = None,
                   tris128: bool | None = None,
-                  leaf_flush: int = 0) -> PacketHits:
+                  leaf_flush: int = 0,
+                  defer_uv: bool = False) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
     kz_static (0/1/2): CALLER-PROVED batch-uniform shear axis — every
@@ -1783,6 +1798,12 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
     probe key; results come back in the caller's order).
     """
     n = rays.count
+    if defer_uv:
+        # The kernel's noupdv leaf path: u/v carries, their per-triangle
+        # normalises and their update selects all drop; the lazy
+        # PacketHits recomputes u/v on access (most consumers never do —
+        # shading reads position()+indices, occlusion reads hit).
+        lesion = (lesion + " noupdv") if lesion else "noupdv"
     if pkt is None:
         # Explicit per-packet roots are laid out by the caller in units of
         # the default 128-ray packet; widening would misalign them.
@@ -1932,7 +1953,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
         prefetch=prefetch, filter_fn=filter_fn, march=march,
         kz_static=None if kz_static is None else int(kz_static),
-        tris128=tris128, leaf_flush=int(leaf_flush))
+        tris128=tris128, leaf_flush=int(leaf_flush), defer_uv=defer_uv)
 
 
 def uniform_kz(rays: Rays) -> int | None:
@@ -2062,17 +2083,32 @@ def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
     from rtk_tpu.scene import refit as _refit
     from rtk_tpu.trace.packed import repack_bounds
 
-    def body(_, tri_pos):
+    # Refit + repack ALL frames in one vmapped prep: the per-frame refit
+    # is ~12 sequential RMQ gather levels (refit_ranges) + the repack
+    # gathers, and under the old per-frame scan that serial chain was
+    # paid F times.  Vmapped, each level runs once on (F, n, 3) tiles —
+    # the scan body keeps only the trace (which is genuinely per-frame).
+    # Extra memory is F copies of the node/tri tables (tiny for
+    # deforming-clip scenes; a 10M-tri clip should use per-frame
+    # trace_packets_refit instead).
+    def prep(tri_pos):
         scene2 = _refit(scene, tri_pos)
-        packed2 = repack_bounds(packed, scene2)
+        p2 = repack_bounds(packed, scene2)
+        return p2.nodes, p2.tris, p2.tri_v
+
+    nodes_f, tris_f, triv_f = jax.vmap(prep)(frames)
+
+    def body(_, per_frame):
+        nodes, tris, tri_v = per_frame
+        packed2 = packed.replace(nodes=nodes, tris=tris, tri_v=tri_v)
         h = _trace_impl(
             packed2, origin, direction, min_t, max_t, roots,
             mode=mode, watertight=watertight, interpret=interpret,
             p_pk=p_pk, hbm_tris=hbm_tris, dual=dual, pkt=pkt,
             narrow=narrow, sort_rays=sort_rays)
-        return (), (h.t, h.u, h.v, h.slot, packed2.tri_v)
+        return (), (h.t, h.u, h.v, h.slot, tri_v)
 
-    _, outs = jax.lax.scan(body, (), frames)
+    _, outs = jax.lax.scan(body, (), (nodes_f, tris_f, triv_f))
     return outs
 
 
@@ -2116,7 +2152,8 @@ def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
     origin = jnp.asarray(rays.origin)
     direction = jnp.asarray(rays.direction)
     return [
-        PacketHits(hit=slot[f] >= 0, t=t[f], u=u[f], v=v[f], slot=slot[f],
+        PacketHits(hit=slot[f] >= 0, t=t[f], u_k=u[f], v_k=v[f],
+                   slot=slot[f],
                    origin=origin, direction=direction, tri_v=tri_v[f],
                    tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
                    tri_prim=packed.tri_prim)

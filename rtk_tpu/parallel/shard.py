@@ -164,7 +164,7 @@ def trace_packets_sharded(
     # PacketHits is lazy: per-ray leaves shard over the ray axis, the packed
     # triangle tables it carries stay replicated (identical on every chip).
     out_specs = PacketHits(
-        hit=P(axis), t=P(axis), u=P(axis), v=P(axis), slot=P(axis),
+        hit=P(axis), t=P(axis), u_k=P(axis), v_k=P(axis), slot=P(axis),
         origin=P(axis), direction=P(axis),
         tri_v=P(), tri_vidx=P(), tri_mesh=P(), tri_prim=P())
     sharded = jax.shard_map(
@@ -218,7 +218,7 @@ def trace_grid_sharded(
             caps=caps, filter_mask=filter_mask)
 
     out_specs = PacketHits(
-        hit=P(axis), t=P(axis), u=P(axis), v=P(axis), slot=P(axis),
+        hit=P(axis), t=P(axis), u_k=P(axis), v_k=P(axis), slot=P(axis),
         origin=P(axis), direction=P(axis),
         tri_v=P(), tri_vidx=P(), tri_mesh=P(), tri_prim=P())
     sharded = jax.shard_map(
@@ -305,7 +305,7 @@ def trace_instanced_sharded(
 
     packed = pscene.packed
     hits = PacketHits(
-        hit=best["slot"] >= 0, t=best["t"], u=best["u"], v=best["v"],
+        hit=best["slot"] >= 0, t=best["t"], u_k=best["u"], v_k=best["v"],
         slot=best["slot"], origin=jnp.asarray(rays.origin),
         direction=jnp.asarray(rays.direction), tri_v=packed.tri_v,
         tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
@@ -519,7 +519,7 @@ def trace_scene_sharded(
         hit, t, u, v, slot = (a[:n_count] for a in (hit, t, u, v, slot))
         rays = jax.tree.map(lambda a: a[:n_count], rays)
     return PacketHits(
-        hit=hit, t=t, u=u, v=v, slot=slot,
+        hit=hit, t=t, u_k=u, v_k=v, slot=slot,
         origin=jnp.asarray(rays.origin),
         direction=jnp.asarray(rays.direction),
         tri_v=sscene.tri_v.reshape(-1, 3, 3),

@@ -247,8 +247,8 @@ def trace_packets_binned(
     return PacketHits(
         hit=best["slot"] >= 0,
         t=best["t"],
-        u=best["u"],
-        v=best["v"],
+        u_k=best["u"],
+        v_k=best["v"],
         slot=best["slot"],
         origin=jnp.asarray(rays.origin),
         direction=jnp.asarray(rays.direction),

@@ -821,8 +821,8 @@ def trace_packets_grid(
     hits = PacketHits(
         hit=slot >= 0,
         t=t,
-        u=u,
-        v=v,
+        u_k=u,
+        v_k=v,
         slot=slot,
         origin=jnp.asarray(rays.origin),
         direction=jnp.asarray(rays.direction),
@@ -957,8 +957,8 @@ def trace_packets_march(
     return PacketHits(
         hit=slot >= 0,
         t=t,
-        u=u,
-        v=v,
+        u_k=u,
+        v_k=v,
         slot=slot,
         origin=jnp.asarray(rays.origin),
         direction=jnp.asarray(rays.direction),

@@ -117,8 +117,8 @@ class PacketHits(struct.PyTreeNode):
 
     hit: Array  # (N,) bool
     t: Array  # (N,) f32
-    u: Array  # (N,) f32
-    v: Array  # (N,) f32
+    u_k: Array  # (N,) f32 kernel u (zeros when uv_deferred — see .u)
+    v_k: Array  # (N,) f32
     slot: Array  # (N,) i32 packed triangle slot, -1 = miss
     origin: Array  # (N, 3) f32 — the traced rays (for position())
     direction: Array  # (N, 3) f32
@@ -126,10 +126,39 @@ class PacketHits(struct.PyTreeNode):
     tri_vidx: Array  # (Tp, 3) i32
     tri_mesh: Array  # (Tp,) i32
     tri_prim: Array  # (Tp,) i32
+    # defer_uv traces don't carry u/v through the kernel (two fewer hit
+    # carries + per-triangle normalises); .u/.v re-run the same
+    # watertight shear test against the ONE winning triangle on access —
+    # the lazy-assembly pattern the rest of this class already uses.
+    uv_deferred: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def count(self) -> int:
         return self.t.shape[0]
+
+    @property
+    def u(self) -> Array:
+        return self.u_k if not self.uv_deferred else self._uv()[0]
+
+    @property
+    def v(self) -> Array:
+        return self.v_k if not self.uv_deferred else self._uv()[1]
+
+    def _uv(self) -> tuple[Array, Array]:
+        """Recompute (u, v) for the accepted hits (rtk.c:181-388 math —
+        identical shear-space edge functions as the kernel's leaf phase,
+        so values match the carried ones up to fma contraction)."""
+        from rtk_tpu.ops.intersect import intersect_triangles, ray_shear
+
+        tri = jnp.take(self.tri_v, self._safe_slot, axis=0)  # (N, 3, 3)
+        shear = ray_shear(self.direction)
+        n = self.t.shape[0]
+        _, u, v, _ = intersect_triangles(
+            self.origin, shear, tri[:, None],
+            jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.full((n,), jnp.inf, jnp.float32))
+        return (jnp.where(self.hit, u[:, 0], 0.0),
+                jnp.where(self.hit, v[:, 0], 0.0))
 
     @property
     def w(self) -> Array:
@@ -176,7 +205,7 @@ class PacketHits(struct.PyTreeNode):
                     vertex_index=self.vertex_index)
 
     def __getitem__(self, idx) -> "PacketHits":
-        per_ray = ("hit", "t", "u", "v", "slot", "origin", "direction")
+        per_ray = ("hit", "t", "u_k", "v_k", "slot", "origin", "direction")
         return self.replace(
             **{f: getattr(self, f)[idx] for f in per_ray})
 

@@ -525,3 +525,39 @@ def test_packet_anyhit_mixed_dead_lanes():
         g2 = trace_packets(packed, rays, interpret=True, mode="any",
                            dual=dual)
         np.testing.assert_array_equal(np.asarray(g2.hit), gh)
+
+
+def test_packet_defer_uv_matches():
+    """defer_uv drops the u/v hit carries from the kernel (the measured
+    noupdv pool, ~9 ms at the 67M headline) and recomputes them lazily in
+    PacketHits via the same watertight shear test (rtk.c:181-388).  t and
+    slot must be bit-equal; u/v agree up to fma contraction between the
+    kernel and the XLA recompute."""
+    tris = scenes.blob(subdivisions=3)[0]
+    scene = build_scene(_soup_of(tris))
+    packed = pack_scene(scene)
+    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 64, 64)
+    for dual, sort in ((False, False), (True, False), (True, True)):
+        ref = trace_packets(packed, rays, interpret=True, dual=dual,
+                            sort_rays=sort)
+        got = trace_packets(packed, rays, interpret=True, dual=dual,
+                            sort_rays=sort, defer_uv=True)
+        assert got.uv_deferred
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(ref.hit))
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+        np.testing.assert_array_equal(np.asarray(got.slot),
+                                      np.asarray(ref.slot))
+        m = np.asarray(ref.hit)
+        np.testing.assert_allclose(np.asarray(got.u)[m],
+                                   np.asarray(ref.u)[m], atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got.v)[m],
+                                   np.asarray(ref.v)[m], atol=5e-5)
+        # w/full()/slicing work on the deferred record
+        np.testing.assert_allclose(np.asarray(got.w)[m],
+                                   np.asarray(ref.w)[m], atol=1e-4)
+        sub = got[:100]
+        assert sub.uv_deferred and sub.count == 100
+        full = got.full()
+        np.testing.assert_allclose(np.asarray(full.u)[m],
+                                   np.asarray(ref.u)[m], atol=5e-5)
