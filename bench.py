@@ -158,7 +158,10 @@ HEADLINE_CANDIDATES = {
     # model.  LBVH k16/k32 lose on the VMEM-resident bunny (the CPU
     # step predictor's K=16 win is an HBM-DMA-amortisation effect that
     # doesn't exist there) — dropped from the default candidate run.
-    "sahq-k16-ordered": (16, dict(ordered=True), "sahq"),
+    # defer_uv: u/v recompute lazily in PacketHits (the kernel drops the
+    # u/v hit carries + rcp_det normalise) — 245.2 -> 253.8 Mrays/s at
+    # 67M, bit-exact (PERF_NOTES r3 defer_uv entry).
+    "sahq-k16-ordered": (16, dict(ordered=True, defer_uv=True), "sahq"),
     "sah-k16-ordered": (16, dict(ordered=True), "sah"),
     "sah-k8": (8, {}, "sah"),
     "k8": (8, {}, "lbvh"),

@@ -2098,6 +2098,27 @@ def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
 
     nodes_f, tris_f, triv_f = jax.vmap(prep)(frames)
 
+    # The coherence sort permutes the SAME ray batch identically on every
+    # frame — hoist it out of the scan: sort once here, trace each frame
+    # with sort_rays=False, and un-permute the ray-indexed outputs once at
+    # the end (one vmapped gather).  Saves F-1 multi-operand lax.sorts and
+    # F per-frame unscatters.  The kz_tables path keeps its in-trace sort
+    # (its bin-padding interleaves with packet layout).
+    inv = None
+    if sort_rays and not packed.kz_tables:
+        from rtk_tpu.ops.morton import ray_coherence_key
+
+        key = ray_coherence_key(origin, direction)
+        idx = jnp.arange(origin.shape[0], dtype=jnp.int32)
+        (_, sidx, o0, o1, o2, d0, d1, d2, min_t, max_t) = jax.lax.sort(
+            (key, idx, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             min_t, max_t), num_keys=1)
+        origin = jnp.stack([o0, o1, o2], axis=1)
+        direction = jnp.stack([d0, d1, d2], axis=1)
+        inv = jnp.zeros_like(sidx).at[sidx].set(idx)
+        sort_rays = False
+
     def body(_, per_frame):
         nodes, tris, tri_v = per_frame
         packed2 = packed.replace(nodes=nodes, tris=tris, tri_v=tri_v)
@@ -2109,6 +2130,9 @@ def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
         return (), (h.t, h.u, h.v, h.slot, tri_v)
 
     _, outs = jax.lax.scan(body, (), (nodes_f, tris_f, triv_f))
+    if inv is not None:
+        t, u, v, slot, tri_v = outs
+        outs = (t[:, inv], u[:, inv], v[:, inv], slot[:, inv], tri_v)
     return outs
 
 

@@ -481,23 +481,27 @@ def test_packet_refit_frames_scan_matches_per_frame():
                         for t in ts])
     cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 24, 24)
 
-    got = trace_packets_refit_frames(packed, scene, frames, cam,
-                                     interpret=True)
-    assert len(got) == len(ts)
-    for f, t in enumerate(ts):
-        ref, _, _ = trace_packets_refit(
-            packed, scene, jnp.asarray(scenes.deforming_grid(t, n=24)),
-            cam, interpret=True)
-        np.testing.assert_array_equal(np.asarray(got[f].hit),
-                                      np.asarray(ref.hit))
-        np.testing.assert_array_equal(np.asarray(got[f].t),
-                                      np.asarray(ref.t))
-        np.testing.assert_array_equal(np.asarray(got[f].slot),
-                                      np.asarray(ref.slot))
-        # per-frame tri_v: vertex records must reflect that frame
-        np.testing.assert_allclose(
-            np.asarray(got[f].position())[np.asarray(got[f].hit)],
-            np.asarray(ref.position())[np.asarray(ref.hit)], rtol=1e-6)
+    # sort_rays=True exercises the hoisted coherence sort (one sort
+    # outside the lax.scan + one inverse gather after it) against the
+    # per-frame path's in-trace sort.
+    for sort in (False, True):
+        got = trace_packets_refit_frames(packed, scene, frames, cam,
+                                         interpret=True, sort_rays=sort)
+        assert len(got) == len(ts)
+        for f, t in enumerate(ts):
+            ref, _, _ = trace_packets_refit(
+                packed, scene, jnp.asarray(scenes.deforming_grid(t, n=24)),
+                cam, interpret=True, sort_rays=sort)
+            np.testing.assert_array_equal(np.asarray(got[f].hit),
+                                          np.asarray(ref.hit))
+            np.testing.assert_array_equal(np.asarray(got[f].t),
+                                          np.asarray(ref.t))
+            np.testing.assert_array_equal(np.asarray(got[f].slot),
+                                          np.asarray(ref.slot))
+            # per-frame tri_v: vertex records must reflect that frame
+            np.testing.assert_allclose(
+                np.asarray(got[f].position())[np.asarray(got[f].hit)],
+                np.asarray(ref.position())[np.asarray(ref.hit)], rtol=1e-6)
 
 
 def test_packet_anyhit_mixed_dead_lanes():
