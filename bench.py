@@ -505,11 +505,15 @@ def config_refit():
     log(f"deforming refit+trace: {dt*1e3:.1f} ms/frame "
         f"({grid0.shape[0]/dt/1e6:.1f} Mtris/s refit incl. trace)")
 
-    F = 8
+    # F=32 is the measured clip-length sweet spot (refit6_tpu probe:
+    # F=8 11.0, F=16 10.8, F=32 7.95, F=64 8.62 ms/frame — the vmapped
+    # prep scales with F and overtakes the amortisation past 32) and
+    # the hoisted coherence sort beats unsorted (11.0 vs 12.3 at F=8).
+    F = 32
     clip = jnp.stack([jnp.asarray(scenes.deforming_grid(0.05 * i, n=96))
                       for i in range(F)])
     dt = timeit(lambda: trace_packets_refit_frames(
-        packed_d, scene_d, clip, nxt_cam(), sort_rays=False)[-1],
+        packed_d, scene_d, clip, nxt_cam(), sort_rays=True)[-1],
         iters=3, batches=2)
     rec["refit_scan_ms_per_frame"] = round(dt / F * 1e3, 1)
     log(f"deforming refit+trace, {F}-frame scan: {dt/F*1e3:.1f} ms/frame "
@@ -689,6 +693,12 @@ def main():
         if rec["mrays"] > mrays:
             mrays = rec["mrays"]
             emit_headline(mrays)  # un-losable: record it the moment we know
+        if mrays > 0.0:
+            # Fallback candidates exist to survive a failure of the
+            # primary, not to re-measure known-slower topologies (their
+            # numbers live in PERF_NOTES); each skipped candidate saves
+            # a ~3-5 min 67M subprocess of the driver's budget.
+            break
     if mrays == 0.0:
         log("headline: ALL candidates failed — no JSON emitted yet; "
             "continuing with remaining configs")
