@@ -29,6 +29,26 @@ import numpy as np
 
 TARGET_MRAYS = 500.0
 
+# The driver's observed budget for the whole suite is ~1800 s (the r3 run
+# was killed at rc=124 right after its 970 s atrium config).  Keep a
+# global soft deadline well inside it: configs run in priority order and
+# each gets only the remaining budget, so a slow config starves the ones
+# BEHIND it instead of killing the record of everything after.
+SUITE_BUDGET_S = 1620.0
+_T0 = time.perf_counter()
+
+
+def _remaining():
+    return SUITE_BUDGET_S - (time.perf_counter() - _T0)
+
+# Expected headline hit count (bunny blob(6), 8192^2 bench camera).
+# Measured identical across sahq/sah/lbvh topologies in r2-r3 (nearest-hit
+# ties move WHICH triangle wins, never whether a ray hits), so any
+# deviation is gross breakage (dropped leaves, dead kernel) — the
+# cross-check ADVICE r3 flagged as dead code now compares against this
+# constant instead of the (never-run) fallback candidates.
+HEADLINE_EXPECT_HITS = 41_019_791
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -160,7 +180,8 @@ HEADLINE_CANDIDATES = {
     # doesn't exist there) — dropped from the default candidate run.
     # defer_uv: u/v recompute lazily in PacketHits (the kernel drops the
     # u/v hit carries + rcp_det normalise) — 245.2 -> 253.8 Mrays/s at
-    # 67M, bit-exact (PERF_NOTES r3 defer_uv entry).
+    # 67M; hits/t/slot bit-equal, u/v exact up to fma contraction
+    # (PERF_NOTES r3 defer_uv entry; types.py PacketHits._uv).
     "sahq-k16-ordered": (16, dict(ordered=True, defer_uv=True), "sahq"),
     "sah-k16-ordered": (16, dict(ordered=True), "sah"),
     "sah-k8": (8, {}, "sah"),
@@ -254,7 +275,13 @@ def _run_config(name, timeout):
 def config_build():
     """LBVH build throughput.  Own process: after any Pallas launch this
     runtime charges every dispatch a fixed multi-ms penalty which would
-    swamp a sub-millisecond build — a fresh process has no Pallas."""
+    swamp a sub-millisecond build — a fresh process has no Pallas.
+
+    Two scales: 82k tris (the bunny-class scene; dispatch-floor-bound on
+    this remote tunnel — the fixed ~5-20 ms per dispatch IS the number)
+    and 5.24M tris, where the device compute dominates and the ≥100
+    Mtris/s BASELINE target is actually testable (VERDICT r3 item 2: the
+    amortised rate had zero honest evidence at scale)."""
     import jax
     import jax.numpy as jnp
 
@@ -265,18 +292,22 @@ def config_build():
     import itertools
 
     cfg = BuildConfig(branching=8, leaf_size=8)
-    btris = scenes.blob(subdivisions=6)[0]  # 81,920 tris
-    # Unique input bytes per timed call (timeit cache hazard): a dead
-    # 1e-6 translation leaves build cost identical.
-    btris_v = [jax.block_until_ready(jnp.asarray(btris) + 1e-6 * i)
-               for i in range(16)]
-    ctr = itertools.count()
-    dt = timeit(lambda: build_from_soup(btris_v[next(ctr) % 16],
-                                        config=cfg), iters=10)
-    mtris = btris.shape[0] / dt / 1e6
-    log(f"build: {btris.shape[0]} tris in {dt*1e3:.2f} ms "
-        f"({mtris:.1f} Mtris/s)")
-    return {"build_mtris": round(mtris, 1)}
+    rec = {}
+    for sub, nvar, iters, key in ((6, 8, 10, "build_mtris_82k"),
+                                  (9, 4, 4, "build_mtris")):
+        btris = scenes.blob(subdivisions=sub)[0]
+        n = btris.shape[0]
+        # Unique input bytes per timed call (timeit cache hazard): a dead
+        # 1e-6 translation leaves build cost identical.
+        btris_v = [jax.block_until_ready(jnp.asarray(btris) + 1e-6 * i)
+                   for i in range(nvar)]
+        ctr = itertools.count()
+        dt = timeit(lambda: build_from_soup(btris_v[next(ctr) % nvar],
+                                            config=cfg), iters=iters)
+        mtris = n / dt / 1e6
+        rec[key] = round(mtris, 1)
+        log(f"build: {n} tris in {dt*1e3:.2f} ms ({mtris:.1f} Mtris/s)")
+    return rec
 
 
 def config_cornell():
@@ -322,14 +353,9 @@ def config_bunny():
     rec["bunny_512_mrays"] = round(rays512.count / dt / 1e6, 2)
     log(f"bunny 512x512 primary: {rec['bunny_512_mrays']:.2f} Mrays/s "
         f"({dt*1e3:.1f} ms incl. per-dispatch overhead)")
-    rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                              1024, 1024, order="morton")
-    nxt1k = vary_rays(rays)
-    dt = timeit(lambda: trace_packets(packed, nxt1k(), sort_rays=False,
-                                      dual=True), iters=5)
-    rec["bunny_1024_mrays"] = round(rays.count / dt / 1e6, 2)
-    log(f"bunny 1024x1024 primary: {rays.count} rays in {dt*1e3:.1f} ms "
-        f"-> {rec['bunny_1024_mrays']:.2f} Mrays/s")
+    # (the 1024^2 intermediate was dropped in r4: the 8192^2 headline and
+    # 512^2 config bracket the scaling curve, and each extra shape is a
+    # 10-40 s tunnel compile of the suite budget)
 
     rays2k = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                                 2048, 2048, order="morton")
@@ -437,34 +463,11 @@ def config_atrium():
                 iters=2, batches=2)
     rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")
-    # Incoherent-ray engine v2 on the same batch: macro-grid DDA
-    # re-binning (disjoint cells, exact residual), built from the SAME
-    # K=16 pack.  Coarse dims converge fastest (PERF_NOTES r2 profile).
-    try:
-        from rtk_tpu.trace.grid import (build_grid_from_scene,
-                                        calibrate_caps, trace_packets_grid,
-                                        trace_packets_march)
-
-        g = build_grid_from_scene(scene_a, packed=packed_a16, dims=(7, 3, 7),
-                                  march=True)
-        caps = calibrate_caps(g, bounce, rounds=8, skips=4)
-        dt = timeit(lambda: trace_packets_grid(g, nxtb(), rounds=8,
-                                               skips=4, caps=caps),
-                    iters=2, batches=2)
-        rec["atrium_bounce_grid_mrays"] = round(cam.count / dt / 1e6, 2)
-        log(f"atrium bounce via grid engine: "
-            f"{rec['atrium_bounce_grid_mrays']:.2f} Mrays/s")
-        # Incoherent-ray engine v3: the fused in-kernel march (one
-        # dispatch, packets adopt cells as their subtrees drain).
-        for mpkt in (256, 512):
-            dt = timeit(lambda: trace_packets_march(g, nxtb(), pkt=mpkt),
-                        iters=2, batches=2)
-            key = f"atrium_bounce_march{mpkt}_mrays"
-            rec[key] = round(cam.count / dt / 1e6, 2)
-            log(f"atrium bounce via fused march (pkt={mpkt}): "
-                f"{rec[key]:.2f} Mrays/s")
-    except Exception as e:
-        log(f"grid-engine bounce entry failed: {type(e).__name__}: {e}")
+    # The grid/march engine variants are NOT re-timed here: both lose to
+    # the flat engine on this batch on every recorded TPU measurement
+    # (grid 0.48, fused march 0.40-0.43 vs flat 1.03 in r3 — see
+    # docs/PERF_NOTES.md grid/march entries); re-measuring them every
+    # round cost r3 the refit and instanced records (driver timeout).
     return rec
 
 
@@ -639,13 +642,15 @@ def config_instanced():
 
 
 CONFIGS = {
-    # name: (fn, subprocess timeout seconds)
+    # name: (fn, subprocess timeout seconds) — PRIORITY order: the suite
+    # deadline cuts from the BACK.  refit + instanced lead (no r3 record),
+    # then the cheap configs, then the two big ones.
+    "refit": (config_refit, 420),
+    "instanced": (config_instanced, 540),
     "build": (config_build, 420),
-    "cornell": (config_cornell, 600),
-    "bunny": (config_bunny, 900),
-    "atrium": (config_atrium, 1200),
-    "refit": (config_refit, 600),
-    "instanced": (config_instanced, 1200),
+    "cornell": (config_cornell, 300),
+    "bunny": (config_bunny, 600),
+    "atrium": (config_atrium, 540),
 }
 
 
@@ -663,9 +668,9 @@ def main():
     # buffers + unrecoverable hung remote compiles), and the headline
     # JSON prints the moment the first candidate lands.
     mrays = 0.0
-    n_hit_ref = None
-    for label, timeout in (("sahq-k16-ordered", 900),
-                           ("sah-k16-ordered", 900), ("k8", 900)):
+    best_rejected = 0.0
+    for label, timeout in (("sahq-k16-ordered", 600),
+                           ("sah-k16-ordered", 600), ("k8", 600)):
         t0 = time.perf_counter()
         try:
             out = subprocess.run(
@@ -680,15 +685,15 @@ def main():
             continue
         log(f"bunny 8192x8192 primary [{label}]: {rec['mrays']:.2f} Mrays/s "
             f"({rec['n_hit']} hits)")
-        if n_hit_ref is None:
-            n_hit_ref = rec["n_hit"]
-        elif rec["n_hit"] != n_hit_ref:
-            # Cross-topology runs may legitimately differ at exact
-            # nearest-hit ties (repo invariant) — that moves WHICH
-            # triangle wins, never whether a ray hits, so any delta is
-            # gross breakage.
+        # Cross-validate against the recorded expected hit count (exact
+        # across topologies; ties move WHICH triangle wins, never whether
+        # a ray hits) — a mismatch means gross breakage (dropped leaves
+        # run FAST, which is exactly when a throughput record lies).
+        if rec["n_hit"] != HEADLINE_EXPECT_HITS:
             log(f"bunny 8192x8192 [{label}]: hit-count mismatch "
-                f"({rec['n_hit']} vs {n_hit_ref}) — candidate rejected")
+                f"({rec['n_hit']} vs expected {HEADLINE_EXPECT_HITS}) — "
+                f"candidate rejected")
+            best_rejected = max(best_rejected, rec["mrays"])
             continue
         if rec["mrays"] > mrays:
             mrays = rec["mrays"]
@@ -699,23 +704,43 @@ def main():
             # numbers live in PERF_NOTES); each skipped candidate saves
             # a ~3-5 min 67M subprocess of the driver's budget.
             break
+    if mrays == 0.0 and best_rejected > 0.0:
+        # Every candidate mismatched the stored constant — more likely the
+        # procedural scene/camera changed than three topologies all broke.
+        # Record the best number rather than nothing, loudly.
+        log(f"headline: all candidates mismatched the expected hit count; "
+            f"emitting best anyway ({best_rejected:.2f}) — update "
+            f"HEADLINE_EXPECT_HITS if the scene changed")
+        mrays = best_rejected
+        emit_headline(mrays)
     if mrays == 0.0:
         log("headline: ALL candidates failed — no JSON emitted yet; "
             "continuing with remaining configs")
     else:
         log(f"bunny 8192x8192 primary: {mrays:.2f} Mrays/s (headline)")
 
-    # ---- remaining configs, each isolated + bounded ----
+    # ---- remaining configs, each isolated + bounded, priority order ----
+    # Refit and instanced lead: they are the two BASELINE configs with no
+    # r3 record (the old fixed order let atrium starve them).
     results = {}
+    skipped = []
     for name, (_, timeout) in CONFIGS.items():
-        rec = _run_config(name, timeout)
-        if rec is None:
+        rem = _remaining()
+        if rem < 90:
+            skipped.append(name)
+            continue
+        rec = _run_config(name, min(timeout, max(60, rem - 20)))
+        if rec is None and _remaining() > timeout + 60:
             # Tunnel compile hangs are transient (observed 18-min stalls
-            # that later complete); one retry rides the compile cache.
+            # that later complete); one retry rides the compile cache —
+            # but only while the budget still covers the configs behind.
             log(f"config [{name}]: retrying once")
             rec = _run_config(name, timeout)
         if rec:
             results.update(rec)
+    if skipped:
+        log(f"configs skipped (suite budget {SUITE_BUDGET_S:.0f}s "
+            f"exhausted): {skipped}")
 
     log("bench summary: " + json.dumps(results))
     if mrays > 0.0:

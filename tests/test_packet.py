@@ -134,40 +134,6 @@ def test_packet_hbm_tris_matches_vmem():
                                   np.asarray(b.triangle_index))
 
 
-def test_packet_prefetch_dma_matches():
-    """prefetch=True (cross-step double-buffered leaf DMA: pushes run
-    before the leaf phase, next step's triangle rows fetched into the
-    other staging half) must be bit-identical to the plain dual+HBM path
-    in both modes, including dead-lane any-hit batches."""
-    rng = np.random.default_rng(29)
-    tris = rng.normal(size=(600, 3, 3)).astype(np.float32)
-    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
-    packed = pack_scene(scene)
-    rays = Rays.make(rng.normal(size=(256, 3)).astype(np.float32) * 3.0,
-                     rng.normal(size=(256, 3)).astype(np.float32))
-    for mode in ("closest", "any"):
-        a = trace_packets(packed, rays, interpret=True, mode=mode,
-                          dual=True, hbm_tris=True)
-        b = trace_packets(packed, rays, interpret=True, mode=mode,
-                          dual=True, hbm_tris=True, prefetch=True)
-        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
-        if mode == "closest":
-            np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
-            np.testing.assert_array_equal(np.asarray(a.triangle_index),
-                                          np.asarray(b.triangle_index))
-    # Shadow-style batch: ~half the lanes dead (max_t <= min_t) exercises
-    # the any-mode post-leaf termination fixup on the prefetch path.
-    dead = rng.random(256) < 0.5
-    sh = Rays.make(np.asarray(rays.origin), np.asarray(rays.direction),
-                   min_t=1e-3,
-                   max_t=np.where(dead, 0.0, 10.0).astype(np.float32))
-    a = trace_packets(packed, sh, interpret=True, mode="any", dual=True,
-                      hbm_tris=True)
-    b = trace_packets(packed, sh, interpret=True, mode="any", dual=True,
-                      hbm_tris=True, prefetch=True)
-    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
-
-
 def test_packet_chunked_matches():
     """trace_packets_chunked (bounded-memory host loop over chunk-ray
     slices, dead-ray padded final slice) must be bit-identical to the
@@ -407,36 +373,6 @@ def test_packet_filter_callable_matches_stack():
                                   np.asarray(want.hit))
 
 
-def test_packet_kz_tables_bit_exact():
-    """kz-binned pre-rotated triangle tables (3x table, per-packet scalar
-    rotation) must reproduce the baseline kernel BIT-EXACTLY — the
-    rotation changes data layout, not arithmetic."""
-    tris = scenes.blob(subdivisions=3)[0]
-    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
-    packed = pack_scene(scene)
-    packed_kz = pack_scene(scene, kz_tables=True)
-    assert packed_kz.tris.shape[0] == 3 * packed.tris.shape[0]
-
-    rng = np.random.default_rng(5)
-    from rtk_tpu.types import Rays
-
-    batches = [
-        scenes.camera_rays((2, 1, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16),
-        Rays.make(rng.normal(size=(300, 3)).astype(np.float32) * 0.5,
-                  rng.normal(size=(300, 3)).astype(np.float32)),
-    ]
-    for rays in batches:
-        ref = trace_packets(packed, rays, interpret=True)
-        for kw in (dict(), dict(sort_rays=True), dict(dual=True)):
-            got = trace_packets(packed_kz, rays, interpret=True, **kw)
-            np.testing.assert_array_equal(np.asarray(got.hit),
-                                          np.asarray(ref.hit))
-            np.testing.assert_array_equal(np.asarray(got.t),
-                                          np.asarray(ref.t))
-            np.testing.assert_array_equal(np.asarray(got.slot),
-                                          np.asarray(ref.slot))
-
-
 def test_packet_refit_fused_matches_separate():
     """trace_packets_refit (refit+repack+trace as ONE program) must match
     the separate refit -> repack_bounds -> trace pipeline.  Regression:
@@ -498,6 +434,12 @@ def test_packet_refit_frames_scan_matches_per_frame():
                                           np.asarray(ref.t))
             np.testing.assert_array_equal(np.asarray(got[f].slot),
                                           np.asarray(ref.slot))
+            # u/v ride the scan's un-permute gather (u[:, inv]) — a
+            # swapped or missing gather there would pass hit/t/slot.
+            np.testing.assert_array_equal(np.asarray(got[f].u),
+                                          np.asarray(ref.u))
+            np.testing.assert_array_equal(np.asarray(got[f].v),
+                                          np.asarray(ref.v))
             # per-frame tri_v: vertex records must reflect that frame
             np.testing.assert_allclose(
                 np.asarray(got[f].position())[np.asarray(got[f].hit)],
