@@ -118,47 +118,22 @@ def _popcount8(v):
     return (v + (v >> 4)) & 0x0F
 
 
-def _prefetch_ok(prefetch, *, hbm_tris, dual, dual2, pair_pops, kz_tables):
-    """Eligibility gate for cross-step double-buffered leaf DMA.
-
-    Single source of truth: trace_packets uses it to resolve the user flag,
-    _run_kernel to size the doubled staging scratch + DMA semaphores (the
-    kernel asserts on, but trusts, the result).  Requires the dual leaf
-    queue (the carried next-top protocol) and HBM-resident triangles (the
-    DMA path); excluded from dual2/pair_pops/kz_tables which restructure
-    the leaf pop the carry protocol depends on."""
-    return bool(prefetch) and hbm_tris and dual and not (dual2 and dual) \
-        and not pair_pops and not kz_tables
-
-
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
-                 use_mask=False, kz_tables=False, pair_pops=False,
-                 dual2=False, kz_sel=False, prefetch=False,
-                 filter_fn=None, march=None, kz_static=None,
-                 tris128=False, leaf_flush=0, defer_t=False):
+                 use_mask=False, filter_fn=None, march=None,
+                 kz_static=None, tris128=False, leaf_loop=False):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
     incoherent bounce batches, slightly slower on coherent primaries).
 
-    prefetch=True (dual + HBM triangles only): cross-step double-buffered
-    leaf DMA.  The leaf queue's next top is known the moment this step's
-    pushes land, so its triangle rows are fetched into the OTHER half of
-    the staging buffer while this step's leaf phase runs — the DMA
-    issue/wait chatter (~3 us/step measured on HBM-resident scenes,
-    PERF_NOTES r2 atrium attribution) hides behind the biggest phase
-    instead of only the slab test.  Requires reordering pushes before the
-    leaf phase; any-mode termination becomes a post-leaf counter fixup."""
+    Pruned experiment flags (r4): kz_tables / kz_sel / dual2 / pair_pops /
+    prefetch / leaf_flush all measured neutral-to-losing on TPU — their
+    verdicts and the measurements live in docs/PERF_NOTES.md."""
     k_tris = leaf_size
     P = p_pk
     PKT = pkt
-    # The caller (_run_kernel) applies the prefetch eligibility gate and
-    # sizes the staging scratch + DMA semaphores to match (bufs=2); an
-    # ineligible combination reaching here would index past them.
-    assert not prefetch or (hbm_tris and dual and not dual2
-                            and not pair_pops and not kz_tables)
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys kept aligned with entries; the dual compaction drops them).
     prune = ordered and not dual and (narrow or islab)
@@ -170,9 +145,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     # -1 empties) so the root entry id IS the cell id — adoption stays
     # pure vector math + one packed-bit extract, no lookup table.
     # march = (dx, dy, dz, glo_x, glo_y, glo_z, cs_x, cs_y, cs_z).
-    assert march is None or not (dual or ordered or kz_tables or kz_sel
-                                 or pair_pops or prefetch or dual2
-                                 or not narrow), \
+    assert march is None or not (dual or ordered or not narrow), \
         "march composes with the plain mixed-stack kernel only"
     # kz_static: BATCH-uniform shear axis, fixed at compile time.  The
     # caller proved every ray's dominant |d| axis is kz_static (true by
@@ -180,11 +153,11 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     # a coordinate axis) and pre-rotated the ONE triangle table to match
     # — the leaf phase then reads vertex coords directly, dropping all 18
     # per-triangle axis-select ops with none of the costs that killed the
-    # dynamic variants (kz_tables: 3x table -> HBM DMA chatter; kz_sel:
-    # (P,1) column-select relayouts; kz_blocks: 3x code -> spills).
-    assert kz_static is None or (narrow and not kz_tables and not kz_sel
-                                 and march is None), \
-        "kz_static needs the narrow tri_test path without kz variants"
+    # dynamic kz variants (PERF_NOTES: kz_tables 3x table -> HBM DMA
+    # chatter; kz_sel (P,1) column-select relayouts; kz_blocks 3x code ->
+    # spills — all pruned in r4).
+    assert kz_static is None or (narrow and march is None), \
+        "kz_static needs the narrow tri_test path"
     # tris128: the VMEM-resident triangle table laid out (Tp*16/128, 128)
     # — 8 records per 128-lane row, exactly the HBM layout — instead of
     # (Tp, 16).  A (rows, 16) VMEM operand pads its 16 lanes to 128, so
@@ -193,11 +166,21 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     # costs logical bytes only, freeing ~49 MB for bigger scenes to stay
     # VMEM-resident (the atrium's leaf phase loses ~2x to HBM DMA
     # chatter, PERF_NOTES r2 attribution).
-    assert not tris128 or (not hbm_tris and not kz_tables and narrow
+    assert not tris128 or (not hbm_tris and narrow
                            and leaf_size % 8 == 0), \
         "tris128 is the VMEM narrow path with lane-aligned leaves"
-    dual2 = dual2 and dual
-    halves = 2 if dual2 else 1
+    # leaf_loop: run the leaf phase as a lax.fori_loop over chunks of 8
+    # triangles instead of a fully-unrolled K-chain.  Bounds Mosaic's
+    # scheduling scope to one chunk, which is what lets kz_static's
+    # select-free leaf math compile at K=16 without the register-spill
+    # storm that killed it unrolled (PERF_NOTES r3 kz_static entry: the
+    # 18 dynamic selects per triangle serialise the unrolled chains; with
+    # them gone the scheduler interleaves all K chains -> 146.9M spill
+    # slots).  Chunk-local reads: one (8, 16) dynamic-slice block per
+    # packet per chunk (legacy layout) or one (1, 128) row per packet
+    # (tris128/HBM layout).
+    assert not leaf_loop or (narrow and leaf_size % 8 == 0), \
+        "leaf_loop needs the narrow leaf path and leaf_size % 8 == 0"
     # `lesion` (perf diagnosis only — WRONG RESULTS): a set of component
     # names to disable so a TPU sweep attributes step time to kernel
     # phases.  Supported: noselk noupdv nodiv noleaf noslab.
@@ -208,7 +191,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
     def kernel(roots_ref,  # (n_packets,) i32 scalar-prefetch (SMEM)
                qmask_ref,  # (1,) i32 scalar-prefetch: filter query mask
-               kzs_ref,  # (n_packets,) i32 scalar-prefetch: packet kz bin
                nodes_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
@@ -340,62 +322,19 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
         assert P <= 32, "int_pack/leaf_pack bitmasks hold at most 32 packets"
 
-        if kz_tables:
-            # Per-packet rotated-table base rows, hoisted: the packet's kz
-            # bin is block-invariant, and prefetch-SMEM reads inside the
-            # traversal loop body faulted the chip.  Tail padding packets
-            # carry kz=3 -> clamp to table 2 (dead rays never hit).
-            tbl_rows = tris_ref.shape[0] // 3
-            kz_bases = [
-                jnp.minimum(kzs_ref[pid * P + p], 2) * tbl_rows
-                for p in range(P)
-            ]
         if hbm_tris:
-            # One DMA descriptor per (buffer half, dual2 half, packet).
-            # `par` selects the staging half under prefetch (0 otherwise);
-            # identical (t0, par) arguments reconstruct the exact
-            # descriptor, so waits can pair with starts issued a step
-            # earlier (DMA objects cannot ride the while-loop carry).
+            # One DMA descriptor per packet.  Identical t0 arguments
+            # reconstruct the exact descriptor, so waits can pair with
+            # starts issued earlier in the step.
             rows_per_leaf = k_tris // 8
-            stage_rows = halves * P * rows_per_leaf
 
-            def leaf_dma(p, t0, par=0, h=0):
-                row0 = t0 // 8
-                if kz_tables:
-                    row0 = row0 + kz_bases[p]
-                off = par * stage_rows if prefetch else 0
-                sem = (par * halves * P if prefetch else 0) + h * P + p
+            def leaf_dma(p, t0):
                 return pltpu.make_async_copy(
-                    tris_ref.at[pl.ds(row0, rows_per_leaf), :],
-                    stage_tris.at[
-                        pl.ds(off + (h * P + p) * rows_per_leaf,
-                              rows_per_leaf), :],
-                    tri_sems.at[sem],
+                    tris_ref.at[pl.ds(t0 // 8, rows_per_leaf), :],
+                    stage_tris.at[pl.ds(p * rows_per_leaf,
+                                        rows_per_leaf), :],
+                    tri_sems.at[p],
                 )
-
-        if kz_sel:
-            # kz-uniform packets (caller binned rays by shear axis): the
-            # vertex-coordinate axis selects become per-PACKET (rows, 1)
-            # column selects instead of full (rows, PKT) tile selects —
-            # 18 of them per triangle, the bulk of the leaf phase's
-            # non-arithmetic ops — with ONE triangle table (the 3x
-            # pre-rotated kz_tables variant forces HBM residency and lost
-            # 7x to DMA chatter, PERF_NOTES).  Pad rays inside a packet
-            # may disagree with the packet kz but are dead (max_t <=
-            # min_t) and can never record hits.
-            pcol0 = _iota_col(P)
-            kzc = jnp.full((P, 1), 2, jnp.int32)
-            for p in range(P):
-                kzc = jnp.where(pcol0 == p,
-                                jnp.minimum(kzs_ref[pid * P + p], 2), kzc)
-            kxc = jnp.where(kzc == 2, 0, kzc + 1)
-            kyc = jnp.where(kxc == 2, 0, kxc + 1)
-            kx0c, kx1c = kxc == 0, kxc == 1
-            ky0c, ky1c = kyc == 0, kyc == 1
-            kz0c, kz1c = kzc == 0, kzc == 1
-            if not narrow:
-                kxcK, kycK, kzcK = (_rep(kxc, k_tris), _rep(kyc, k_tris),
-                                    _rep(kzc, k_tris))
 
         # Dead rays (max_t <= min_t: padding and wavefront-compaction
         # convention) must contribute NOTHING to a packet's traversal
@@ -456,15 +395,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             # packet ~= max(node visits, leaf visits) instead of their sum.
             # Hit state lives in the OUTPUT refs, not the loop carry: a
             # (P, PKT) x4 carry spills the whole register file every step.
-            if prefetch:
-                # lraws_c: each packet's leaf-queue top, read at the END of
-                # the previous step (right after its pushes) — the pop
-                # below needs no stack read.  t0s_c: the triangle-table
-                # offsets the previous step's DMA starts used (wait
-                # descriptors must match them exactly).  parity: which
-                # staging half those DMAs target.
-                _, sps_i, sps_l, lraws_c, t0s_c, parity = carry
-            elif march is not None:
+            if march is not None:
                 _, sps_i, sps_l, fin_mask = carry
             else:
                 _, sps_i, sps_l = carry
@@ -491,8 +422,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             int_pack = jnp.int32(0)
             leaf_pack = jnp.int32(0)
             tri0s = []
-            tri0s2 = []
-            leaf_pack2 = jnp.int32(0)
             pop_rows = []
             raw0 = None
             for p in range(P):
@@ -509,25 +438,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 row = stack_ref[
                     pl.ds(p * STACK_D + jnp.maximum(spi - 1, 0), 1), :]
                 pop_rows.append(row)
-                if dual and pair_pops:
-                    # Paired pop: both queues' tops are u16-encoded (see
-                    # push below), combined vectorially and pulled to the
-                    # scalar core with ONE vector->scalar extract instead
-                    # of two — the extract chain is the dominant per-step
-                    # scalar cost (PERF_NOTES r2 lesion attribution).
-                    spl = sps_l[p]
-                    lrow = stack_ref[
-                        pl.ds(p * STACK_D + LEAF_BASE
-                              + jnp.maximum(spl - 1, 0), 1), :]
-                    comb = (row & 0xFFFF) | (lrow << 16)
-                    cv = comb[0, 0]
-                    iv16 = cv & 0xFFFF
-                    raw = jnp.where(iv16 >= 0x8000, -1, iv16)
-                    lv16 = (cv >> 16) & 0xFFFF
-                    lraw = jnp.where(
-                        lv16 == 0xFFFF, -1,
-                        -(lv16 & 0x7FFF) - 2).astype(jnp.int32)
-                elif "onepop" in lesion and p > 0:
+                if "onepop" in lesion and p > 0:
                     raw = raw0  # DIAGNOSTIC ONLY: wrong traversal
                 else:
                     raw = row[0, 0]
@@ -544,33 +455,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 if dual:
                     spl = sps_l[p]
                     al = spl > 0
-                    if prefetch:
-                        lraw = lraws_c[p]
-                    elif not pair_pops:
-                        lrow = stack_ref[
-                            pl.ds(p * STACK_D + LEAF_BASE
-                                  + jnp.maximum(spl - 1, 0), 1), :]
-                        lraw = lrow[0, 0]
+                    lrow = stack_ref[
+                        pl.ds(p * STACK_D + LEAF_BASE
+                              + jnp.maximum(spl - 1, 0), 1), :]
+                    lraw = lrow[0, 0]
                     al = al & (lraw <= -2)
                     lent = jnp.where(al, lraw, -2)
-                    if dual2:
-                        # Drain TWO pending leaves per step: leaf
-                        # production (~2 per internal pop) outruns a
-                        # 1/step drain, so steps are leaf-bound; the
-                        # second pop halves them (PERF_NOTES r2).
-                        lrow2 = stack_ref[
-                            pl.ds(p * STACK_D + LEAF_BASE
-                                  + jnp.maximum(spl - 2, 0), 1), :]
-                        lraw2 = lrow2[0, 0]
-                        al2 = (spl > 1) & (lraw2 <= -2)
-                        lent2 = jnp.where(al2, lraw2, -2)
-                        leaf_pack2 = leaf_pack2 | (
-                            al2.astype(jnp.int32) << p)
-                        tri0s2.append((-lent2 - 2) * k_tris)
-                        new_spl.append(
-                            spl - jnp.minimum(spl, 2).astype(jnp.int32))
-                    else:
-                        new_spl.append(spl - (spl > 0).astype(jnp.int32))
+                    new_spl.append(spl - (spl > 0).astype(jnp.int32))
                 else:
                     # Single mixed stack: the popped entry is internal
                     # (>= 0), a leaf (<= -2), or a -1 filler.
@@ -581,20 +472,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 tri0s.append((-lent - 2) * k_tris)
 
             # ---- stage node child rows + leaf triangle rows ----
-            if hbm_tris and not prefetch:
+            if hbm_tris:
                 # Triangles live in HBM (VMEM can't hold big scenes) as
                 # (Tp*16/128, 128) rows — 8 triangle records per row, so a
                 # leaf's K tris are whole 128-lane-aligned rows (DMA slices
                 # must be lane-aligned).  Start the copies now; they overlap
-                # the slab phase below.  (Under prefetch these copies were
-                # started at the END of the previous step instead.)
+                # the slab phase below.
                 dmas = []
-                for h in range(halves):
-                    t0s = tri0s if h == 0 else tri0s2
-                    for p in range(P):
-                        dma = leaf_dma(p, t0s[p], 0, h)
-                        dma.start()
-                        dmas.append(dma)
+                for p in range(P):
+                    dma = leaf_dma(p, tri0s[p])
+                    dma.start()
+                    dmas.append(dma)
             @pl.when(int_pack != 0)
             def _stage_node_rows():
                 for p in range(P):
@@ -602,36 +490,26 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         pl.ds(ents[p] * W, W), :]
 
             if not hbm_tris:
-                @pl.when((leaf_pack | (leaf_pack2 if dual2 else 0)) != 0)
+                @pl.when(leaf_pack != 0)
                 def _stage_tri_rows():
-                    for h in range(halves):
-                        t0s = tri0s if h == 0 else tri0s2
-                        for p in range(P):
-                            src0 = t0s[p]
-                            if kz_tables:
-                                src0 = src0 + kz_bases[p]
-                            if tris128:
-                                # 8 records per 128-lane row: a leaf's K
-                                # tris are K/8 whole rows (src0 = leaf
-                                # id * K, K % 8 == 0 asserted).
-                                rpl = k_tris // 8
-                                stage_tris[
-                                    pl.ds((h * P + p) * rpl, rpl), :
-                                ] = tris_ref[pl.ds(src0 // 8, rpl), :]
-                            else:
-                                stage_tris[
-                                    pl.ds((h * P + p) * k_tris, k_tris), :
-                                ] = tris_ref[pl.ds(src0, k_tris), :]
+                    for p in range(P):
+                        src0 = tri0s[p]
+                        if tris128:
+                            # 8 records per 128-lane row: a leaf's K
+                            # tris are K/8 whole rows (src0 = leaf
+                            # id * K, K % 8 == 0 asserted).
+                            rpl = k_tris // 8
+                            stage_tris[
+                                pl.ds(p * rpl, rpl), :
+                            ] = tris_ref[pl.ds(src0 // 8, rpl), :]
+                        else:
+                            stage_tris[
+                                pl.ds(p * k_tris, k_tris), :
+                            ] = tris_ref[pl.ds(src0, k_tris), :]
 
             int_vec = _bits_to_col_mask(int_pack, P)  # (P,1)
             leaf_vec = _bits_to_col_mask(leaf_pack, P)
             tri0_col = _scalars_to_col(tri0s, P)
-            if dual2:
-                leaf_vec2 = _bits_to_col_mask(leaf_pack2, P)
-                tri0_col2 = _scalars_to_col(tri0s2, P)
-                leaf_any = leaf_pack | leaf_pack2
-            else:
-                leaf_any = leaf_pack
             below = (1 << iota_w) - 1  # bits strictly below lane w
             if prune:
                 # Stale-subtree pruning (the packet analogue of rtk's
@@ -872,16 +750,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 # across lanes; entries transposed so packet p's pushes are
                 # column p).  f_all (any-mode): bit p set terminates packet
                 # p (its counters zero; the stores are then never read). ----
-                ci, cl = comp_i, comp_l
-                if dual and pair_pops:
-                    # u16-encode stack entries so paired pops can pull both
-                    # queue tops through one extract.  Internal ids stay raw
-                    # (< 0x8000, gated by the caller); leaf codes fold to
-                    # 0x8000 | leaf_id; fillers become 0xFFFF.
-                    ci = jnp.where(ci >= 0, ci, 0xFFFF)
-                    cl = jnp.where(cl <= -2, 0x8000 | (-cl - 2), 0xFFFF)
-                comp_i_t = ci.T  # (W, P)
-                comp_l_t = cl.T if dual else None
+                comp_i_t = comp_i.T  # (W, P)
+                comp_l_t = comp_l.T if dual else None
                 if prune:
                     comp_k_t = pltpu.bitcast(comp_k, jnp.int32).T  # (W, P)
                     iota8 = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 1)
@@ -926,32 +796,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     final_spl.append(spl)
                     total = (total + spi + spl).astype(jnp.int32)
                 return total, final_spi, final_spl
-
-            if prefetch:
-                # Pushes land BEFORE the leaf phase (they only touch the
-                # stack, which the leaf phase never reads), so each leaf
-                # queue's next top is known now: read it and start the next
-                # step's triangle DMAs into the OTHER staging half — they
-                # overlap this step's whole leaf phase plus the next step's
-                # pop/slab chain instead of just the slab test.
-                total_pf, fspi_pf, fspl_pf = do_push()
-                nlraws, nt0s = [], []
-                for p in range(P):
-                    spl_n = fspl_pf[p]
-                    lrow = stack_ref[
-                        pl.ds(p * STACK_D + LEAF_BASE
-                              + jnp.maximum(spl_n - 1, 0), 1), :]
-                    nlraw = lrow[0, 0]
-                    # Empty queues (or -1 fillers) fetch row 0: the row is
-                    # never read (the pop gates on the same predicate), but
-                    # the offset must stay in bounds.
-                    nt0 = jnp.where((spl_n > 0) & (nlraw <= -2),
-                                    (-nlraw - 2) * k_tris,
-                                    0).astype(jnp.int32)
-                    nlraws.append(nlraw.astype(jnp.int32))
-                    nt0s.append(nt0)
-                for p in range(P):
-                    leaf_dma(p, nt0s[p], 1 - parity).start()
 
             # ---- leaf tests ----
             def leaf_uvwt(verts, kx_, ky_, kz_, sx_, sy_, sz_,
@@ -1007,16 +851,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 return t, u * rcp_det, v * rcp_det, ok
 
             if hbm_tris:
-                # DMA waits must pair with the unconditional starts (issued
-                # above — or, under prefetch, at the end of the PREVIOUS
-                # step, reconstructed here from the carried offsets), so
-                # they stay outside the leaf-phase gating branch.
-                if prefetch:
-                    for p in range(P):
-                        leaf_dma(p, t0s_c[p], parity).wait()
-                else:
-                    for dma in dmas:
-                        dma.wait()
+                # DMA waits must pair with the unconditional starts issued
+                # above, so they stay outside the leaf-phase gating branch.
+                for dma in dmas:
+                    dma.wait()
             if hbm_tris or narrow:
                 # One triangle slot per iteration on (P, PKT) register-
                 # resident tiles.  The exact-sign recompute is deferred:
@@ -1034,19 +872,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     for j in range(3):
                         vx, vy, vz = (verts[3 * j], verts[3 * j + 1],
                                       verts[3 * j + 2])
-                        if (kz_tables or kz_static is not None
-                                or "noselk" in lesion):
-                            # kz_tables / kz_static: vertex coords arrive
-                            # pre-rotated to (kx, ky, kz) for this packet's
-                            # bin (or the whole batch's static axis).
+                        if kz_static is not None or "noselk" in lesion:
+                            # kz_static: vertex coords arrive pre-rotated
+                            # to the batch's static (kx, ky, kz) axes.
                             px, py, pz = vx - o_kx, vy - o_ky, vz - o_kz
-                        elif kz_sel:
-                            # kz-uniform packet: per-packet (P, 1) column
-                            # selects on the (P, 1) vertex columns instead
-                            # of full (P, PKT) tile selects.
-                            px = selk(kx0c, kx1c, vx, vy, vz) - o_kx
-                            py = selk(ky0c, ky1c, vx, vy, vz) - o_ky
-                            pz = selk(kz0c, kz1c, vx, vy, vz) - o_kz
                         else:
                             px = selk(kx0, kx1, vx, vy, vz) - o_kx
                             py = selk(ky0, ky1, vx, vy, vz) - o_ky
@@ -1109,74 +938,97 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     return t, un, vn, ok, need
 
                 if hbm_tris or tris128:
-                    # staged as (halves*P*rows_per_leaf, 128): 8 records
-                    # per row; half h of packet p at row block h*P+p.
-                    # Under prefetch the buffer is doubled and this step's
-                    # rows live in the `parity` half (sublane slices of a
+                    # staged as (P*rows_per_leaf, 128): 8 records per row;
+                    # packet p at row block p (sublane slices of a
                     # (rows, 128) scratch are free).
-                    if prefetch:
-                        st_rows = stage_tris[
-                            pl.ds(parity * stage_rows, stage_rows), :]
-                    else:
-                        st_rows = stage_tris[:]
-                    st3 = st_rows.reshape(halves * P, k_tris // 8, 128)
+                    st3 = stage_tris[:].reshape(P, k_tris // 8, 128)
 
                     n_cols = 12 if filter_fn is not None else 10
 
-                    def verts_of(h, k):
+                    def verts_of(k):
                         r, s16 = k // 8, (k % 8) * 16
-                        blk = st3[h * P:(h + 1) * P]
-                        return [blk[:, r, s16 + c:s16 + c + 1]
+                        return [st3[:, r, s16 + c:s16 + c + 1]
                                 for c in range(n_cols)]
                 else:
-                    t3 = stage_tris[:].reshape(halves * P, k_tris, 16)
+                    t3 = stage_tris[:].reshape(P, k_tris, 16)
                     n_cols = 12 if filter_fn is not None else 10
 
-                    def verts_of(h, k):
-                        r = t3[h * P:(h + 1) * P, k, :]  # (P, 16)
+                    def verts_of(k):
+                        r = t3[:, k, :]  # (P, 16)
                         return [r[:, c:c + 1] for c in range(n_cols)]
 
-                def leaf_pass(hits_in, exact):
-                    h_t, h_u, h_v, h_s = hits_in
-                    needv = jnp.zeros((P, PKT), jnp.int32)
-                    for h in range(halves):
-                        lv = leaf_vec if h == 0 else leaf_vec2
-                        t0c = tri0_col if h == 0 else tri0_col2
+                def _tri_update(carry, verts, slot_idx, exact):
+                    h_t, h_u, h_v, h_s, needv = carry
+                    tk, uk, vk, okk, need = tri_test(verts, exact)
+                    if watertight and not exact:
+                        needv = needv | need.astype(jnp.int32)
+                    upd = okk & leaf_vec & (tk < h_t)
+                    h_t = jnp.where(upd, tk, h_t)
+                    if "noupdv" not in lesion:
+                        h_u = jnp.where(upd, uk, h_u)
+                        h_v = jnp.where(upd, vk, h_v)
+                    h_s = jnp.where(upd, tri0_col + slot_idx, h_s)
+                    return h_t, h_u, h_v, h_s, needv
+
+                if leaf_loop:
+                    # Chunked fori_loop: 8 triangles per iteration (the
+                    # scope kz_static compiles cleanly at), carries the
+                    # hit state — Mosaic cannot interleave across
+                    # iterations, so register pressure is one chunk's.
+                    if hbm_tris or tris128:
+                        def chunk_verts(r):
+                            rows = [stage_tris[
+                                pl.ds(p * (k_tris // 8) + r, 1), :]
+                                for p in range(P)]
+                            tile = jnp.concatenate(rows, axis=0)  # (P,128)
+                            return [
+                                [tile[:, j * 16 + c:j * 16 + c + 1]
+                                 for c in range(n_cols)]
+                                for j in range(8)]
+                    else:
+                        def chunk_verts(r):
+                            blocks = [stage_tris[
+                                pl.ds(p * k_tris + r * 8, 8), :]
+                                for p in range(P)]
+                            out = []
+                            for j in range(8):
+                                tile = jnp.concatenate(
+                                    [b[j:j + 1, :] for b in blocks],
+                                    axis=0)  # (P, 16)
+                                out.append([tile[:, c:c + 1]
+                                            for c in range(n_cols)])
+                            return out
+
+                    def leaf_pass(hits_in, exact):
+                        h_t, h_u, h_v, h_s = hits_in
+                        init = (h_t, h_u, h_v, h_s,
+                                jnp.zeros((P, PKT), jnp.int32))
+
+                        def body_r(r, carry):
+                            vs = chunk_verts(r)
+                            for j in range(8):
+                                carry = _tri_update(carry, vs[j],
+                                                    r * 8 + j, exact)
+                            return carry
+
+                        h_t, h_u, h_v, h_s, needv = jax.lax.fori_loop(
+                            0, k_tris // 8, body_r, init)
+                        return (h_t, h_u, h_v, h_s), needv
+                else:
+                    def leaf_pass(hits_in, exact):
+                        h_t, h_u, h_v, h_s = hits_in
+                        carry = (h_t, h_u, h_v, h_s,
+                                 jnp.zeros((P, PKT), jnp.int32))
                         for k in range(k_tris):
-                            tk, uk, vk, okk, need = tri_test(
-                                verts_of(h, k), exact)
-                            if watertight and not exact:
-                                needv = needv | need.astype(jnp.int32)
-                            upd = okk & lv & (tk < h_t)
-                            h_t = jnp.where(upd, tk, h_t)
-                            if "noupdv" not in lesion:
-                                h_u = jnp.where(upd, uk, h_u)
-                                h_v = jnp.where(upd, vk, h_v)
-                            h_s = jnp.where(upd, t0c + k, h_s)
-                            if (leaf_flush and (k + 1) % leaf_flush == 0
-                                    and k + 1 < k_tris):
-                                # Scheduling fence: without it Mosaic
-                                # interleaves all K unrolled triangle
-                                # chains (profitable ILP with the select
-                                # chains; register-spill hell without
-                                # them under kz_static — 146.9M spill
-                                # slots at K=16, sahq2_67m probe).
-                                # optimization_barrier is unimplemented
-                                # in Mosaic, so round-trip the carries
-                                # through the output refs (a memory
-                                # dependency the scheduler must respect;
-                                # mid-phase ref values are overwritten
-                                # at phase end either way).
-                                out_t[:], out_u[:] = h_t, h_u
-                                out_v[:], out_slot[:] = h_v, h_s
-                                h_t, h_u = out_t[:], out_u[:]
-                                h_v, h_s = out_v[:], out_slot[:]
-                    return (h_t, h_u, h_v, h_s), needv
+                            carry = _tri_update(carry, verts_of(k), k,
+                                                exact)
+                        h_t, h_u, h_v, h_s, needv = carry
+                        return (h_t, h_u, h_v, h_s), needv
 
                 if "noleaf" in lesion:
                     pass  # lesion: leaf phase elided entirely
                 else:
-                  @pl.when(leaf_any != 0)
+                  @pl.when(leaf_pack != 0)
                   def _leaf_phase():
                     hits_in = (hit_t, out_u[:], out_v[:], out_slot[:])
                     if watertight and interpret:
@@ -1202,11 +1054,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     h_v, h_s = out_v[:], out_slot[:]
                     trows = stage_tris[:]  # (P*K, 16)
                     verts = [trows[:, c:c + 1] for c in range(9)]
-                    # kz_sel: (P*K, 1) packet-kz columns make the vertex
-                    # axis selects column ops instead of full-tile ops.
-                    ks = (kxcK, kycK, kzcK) if kz_sel else (kxK, kyK, kzK)
                     t, u, v, ok = leaf_uvwt(
-                        verts, *ks, sxK, syK, szK, oxK, oyK, ozK,
+                        verts, kxK, kyK, kzK, sxK, syK, szK, oxK, oyK, ozK,
                         mintK, lazy=True)
                     if use_mask:
                         tm = trows[:, 9:10].astype(jnp.int32)
@@ -1249,29 +1098,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                 .astype(jnp.int32),
                                 axis=1, keepdims=True)  # (P,1)
                 f_all = jnp.sum(found << pcol)  # one bit per packet
-
-            if prefetch:
-                # Pushes already landed before the leaf phase; any-mode
-                # termination becomes a counter fixup here (the prefetched
-                # DMA for a terminated packet still completes — its wait
-                # next step uses the carried offsets, and the data is never
-                # read because the pop gates on spl > 0).
-                if mode == "any":
-                    total = jnp.int32(0)
-                    fspi, fspl = [], []
-                    for p in range(P):
-                        done = (f_all >> p) & 1
-                        si = jnp.where(done == 1, 0,
-                                       fspi_pf[p]).astype(jnp.int32)
-                        sl = jnp.where(done == 1, 0,
-                                       fspl_pf[p]).astype(jnp.int32)
-                        fspi.append(si)
-                        fspl.append(sl)
-                        total = (total + si + sl).astype(jnp.int32)
-                else:
-                    total, fspi, fspl = total_pf, fspi_pf, fspl_pf
-                return (total, tuple(fspi), tuple(fspl), tuple(nlraws),
-                        tuple(nt0s), (1 - parity).astype(jnp.int32))
 
             total, final_spi, final_spl = do_push(
                 f_all if mode == "any" else None)
@@ -1403,17 +1229,6 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             tuple(jnp.int32(1) for _ in range(P)),  # int stacks hold the root
             tuple(jnp.int32(0) for _ in range(P)),  # leaf queues empty
           )
-        if prefetch:
-            # Prologue: the first step's waits need matching starts.  The
-            # leaf queues are empty, so fetch row 0 into half 0 — the pop
-            # gates on spl > 0 and never reads it.
-            for p in range(P):
-                leaf_dma(p, jnp.int32(0), 0).start()
-            init = init + (
-                tuple(jnp.int32(-1) for _ in range(P)),  # carried tops
-                tuple(jnp.int32(0) for _ in range(P)),   # carried DMA t0s
-                jnp.int32(0),                            # staging parity
-            )
         if stats:
             def body_counted(carry):
                 inner, steps = carry
@@ -1423,13 +1238,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 lambda c: cond(c[0]), body_counted, (init, jnp.int32(0)))
             out_steps[:] = jnp.full((P, PKT), steps, jnp.int32)
         else:
-            carry = jax.lax.while_loop(cond, body, init)
-        if prefetch:
-            # Drain: the final step issued one more round of DMAs that no
-            # step waits on; balance them (identical descriptors, carried).
-            _, _, _, _, ft0s, fpar = carry
-            for p in range(P):
-                leaf_dma(p, ft0s[p], fpar).wait()
+            jax.lax.while_loop(cond, body, init)
 
     return kernel
 
@@ -1439,31 +1248,21 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     static_argnames=("mode", "watertight", "interpret", "num_tris",
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
-                     "use_mask", "kz_tables", "pair_pops", "dual2",
-                     "kz_sel", "prefetch", "filter_fn", "march",
-                     "kz_static", "tris128", "leaf_flush"),
+                     "use_mask", "filter_fn", "march", "kz_static",
+                     "tris128", "leaf_loop"),
 )
-def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
+def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
                 p_pk=DEFAULT_P, hbm_tris=False, dual=False, pkt=PKT,
                 narrow=True, ordered=False, islab=False, lesion=None,
-                use_mask=False, kz_tables=False, pair_pops=False,
-                dual2=False, kz_sel=False, prefetch=False, filter_fn=None,
-                march=None, kz_static=None, tris128=False, leaf_flush=0,
-                defer_t=False):
+                use_mask=False, filter_fn=None,
+                march=None, kz_static=None, tris128=False,
+                leaf_loop=False):
     P = p_pk
     PKT = pkt
-    halves = 2 if (dual2 and dual) else 1
-    # Effective prefetch — the ONE place the eligibility gate is applied
-    # (the staging buffer and semaphore array double under it; the kernel
-    # asserts on, but trusts, this decision).
-    prefetch = _prefetch_ok(prefetch, hbm_tris=hbm_tris, dual=dual,
-                            dual2=dual2, pair_pops=pair_pops,
-                            kz_tables=kz_tables)
-    bufs = 2 if prefetch else 1
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
-    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask, kzs: (i, 0),
+    ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tris
@@ -1472,29 +1271,25 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
                           hbm_tris=hbm_tris, dual=dual, pkt=PKT,
                           narrow=narrow, interpret=interpret,
                           ordered=ordered, islab=islab, lesion=lesion,
-                          use_mask=use_mask, kz_tables=kz_tables,
-                          pair_pops=pair_pops, dual2=dual2, kz_sel=kz_sel,
-                          prefetch=prefetch, filter_fn=filter_fn,
+                          use_mask=use_mask, filter_fn=filter_fn,
                           march=march, kz_static=kz_static,
-                          tris128=tris128, leaf_flush=leaf_flush)
+                          tris128=tris128, leaf_loop=leaf_loop)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(grid,),
         # filter_fn adds a 9th ray component: the caller ray index tile.
         in_specs=[full(), tri_spec] + [ray_spec] * len(ray_comps),
         out_specs=[ray_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((P * W, 8), jnp.int32),
-            (pltpu.VMEM((bufs * halves * P * leaf_size // 8, 128),
-                        jnp.float32)
+            (pltpu.VMEM((P * leaf_size // 8, 128), jnp.float32)
              if hbm_tris or tris128
-             else pltpu.VMEM((halves * P * leaf_size, 16), jnp.float32)),
+             else pltpu.VMEM((P * leaf_size, 16), jnp.float32)),
             pltpu.VMEM((P * STACK_D, 8), jnp.int32),
-        ] + ([pltpu.SemaphoreType.DMA((bufs * halves * P,))]
-             if hbm_tris else [])
+        ] + ([pltpu.SemaphoreType.DMA((P,))] if hbm_tris else [])
           + ([pltpu.VMEM((3 * P, PKT), jnp.int32),   # march cell ix/iy/iz
               pltpu.VMEM((3 * P, PKT), jnp.float32),  # march tmx/tmy/tmz
               pltpu.VMEM((P, PKT), jnp.int32)]        # march in-cell mask
@@ -1510,7 +1305,7 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, kzs, *, mode,
             jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((n_rows, PKT), jnp.int32)] if stats else []),
         interpret=interpret,
-    )(roots, qmask, kzs, nodes, tris, *ray_comps)
+    )(roots, qmask, nodes, tris, *ray_comps)
     return out
 
 
@@ -1536,9 +1331,8 @@ def _trace_impl_jit(tpu: bool):
         static_argnames=("mode", "watertight", "interpret", "p_pk",
                          "hbm_tris", "dual", "pkt", "narrow", "sort_rays",
                          "ordered", "islab", "lesion", "use_mask",
-                         "stats", "pair_pops", "dual2", "kz_sel",
-                         "prefetch", "filter_fn", "march", "kz_static",
-                         "tris128", "leaf_flush", "defer_uv"),
+                         "stats", "filter_fn", "march", "kz_static",
+                         "tris128", "leaf_loop", "defer_uv"),
         compiler_options=opts)
 
 
@@ -1556,9 +1350,9 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                    qmask=None, *, mode, watertight, interpret, p_pk,
                    hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
                    islab=False, lesion=None, use_mask=False, stats=False,
-                   pair_pops=False, dual2=False, kz_sel=False,
-                   prefetch=False, filter_fn=None, march=None,
-                   kz_static=None, tris128=None, leaf_flush=0, defer_uv=False):
+                   filter_fn=None, march=None,
+                   kz_static=None, tris128=None, leaf_loop=False,
+                   defer_uv=False):
     """One fused dispatch: coherence sort -> packet kernel -> unsort ->
     hit-record assembly.  (This runtime charges every dispatch a fixed
     multi-ms penalty once Pallas is in play, so the whole trace must be a
@@ -1566,53 +1360,8 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     n = origin.shape[0]
     PKT = pkt
     idx = None
-    kzb = packed.kz_tables
-    bin_kz = kzb or kz_sel
     n2 = n
-    kz_keys = None
-    if bin_kz:
-        # Bin rays by shear dominant axis so every packet is kz-uniform
-        # (the pre-rotated triangle tables assume it).  3*PKT synthetic
-        # pad rows get runtime-assigned bins so each bin's run is a whole
-        # number of packets; leftovers sort behind everything as
-        # pseudo-bin 3 (dead rays; the kernel clamps the table index).
-        from rtk_tpu.ops.morton import ray_coherence_key
-
-        ad = jnp.abs(direction)
-        maxc = jnp.max(ad, axis=1)
-        # must match the kernel's per-ray rule exactly
-        kzr = jnp.where(ad[:, 0] == maxc, 0,
-                        jnp.where(ad[:, 1] == maxc, 1, 2)).astype(jnp.uint32)
-        # lax.sort is not stable: without a sub-key the bin sort would
-        # scramble the caller's (often Morton-pre-sorted) ray order and
-        # wreck packet coherence.  Preserve it with the original index.
-        sub = (ray_coherence_key(origin, direction) >> 2 if sort_rays
-               else jnp.arange(n, dtype=jnp.uint32))
-        key = (kzr << jnp.uint32(30)) | sub
-        counts = jnp.bincount(kzr.astype(jnp.int32), length=3)
-        need = ((-counts) % PKT).astype(jnp.int32)
-        cum = jnp.cumsum(need)
-        j = jnp.arange(3 * PKT, dtype=jnp.int32)
-        pk = jnp.where(j < cum[0], 0,
-                       jnp.where(j < cum[1], 1,
-                                 jnp.where(j < cum[2], 2, 3))).astype(
-                                     jnp.uint32)
-        pad_key = (pk << jnp.uint32(30)) | jnp.uint32(0x2FFFFFFF)
-        key = jnp.concatenate([key, pad_key])
-        n2 = n + 3 * PKT
-
-        def ext(a, fill):
-            return jnp.concatenate(
-                [a, jnp.full((3 * PKT,), fill, a.dtype)])
-
-        idx = jnp.arange(n2, dtype=jnp.int32)
-        (kz_keys, idx, c0, c1, c2, c3, c4, c5, c6, c7) = jax.lax.sort(
-            (key, idx, ext(origin[:, 0], 0.0), ext(origin[:, 1], 0.0),
-             ext(origin[:, 2], 0.0), ext(direction[:, 0], 1.0),
-             ext(direction[:, 1], 0.0), ext(direction[:, 2], 0.0),
-             ext(min_t, 0.0), ext(max_t, 0.0)), num_keys=1)
-        comps8 = (c0, c1, c2, c3, c4, c5, c6, c7)
-    elif sort_rays:
+    if sort_rays:
         from rtk_tpu.ops.morton import ray_coherence_key
 
         key = ray_coherence_key(origin, direction)
@@ -1654,7 +1403,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     tris = packed.tris
     if kz_static is not None and kz_static != 2:
         # Rotate the single table's vertex columns to (kx, ky, kz) once —
-        # same convention as _tri_rows_kz (kx=(kz+1)%3, ky=(kz+2)%3); for
+        # convention kx=(kz+1)%3, ky=(kz+2)%3; for
         # kz=2 the packed layout already IS the rotated one.  A 16-column
         # permute of the whole table is a few MB, fused into this program.
         kxr, kyr = (kz_static + 1) % 3, (kz_static + 2) % 3
@@ -1672,7 +1421,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     #                       atrium-class scenes (~30 MB) stay VMEM-resident
     #                       instead of paying per-leaf-step HBM DMA chatter.
     if tris128 is None:
-        tris128 = (not hbm_tris and not packed.kz_tables and narrow
+        tris128 = (not hbm_tris and narrow
                    and packed.leaf_size % 8 == 0
                    and packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES)
     tris128 = bool(tris128) and not hbm_tris
@@ -1680,24 +1429,15 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
                   else tris)
     if qmask is None:
         qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
-    n_packets = npad // PKT
-    if bin_kz:
-        kzs = jnp.full((n_packets,), 3, jnp.int32)
-        n_full = n2 // PKT
-        kzs = kzs.at[:n_full].set(
-            (kz_keys[:n_full * PKT:PKT] >> jnp.uint32(30)).astype(jnp.int32))
-    else:
-        kzs = jnp.zeros((n_packets,), jnp.int32)
     out = _run_kernel(
-        packed.nodes, tris_table, ray_comps, roots, qmask, kzs,
+        packed.nodes, tris_table, ray_comps, roots, qmask,
         mode=mode, watertight=watertight, interpret=interpret,
         num_tris=packed.num_tris, leaf_size=packed.leaf_size, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=PKT, narrow=narrow,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
-        kz_tables=kzb, stats=stats, pair_pops=pair_pops, dual2=dual2,
-        kz_sel=kz_sel, prefetch=prefetch, filter_fn=filter_fn,
+        stats=stats, filter_fn=filter_fn,
         march=march, kz_static=kz_static, tris128=tris128,
-        leaf_flush=leaf_flush,
+        leaf_loop=leaf_loop,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]
@@ -1763,15 +1503,11 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   lesion: str | None = None,
                   filter_mask: int | None = None,
                   stats: bool = False,
-                  pair_pops: bool | None = None,
-                  dual2: bool = False,
-                  kz_sel: bool | None = None,
-                  prefetch: bool | None = None,
                   filter_fn=None,
                   march: tuple | None = None,
                   kz_static: int | None = None,
                   tris128: bool | None = None,
-                  leaf_flush: int = 0,
+                  leaf_loop: bool = False,
                   defer_uv: bool = False) -> PacketHits:
     """Trace rays with the Pallas packet kernel.
 
@@ -1830,46 +1566,30 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         # 2048-ray packets the vector phases dominate and the cheap
         # frustum test wins (+4% at 67M rays).
         islab = pkt >= 2048
-    if kz_sel is None:
-        # kz-uniform packets turn the leaf phase's 18 per-triangle
-        # (rows, PKT) axis selects into (rows, 1) column selects with one
-        # table.  Measured on v5e: 3.5x SLOWER at 4M rays and 12x at 67M
-        # than the plain leaf phase — the (P, 1) column selects force a
-        # relayout of every vertex column that costs far more than the
-        # full-tile selects they replace (docs/PERF_NOTES.md).  Stays a
-        # flag (bit-exact, tested) but never auto-enabled.
-        kz_sel = False
-    kz_sel = bool(kz_sel) and not packed.kz_tables
     if kz_static is not None:
         if kz_static not in (0, 1, 2):
             raise ValueError("kz_static must be 0, 1 or 2 (axis index)")
-        if packed.kz_tables or kz_sel:
-            raise ValueError("kz_static replaces the kz_tables/kz_sel "
-                             "variants; use one mechanism")
         if march is not None:
             raise ValueError("kz_static does not compose with march")
         if not narrow:
             raise ValueError("kz_static needs the narrow leaf path")
+    if leaf_loop and (packed.leaf_size % 8 or not narrow):
+        raise ValueError("leaf_loop needs lane-aligned leaves "
+                         "(leaf_size % 8 == 0) and the narrow leaf path")
     if tris128:
-        if packed.leaf_size % 8 or packed.kz_tables or not narrow:
+        if packed.leaf_size % 8 or not narrow:
             raise ValueError("tris128 needs lane-aligned leaves "
-                             "(leaf_size % 8 == 0), no kz_tables, and "
+                             "(leaf_size % 8 == 0) and "
                              "the narrow leaf path")
-    if kz_sel and packet_roots is not None:
-        raise ValueError("kz_sel rebins rays and cannot carry "
-                         "per-packet roots; pass kz_sel=False")
     if sort_rays and packet_roots is not None:
         raise ValueError("sort_rays cannot reorder rays that carry "
                          "per-packet roots; pass sort_rays=False")
-    if packed.kz_tables and packet_roots is not None:
-        raise ValueError("kz-binned scenes reorder rays and cannot carry "
-                         "per-packet roots; pack with kz_tables=False")
     if hbm_tris is None:
         nb = packed.tris.nbytes
         if nb <= VMEM_TRI_BUDGET_BYTES:
             hbm_tris = False  # legacy 16-lane VMEM layout (fastest)
         elif (nb <= VMEM128_TRI_BUDGET_BYTES and narrow
-              and not packed.kz_tables and packed.leaf_size % 8 == 0
+              and packed.leaf_size % 8 == 0
               and march is None):
             hbm_tris = False  # tris128 VMEM tier (auto in _trace_impl_fn)
         else:
@@ -1878,13 +1598,8 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         raise ValueError(
             "HBM-resident triangles require leaf_size % 8 == 0 "
             "(lane-aligned leaf rows); rebuild the scene accordingly")
-    # kz binning appends 3*pkt runtime-assigned pad rows BEFORE block
-    # padding (see _trace_impl_fn); the scalar-prefetch arrays must cover
-    # the same packet count or the kernel reads past them (SMEM OOB
-    # faulted the chip; interpret mode clamps, so CPU missed it).
-    n_eff = n + 3 * pkt if (packed.kz_tables or kz_sel) else n
-    pad = (-n_eff) % (p_pk * pkt)
-    n_packets = (n_eff + pad) // pkt
+    pad = (-n) % (p_pk * pkt)
+    n_packets = (n + pad) // pkt
     if packet_roots is None:
         roots = jnp.zeros((n_packets,), jnp.int32)
     else:
@@ -1898,25 +1613,6 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             roots = jnp.concatenate(
                 [roots, jnp.zeros((n_packets - roots.shape[0],),
                                   jnp.int32)])
-    if pair_pops is None:
-        # Measured NEUTRAL at the 67M headline (411.6 vs 410.6 ms) — the
-        # per-step extract chain is not individually the bottleneck at
-        # wide packets, so the default stays off; the flag remains for
-        # experiments.  When on: needs internal ids < 0x8000, leaf ids
-        # < 0x7FFF, dual mode.
-        pair_pops = False
-    pair_pops = (bool(pair_pops) and dual and not dual2
-                 and packed.num_nodes < 0x8000
-                 and packed.num_padded_tris // packed.leaf_size < 0x7FFF)
-    if prefetch is None:
-        # Cross-step double-buffered leaf DMA: pending TPU measurement
-        # (the ~3 us/step DMA chatter it hides was measured on HBM-
-        # resident scenes, PERF_NOTES r2 atrium attribution); off by
-        # default until the staged timing lands.
-        prefetch = False
-    prefetch = _prefetch_ok(bool(prefetch), hbm_tris=hbm_tris, dual=dual,
-                            dual2=dual2, pair_pops=pair_pops,
-                            kz_tables=packed.kz_tables)
     qmask = None
     if filter_mask is not None:
         qmask = jnp.full((1,), int(filter_mask) & 0xFFFFFF, jnp.int32)
@@ -1938,9 +1634,9 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         # march = (dx, dy, dz, glo_x, glo_y, glo_z, cs_x, cs_y, cs_z),
         # all python scalars (static — one kernel per grid geometry).
         # The packed table must have one root per cell (entry id == cell).
-        if dual or ordered or dual2 or packed.kz_tables:
+        if dual or ordered:
             raise ValueError("march composes with the plain mixed-stack "
-                             "kernel only (no dual/ordered/kz)")
+                             "kernel only (no dual/ordered)")
         march = (int(march[0]), int(march[1]), int(march[2]),
                  *(float(v) for v in march[3:9]))
     return _trace_impl(
@@ -1950,10 +1646,9 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
         sort_rays=sort_rays, ordered=ordered, islab=islab, lesion=lesion,
         use_mask=filter_mask is not None, stats=stats,
-        pair_pops=pair_pops, dual2=dual2 and dual, kz_sel=kz_sel,
-        prefetch=prefetch, filter_fn=filter_fn, march=march,
+        filter_fn=filter_fn, march=march,
         kz_static=None if kz_static is None else int(kz_static),
-        tris128=tris128, leaf_flush=int(leaf_flush), defer_uv=defer_uv)
+        tris128=tris128, leaf_loop=leaf_loop, defer_uv=defer_uv)
 
 
 def uniform_kz(rays: Rays) -> int | None:
@@ -2016,7 +1711,7 @@ def trace_packets_chunked(packed: PackedScene, rays: Rays,
     first = outs[0]
     cat = lambda f: jnp.concatenate([getattr(o, f) for o in outs])
     return first.replace(
-        hit=cat("hit"), t=cat("t"), u=cat("u"), v=cat("v"),
+        hit=cat("hit"), t=cat("t"), u_k=cat("u_k"), v_k=cat("v_k"),
         slot=cat("slot"), origin=rays.origin, direction=rays.direction)
 
 
@@ -2060,9 +1755,8 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
         sort_rays = n >= 16384
     if hbm_tris is None:
         hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
-    n_eff = n + 3 * pkt if packed.kz_tables else n  # see trace_packets
-    pad = (-n_eff) % (p_pk * pkt)
-    roots = jnp.zeros(((n_eff + pad) // pkt,), jnp.int32)
+    pad = (-n) % (p_pk * pkt)
+    roots = jnp.zeros(((n + pad) // pkt,), jnp.int32)
     return _refit_trace_jit(
         scene, packed, jnp.asarray(new_tri_pos, jnp.float32),
         jnp.asarray(rays.origin), jnp.asarray(rays.direction),
@@ -2102,10 +1796,9 @@ def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
     # frame — hoist it out of the scan: sort once here, trace each frame
     # with sort_rays=False, and un-permute the ray-indexed outputs once at
     # the end (one vmapped gather).  Saves F-1 multi-operand lax.sorts and
-    # F per-frame unscatters.  The kz_tables path keeps its in-trace sort
-    # (its bin-padding interleaves with packet layout).
+    # F per-frame unscatters.
     inv = None
-    if sort_rays and not packed.kz_tables:
+    if sort_rays:
         from rtk_tpu.ops.morton import ray_coherence_key
 
         key = ray_coherence_key(origin, direction)
@@ -2162,9 +1855,8 @@ def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
         sort_rays = n >= 16384
     if hbm_tris is None:
         hbm_tris = packed.tris.nbytes > VMEM_TRI_BUDGET_BYTES
-    n_eff = n + 3 * pkt if packed.kz_tables else n
-    pad = (-n_eff) % (p_pk * pkt)
-    roots = jnp.zeros(((n_eff + pad) // pkt,), jnp.int32)
+    pad = (-n) % (p_pk * pkt)
+    roots = jnp.zeros(((n + pad) // pkt,), jnp.int32)
     frames = jnp.asarray(frames_tri_pos, jnp.float32)
     t, u, v, slot, tri_v = _refit_trace_frames_jit(
         scene, packed, frames,

@@ -60,12 +60,6 @@ class PackedScene(struct.PyTreeNode):
     tri_perm: Array  # (Tp,) i32 old sorted-tri slot per new slot
     num_tris: int = struct.field(pytree_node=False)
     leaf_size: int = struct.field(pytree_node=False)
-    # kz_tables=True: `tris` holds THREE stacked tables (3*Tp rows), one
-    # per shear dominant axis kz, with vertex coords pre-rotated to
-    # (kx, ky, kz) order.  The trace layer then bins rays by kz so each
-    # packet stages its own rotation — the kernel's per-lane axis
-    # selects (18 ops/tri on the hot tiles) disappear.
-    kz_tables: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_nodes(self) -> int:
@@ -221,30 +215,13 @@ def _tri_rows(tri_v, valid, mask=None, mesh=None, prim=None):
         axis=1)
 
 
-def _tri_rows_kz(tri_v, valid, mask=None, mesh=None, prim=None):
-    """Three stacked kernel tables, vertex coords rotated per kz: table c
-    stores (v[kx], v[ky], v[kz]) with kx=(c+1)%3, ky=(c+2)%3."""
-    tables = []
-    for c in range(3):
-        kx, ky = (c + 1) % 3, (c + 2) % 3
-        tables.append(_tri_rows(tri_v[:, :, (kx, ky, c)], valid, mask,
-                                mesh, prim))
-    return jnp.concatenate(tables, axis=0)
-
-
-def pack_scene(scene: Scene, tri_mask=None,
-               kz_tables: bool = False) -> PackedScene:
+def pack_scene(scene: Scene, tri_mask=None) -> PackedScene:
     """Pack a built Scene for the Pallas packet kernel.
 
     tri_mask: optional (num_tris,) uint32 per-triangle filter-mask bits in
     ORIGINAL soup order (24 bits used).  A trace with filter_mask=m tests
     only triangles with (tri_mask & m) != 0 — the packet-kernel filter
-    family (arbitrary callables stay on the XLA stack engine).
-
-    kz_tables=True stores three axis-rotated triangle tables (3x table
-    memory; big scenes route to HBM automatically) so the kernel's leaf
-    phase skips its per-lane axis selects — the trace layer bins rays by
-    dominant axis."""
+    family (arbitrary callables stay on the XLA stack engine)."""
     k = scene.leaf_size
     if scene.num_leaves == 1:
         slot_src = np.full((1, W), -1, np.int64)
@@ -278,13 +255,12 @@ def pack_scene(scene: Scene, tri_mask=None,
             soup_of_sorted >= 0,
             tri_mask[np.clip(soup_of_sorted, 0, tri_mask.shape[0] - 1)], 0)
         mask_p = sorted_mask[np.asarray(tri_perm)].astype(np.float64)
-    rows_fn = _tri_rows_kz if kz_tables else _tri_rows
     tri_mesh_p = jnp.take(scene.tri_mesh, perm, axis=0)
     return PackedScene(
         nodes=nodes,
         meta=meta_j,
-        tris=rows_fn(tri_v, tri_prim_p >= 0, mask_p, tri_mesh_p,
-                     tri_prim_p),
+        tris=_tri_rows(tri_v, tri_prim_p >= 0, mask_p, tri_mesh_p,
+                       tri_prim_p),
         tri_v=tri_v,
         tri_vidx=jnp.take(scene.tri_vidx, perm, axis=0),
         tri_mesh=tri_mesh_p,
@@ -293,7 +269,6 @@ def pack_scene(scene: Scene, tri_mask=None,
         tri_perm=perm,
         num_tris=scene.num_tris,
         leaf_size=k,
-        kz_tables=kz_tables,
     )
 
 
@@ -481,11 +456,10 @@ def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:
     tri_v = jnp.take(scene.tri_v, packed.tri_perm, axis=0)
     tp = tri_v.shape[0]
     mask_col = packed.tris[:tp, MASK_COL]  # mask col rides along
-    rows_fn = _tri_rows_kz if packed.kz_tables else _tri_rows
     return packed.replace(
         nodes=nodes,
-        tris=rows_fn(tri_v, packed.tri_prim >= 0, mask_col,
-                     packed.tri_mesh, packed.tri_prim),
+        tris=_tri_rows(tri_v, packed.tri_prim >= 0, mask_col,
+                       packed.tri_mesh, packed.tri_prim),
         tri_v=tri_v)
 
 

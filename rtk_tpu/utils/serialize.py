@@ -203,7 +203,9 @@ def save_packed_scene(packed, f: Union[str, BinaryIO]) -> int:
         with open(f, "wb") as fh:
             return save_packed_scene(packed, fh)
     arrays = {name: getattr(packed, name) for name in _PACKED_FIELDS}
-    meta = (packed.num_tris, packed.leaf_size, int(packed.kz_tables))
+    # meta slot 2 was kz_tables (a pruned r3 experiment); kept as 0 so the
+    # on-disk layout is unchanged and old readers still parse new blobs.
+    meta = (packed.num_tris, packed.leaf_size, 0)
     return _save_container(KIND_PACKED, arrays, meta, f)
 
 
@@ -214,11 +216,14 @@ def load_packed_scene(f):
     if kind != KIND_PACKED:
         raise ValueError(f"blob holds kind {kind}, not a PackedScene")
     num_tris, leaf_size = meta_ints[:2]
-    # kz_tables joined meta after the first blobs; absent means False.
-    kz_tables = bool(meta_ints[2]) if len(meta_ints) > 2 else False
+    if len(meta_ints) > 2 and meta_ints[2]:
+        # kz_tables packs (3 stacked rotated tables) were an r3
+        # experiment pruned in r4 — their table layout no longer matches
+        # the kernel.  Repack the scene to migrate.
+        raise ValueError("blob was saved with kz_tables=True, which is "
+                         "no longer supported; re-pack the scene")
     return PackedScene(
         num_tris=int(num_tris), leaf_size=int(leaf_size),
-        kz_tables=kz_tables,
         **{n: arrays[n] for n in _PACKED_FIELDS})
 
 

@@ -198,9 +198,8 @@ def measure_trace(tracer, rays, iters: int = 5, mode: str = "closest",
                  comp(rays.min_t, 0.), comp(rays.max_t, 0.))
         roots = jnp.zeros((npad // pt.PKT,), jnp.int32)
         qmask = jnp.full((1,), 0xFFFFFF, jnp.int32)
-        kzs = jnp.zeros((npad // pt.PKT,), jnp.int32)
         out = pt._run_kernel(packed.nodes, packed.tris, comps, roots,
-                             qmask, kzs,
+                             qmask,
                              mode=mode, watertight=True,
                              interpret=jax.default_backend() != "tpu",
                              num_tris=packed.num_tris,

@@ -67,7 +67,7 @@ def test_log_build_emits_per_level_lines():
 
 
 def test_measure_trace_with_steps():
-    # regression: _run_kernel grew qmask/kzs prefetch args and
+    # regression: _run_kernel grew scalar-prefetch args (qmask) and
     # measure_trace's stats path wasn't updated (zero coverage).
     from rtk_tpu.tracer import Tracer
     from rtk_tpu.utils.stats import measure_trace

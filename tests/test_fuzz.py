@@ -73,12 +73,10 @@ def test_fuzz_engines_agree_with_oracle(seed):
         got_p = trace_packets(packed, rays, interpret=True)
         engines = [("stack", got_s), ("packet", got_p)]
         if cfg.leaf_size % 8 == 0:
-            # prefetch (cross-step double-buffered leaf DMA) is the staged
-            # headline candidate at K=8/16; force the HBM+dual gate so the
-            # adversarial soups exercise the reordered-push path too.
-            engines.append(("packet-pf", trace_packets(
-                packed, rays, interpret=True, dual=True, hbm_tris=True,
-                prefetch=True)))
+            # dual+HBM: the adversarial soups exercise the DMA-staged
+            # leaf path and the dual queue's backpressure too.
+            engines.append(("packet-hbm", trace_packets(
+                packed, rays, interpret=True, dual=True, hbm_tris=True)))
         for tag, got in engines:
             gh = np.asarray(got.hit)
             gt = np.asarray(got.t)

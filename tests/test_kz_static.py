@@ -78,7 +78,7 @@ def test_kz_static_rejects_bad_combos(packed):
         trace_packets(packed, cam, interpret=True, kz_static=5)
     with pytest.raises(ValueError):
         trace_packets(packed, cam, interpret=True, kz_static=2,
-                      kz_sel=True)
+                      narrow=False)
 
 
 def test_step_quant_sah_parity_and_occupancy():

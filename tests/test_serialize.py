@@ -88,23 +88,6 @@ def test_packed_roundtrip(tmp_path):
                                   np.asarray(b.triangle_index))
 
 
-def test_packed_roundtrip_kz_tables(tmp_path):
-    """kz_tables is part of the runtime format: dropping it on load made
-    the kernel read table 0's rotated coords as (x,y,z) — silently wrong
-    hits (regression)."""
-    from rtk_tpu.trace.packed import pack_scene
-    from rtk_tpu.utils.serialize import load_packed_scene, save_packed_scene
-
-    scene = _scene()
-    packed = pack_scene(scene, kz_tables=True)
-    path = str(tmp_path / "scene_kz.rtk8p")
-    save_packed_scene(packed, path)
-    loaded = load_packed_scene(path)
-    assert loaded.kz_tables is True
-    np.testing.assert_array_equal(np.asarray(loaded.tris),
-                                  np.asarray(packed.tris))
-
-
 def test_instanced_roundtrip(tmp_path):
     """InstancedScene round-trip incl. nested merged Scene + blas_tris."""
     from rtk_tpu import BuildConfig, build_scene
