@@ -182,6 +182,15 @@ HEADLINE_CANDIDATES = {
     # u/v hit carries + rcp_det normalise) — 245.2 -> 253.8 Mrays/s at
     # 67M; hits/t/slot bit-equal, u/v exact up to fma contraction
     # (PERF_NOTES r3 defer_uv entry; types.py PacketHits._uv).
+    # r4: leaf_loop (chunked-fori leaf phase) + kz_static=2 (bench camera
+    # is z-dominant; _headline_candidate asserts uniform_kz) measured
+    # 301.3 Mrays/s vs 254.8 base at 67M, parity-exact (leafloop_67m
+    # probe, PERF_NOTES r4); leaf_loop alone 268.3.
+    "sahq-k16-ordered-kzs-loop": (
+        16, dict(ordered=True, defer_uv=True, leaf_loop=True, kz_static=2),
+        "sahq"),
+    "sahq-k16-ordered-loop": (
+        16, dict(ordered=True, defer_uv=True, leaf_loop=True), "sahq"),
     "sahq-k16-ordered": (16, dict(ordered=True, defer_uv=True), "sahq"),
     "sah-k16-ordered": (16, dict(ordered=True), "sah"),
     "sah-k8": (8, {}, "sah"),
@@ -210,6 +219,15 @@ def _headline_candidate(label, side=8192):
 
     k, kw, topo = HEADLINE_CANDIDATES[label]
     btris = scenes.blob(subdivisions=6)[0]
+    if kw.get("kz_static") is not None:
+        # kz_static is a caller contract (batch-uniform dominant axis);
+        # verify it for this camera rather than trust the label.
+        from rtk_tpu.ops.pallas_trace import uniform_kz
+
+        probe = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
+                                   64, 64)
+        if uniform_kz(probe) != kw["kz_static"]:
+            raise RuntimeError("camera not kz-uniform; candidate invalid")
     if topo in ("sah", "sahq"):
         from rtk_tpu.testing.native_oracle import NativeOracle
         from rtk_tpu.trace.packed import pack_binary_tree
@@ -372,10 +390,15 @@ def config_bunny():
     log(f"bunny shadow (any-hit, 4M rays, ~60% dead): "
         f"{rec['bunny_shadow_mrays']:.2f} Mrays/s")
     # Renderer-realistic variant: shadow rays exist only for hit pixels
-    # (miss pixels spawn none) — compacted on device.
+    # (miss pixels spawn none) — compacted on device.  Pad to a BLOCK
+    # multiple, not the next power of two: the old pow2 bucket rounded
+    # 2.56M live rays back up to 4M rows, so "compacted" traced the same
+    # row count as the sparse batch and measured nothing (r3's neutral
+    # compaction result).
     live = np.asarray(hits.hit)
     nlive = int(live.sum())
-    mlive = max(1024, 1 << int(np.ceil(np.log2(max(nlive, 1)))))
+    blk = 8 * 2048
+    mlive = max(blk, (nlive + blk - 1) // blk * blk)
     order = np.argsort(~live, kind="stable")[:mlive]
     shadow_c = Rays.make(p[order],
                          (d / np.maximum(dist[:, None], 1e-9))[order],
@@ -669,8 +692,8 @@ def main():
     # JSON prints the moment the first candidate lands.
     mrays = 0.0
     best_rejected = 0.0
-    for label, timeout in (("sahq-k16-ordered", 600),
-                           ("sah-k16-ordered", 600), ("k8", 600)):
+    for label, timeout in (("sahq-k16-ordered-kzs-loop", 600),
+                           ("sahq-k16-ordered", 600), ("k8", 600)):
         t0 = time.perf_counter()
         try:
             out = subprocess.run(

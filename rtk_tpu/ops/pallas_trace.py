@@ -135,8 +135,10 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     P = p_pk
     PKT = pkt
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
-    # keys kept aligned with entries; the dual compaction drops them).
-    prune = ordered and not dual and (narrow or islab)
+    # keys, which only exist when the sort computed them).  In dual mode
+    # the compaction carries the keys into the INTERNAL queue (leaf-queue
+    # entries are not culled at pop — a stale leaf still costs its step).
+    prune = ordered and (narrow or islab)
     # march: the fused macro-grid DDA (VERDICT r3 item 4 — re-binning
     # INSIDE the kernel).  Packets adopt grid cells: when a packet's
     # stack drains, its rays in the just-traversed cell retire or DDA-
@@ -671,26 +673,36 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 else:
                     validm = hitv
 
-                def compact(valid):
+                def compact(valid, keys=None):
                     # Left-compact valid entries (slot order) via bitmask
                     # ranks + a where-chain scatter — no lane shuffles.
+                    # keys (optional) are permuted alongside so prune can
+                    # push entry distances with the compacted entries.
                     vint = valid.astype(jnp.int32)
                     vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)
                     vrank = _popcount8(vbits & below)
                     out = jnp.full_like(entries, -1)
+                    outk = (None if keys is None
+                            else jnp.full_like(keys, -_BIG))
                     for w in range(W):
                         sel = ((vrank[:, w:w + 1] == iota_w)
                                & (vint[:, w:w + 1] == 1))
                         out = jnp.where(sel, entries[:, w:w + 1], out)
-                    return out, _popcount8(vbits)
+                        if keys is not None:
+                            outk = jnp.where(sel, keys[:, w:w + 1], outk)
+                    return out, _popcount8(vbits), outk
 
+                comp_k = None
                 if dual:
                     if ordered and (narrow or islab):
-                        comp_i, cnt_i = compact(validm & (entries >= 0))
-                        comp_l, cnt_l = compact(validm & (entries <= -2))
+                        keymat = (jnp.concatenate(key, axis=1) if prune
+                                  else None)
+                        comp_i, cnt_i, comp_k = compact(
+                            validm & (entries >= 0), keymat)
+                        comp_l, cnt_l, _ = compact(validm & (entries <= -2))
                     else:
-                        comp_i, cnt_i = compact(validm & (is_i == 1))
-                        comp_l, cnt_l = compact(validm & (is_l == 1))
+                        comp_i, cnt_i, _ = compact(validm & (is_i == 1))
+                        comp_l, cnt_l, _ = compact(validm & (is_l == 1))
                     counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
                 elif ordered and (narrow or islab):
                     # Valid entries are already contiguous at the front
@@ -700,14 +712,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                                     axis=1, keepdims=True)
                     counts = _popcount8(vbits)
                     comp_l = comp_i
+                    if prune:
+                        comp_k = jnp.concatenate(key, axis=1)
                 else:
-                    comp_i, counts = compact(validm & ((is_i | is_l) == 1))
+                    comp_i, counts, _ = compact(
+                        validm & ((is_i | is_l) == 1))
                     comp_l = comp_i
                 out = (comp_i.astype(jnp.int32), comp_l.astype(jnp.int32),
                        counts.astype(jnp.int32))
                 if prune:
-                    # Sorted entry keys ride along so pushes can store them.
-                    out += (jnp.concatenate(key, axis=1),)
+                    # Entry keys ride along so pushes can store them.
+                    out += (comp_k,)
                 return out
 
             def slab_skip(hit_t_in):

@@ -100,7 +100,7 @@ class LoadedTrace:
             packed.nodes, packed.tris, rays.origin, rays.direction,
             rays.min_t, rays.max_t)
         return PacketHits(
-            hit=hit, t=t, u=u, v=v, slot=slot,
+            hit=hit, t=t, u_k=u, v_k=v, slot=slot,
             origin=rays.origin, direction=rays.direction,
             tri_v=packed.tri_v, tri_vidx=packed.tri_vidx,
             tri_mesh=packed.tri_mesh, tri_prim=packed.tri_prim)
@@ -172,7 +172,7 @@ class LoadedRefitTrace:
         hit, t, u, v, slot, tri_v = self._exported.call(
             tri_pos, rays.origin, rays.direction, rays.min_t, rays.max_t)
         return PacketHits(
-            hit=hit, t=t, u=u, v=v, slot=slot,
+            hit=hit, t=t, u_k=u, v_k=v, slot=slot,
             origin=rays.origin, direction=rays.direction,
             tri_v=tri_v, tri_vidx=packed.tri_vidx,
             tri_mesh=packed.tri_mesh, tri_prim=packed.tri_prim)

@@ -214,14 +214,20 @@ def test_packet_ordered_and_islab_variants():
     t everywhere; triangle ids may differ only at exact-t ties."""
     tris = scenes.blob(subdivisions=3)[0]
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 16, 16)
-    scene = build_scene(_soup_of(tris))
+    # leaf_size=8: leaf_loop needs lane-aligned leaves (% 8 == 0).
+    scene = build_scene(_soup_of(tris), BuildConfig(leaf_size=8))
     packed = pack_scene(scene)
     ref = trace_packets(packed, rays, interpret=True)
     # islab+dual is the exact config the headline bench auto-selects at
     # pkt>=2048 (ADVICE r1) — it must be covered on CPU.
+    # ordered+dual now carries entry keys through the dual compaction and
+    # prunes stale internal subtrees at pop (r4); leaf_loop is the
+    # chunked-fori leaf phase — both must stay bit-equal.
     for kw in (dict(ordered=True), dict(islab=True),
                dict(islab=True, ordered=True), dict(islab=True, dual=True),
-               dict(islab=True, dual=True, ordered=True)):
+               dict(islab=True, dual=True, ordered=True),
+               dict(dual=True, ordered=True),
+               dict(dual=True, ordered=True, leaf_loop=True)):
         got = trace_packets(packed, rays, interpret=True, **kw)
         np.testing.assert_array_equal(np.asarray(got.hit),
                                       np.asarray(ref.hit))
