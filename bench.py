@@ -474,15 +474,20 @@ def config_atrium():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
+    # leaf_loop: chunked-fori leaf phase (r4) — +26% on the bounce batch
+    # (1.03 -> 1.30 Mrays/s, bounce_lesion probe) and expected similar on
+    # primaries; bit-exact.
     nxtc_a = vary_rays(cam)
     dt = timeit(lambda: trace_packets(packed_q16, nxtc_a(),
-                                      sort_rays=False, ordered=True),
+                                      sort_rays=False, ordered=True,
+                                      leaf_loop=True),
                 iters=3)
     rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium ({atr.shape[0]} tris) primary: "
         f"{rec['atrium_primary_mrays']:.2f} Mrays/s")
     nxtb = vary_rays(bounce)
-    dt = timeit(lambda: trace_packets(packed_q16, nxtb(), dual=True),
+    dt = timeit(lambda: trace_packets(packed_q16, nxtb(), dual=True,
+                                      leaf_loop=True),
                 iters=2, batches=2)
     rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")
