@@ -21,20 +21,26 @@ from rtk_tpu.trace.packed import PackedScene, pack_binary_tree
 
 
 def build_sah_packed(meshes, config: BuildConfig = BuildConfig(),
-                     tri_mask=None, step_quant: bool = False) -> PackedScene:
+                     tri_mask=None, step_quant: bool = False,
+                     refittable: bool = False):
     """Build a PackedScene with host-native binned-SAH topology.
 
     Accepts the same mesh inputs as build_scene (MeshDesc, (positions,
     indices), TriangleSoup, or a sequence).  Returns the packet-kernel
-    tables directly (no intermediate Scene: SAH topology has no Karras
-    leaf-range structure to refit over — use the LBVH path for
-    deforming scenes).
+    tables directly (no intermediate Scene).
 
     step_quant: weight the SAH by leaf STEPS
     (ceil(count/leaf_size)) — the packet kernel tests leaves in fixed
     K-row tiles, so this is its real cost unit; leaf occupancy rises
     from ~0.72 to ~0.97 with ~26% fewer leaves and nodes.  Topology
     only; hit results are identical semantics either way.
+
+    refittable=True returns (packed, BinaryRefitAux) instead: the binned
+    SAH partitions triangles in place, so the tree refits on device with
+    the same RMQ machinery as the LBVH (refit_packed_binary /
+    trace_packets_refit[_frames]) — deforming scenes keep the SAH
+    topology's trace win as long as the deformation doesn't degrade the
+    static tree's quality (re-build when it does).
     """
     from rtk_tpu.mesh import TriangleSoup, build_soup
     from rtk_tpu.utils.native_sah import NativeOracle
@@ -46,7 +52,8 @@ def build_sah_packed(meshes, config: BuildConfig = BuildConfig(),
     return pack_binary_tree(
         tri_pos, *orc.export_tree(), leaf_size=config.leaf_size,
         tri_vidx=soup.tri_vidx, tri_mesh=soup.tri_mesh,
-        tri_prim=soup.tri_prim, tri_mask=tri_mask)
+        tri_prim=soup.tri_prim, tri_mask=tri_mask,
+        return_refit_aux=refittable)
 
 
 def build_sah_forest(blas_tri_pos, config: BuildConfig = BuildConfig(),

@@ -1730,6 +1730,21 @@ def trace_packets_chunked(packed: PackedScene, rays: Rays,
         slot=cat("slot"), origin=rays.origin, direction=rays.direction)
 
 
+def _refit_repack(scene, packed, tri_pos):
+    """One frame's refit+repack prep: Scene (LBVH fixpoint/RMQ refit) or
+    BinaryRefitAux (host-SAH topology, refit_packed_binary).  The type
+    switch is static under jit (pytree structure)."""
+    from rtk_tpu.trace.packed import BinaryRefitAux, refit_packed_binary
+
+    if isinstance(scene, BinaryRefitAux):
+        return scene, refit_packed_binary(packed, scene, tri_pos)
+    from rtk_tpu.scene import refit as _refit
+    from rtk_tpu.trace.packed import repack_bounds
+
+    scene2 = _refit(scene, tri_pos)
+    return scene2, repack_bounds(packed, scene2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
@@ -1738,11 +1753,7 @@ def trace_packets_chunked(packed: PackedScene, rays: Rays,
 def _refit_trace_jit(scene, packed, new_tri_pos, origin, direction, min_t,
                      max_t, roots, *, mode, watertight, interpret, p_pk,
                      hbm_tris, dual, pkt, narrow, sort_rays):
-    from rtk_tpu.scene import refit as _refit
-    from rtk_tpu.trace.packed import repack_bounds
-
-    scene2 = _refit(scene, new_tri_pos)
-    packed2 = repack_bounds(packed, scene2)
+    scene2, packed2 = _refit_repack(scene, packed, new_tri_pos)
     hits = _trace_impl(
         packed2, origin, direction, min_t, max_t, roots,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
@@ -1759,6 +1770,11 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
                         sort_rays: bool | None = None):
     """Per-frame dynamic-scene step as ONE device program: refit the BVH to
     deformed vertices (same topology), regather the packed tables, trace.
+
+    `scene` is either the LBVH Scene the PackedScene was packed from, or
+    a BinaryRefitAux (build_sah_packed(refittable=True)) — the host-SAH
+    topology refits on device with the same RMQ machinery, keeping its
+    trace win for deforming scenes.
 
     Returns (hits, refit_scene, repacked_scene).  The deforming-mesh config
     is dispatch-bound when refit/repack/trace run as separate programs.
@@ -1789,9 +1805,6 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
 def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
                             max_t, roots, *, mode, watertight, interpret,
                             p_pk, hbm_tris, dual, pkt, narrow, sort_rays):
-    from rtk_tpu.scene import refit as _refit
-    from rtk_tpu.trace.packed import repack_bounds
-
     # Refit + repack ALL frames in one vmapped prep: the per-frame refit
     # is ~12 sequential RMQ gather levels (refit_ranges) + the repack
     # gathers, and under the old per-frame scan that serial chain was
@@ -1801,8 +1814,7 @@ def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
     # deforming-clip scenes; a 10M-tri clip should use per-frame
     # trace_packets_refit instead).
     def prep(tri_pos):
-        scene2 = _refit(scene, tri_pos)
-        p2 = repack_bounds(packed, scene2)
+        _, p2 = _refit_repack(scene, packed, tri_pos)
         return p2.nodes, p2.tris, p2.tri_v
 
     nodes_f, tris_f, triv_f = jax.vmap(prep)(frames)

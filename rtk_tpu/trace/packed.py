@@ -335,10 +335,127 @@ def pack_multiroot(scene: Scene, roots, tri_mask=None) -> PackedScene:
     )
 
 
+class BinaryRefitAux(struct.PyTreeNode):
+    """Refit mappings for a host-built binary tree (pack_binary_tree).
+
+    A binned-SAH builder partitions triangles IN PLACE, so every binary
+    node covers a contiguous run of the leaf sequence ordered by first
+    triangle — the same property Karras nodes get from the Morton sort.
+    That makes the LBVH's RMQ refit (builder/lbvh.py refit_ranges)
+    directly applicable: these arrays carry each node's leaf-rank range
+    plus the static permutations between the three leaf numberings
+    (rank = tri-order, lidx = binary-node-id order used by slot_src,
+    visit = packed tri-table block order).  Built once on the host by
+    pack_binary_tree(return_refit_aux=True); verified contiguous at
+    build time."""
+
+    rank_lo: Array  # (Nn,) i32 first leaf rank under binary node
+    rank_hi: Array  # (Nn,) i32 last leaf rank (inclusive)
+    visit_of_rank: Array  # (nl,) i32 packed leaf-visit block of rank r
+    visit_of_lidx: Array  # (nl,) i32 packed leaf-visit block of lidx l
+
+
+def refit_packed_binary(packed: PackedScene, aux: BinaryRefitAux,
+                        new_tri_pos) -> PackedScene:
+    """Refit a pack_binary_tree PackedScene to deformed vertices (same
+    topology) entirely on device — the SAH analogue of Scene.refit +
+    repack_bounds, so deforming scenes can keep the step-quantized SAH
+    topology's trace win instead of falling back to LBVH.
+
+    new_tri_pos: (T, 3, 3) vertices in ORIGINAL SOUP order (the
+    pack_binary_tree tri_perm convention).  Jittable; cost is the same
+    class as the LBVH refit prep (per-leaf bounds + log2(nl) RMQ levels
+    + the repack gathers).
+    """
+    from rtk_tpu.builder.lbvh import refit_ranges
+
+    tri_pos = jnp.asarray(new_tri_pos, jnp.float32)
+    safe = jnp.clip(packed.tri_perm, 0, packed.num_tris - 1)
+    tri_v = jnp.take(tri_pos, safe, axis=0)
+    valid = packed.tri_perm >= 0
+    k = packed.leaf_size
+    nl = aux.visit_of_rank.shape[0]
+    # Per-leaf bounds straight from the packed tri rows (visit order):
+    # each visit block is k consecutive tri rows; padding rows must not
+    # shrink/grow the box, so they pad with +/-inf.
+    vmin = jnp.where(valid[:, None, None], tri_v, jnp.inf)
+    vmax = jnp.where(valid[:, None, None], tri_v, -jnp.inf)
+    lmin_visit = jnp.min(vmin.reshape(nl, k * 3, 3), axis=1)
+    lmax_visit = jnp.max(vmax.reshape(nl, k * 3, 3), axis=1)
+    if nl == 1:
+        bmin, bmax = lmin_visit, lmax_visit
+    else:
+        lmin_rank = jnp.take(lmin_visit, aux.visit_of_rank, axis=0)
+        lmax_rank = jnp.take(lmax_visit, aux.visit_of_rank, axis=0)
+        bmin, bmax = refit_ranges(aux.rank_lo, aux.rank_hi,
+                                  lmin_rank, lmax_rank)
+    lmin_lidx = jnp.take(lmin_visit, aux.visit_of_lidx, axis=0)
+    lmax_lidx = jnp.take(lmax_visit, aux.visit_of_lidx, axis=0)
+    nodes = _gather_rows(bmin, bmax, lmin_lidx, lmax_lidx,
+                         packed.slot_src, packed.meta,
+                         n_rows=packed.num_nodes)
+    tp = tri_v.shape[0]
+    mask_col = packed.tris[:tp, MASK_COL]  # mask col rides along
+    return packed.replace(
+        nodes=nodes,
+        tris=_tri_rows(tri_v, valid, mask_col, packed.tri_mesh,
+                       packed.tri_prim),
+        tri_v=tri_v)
+
+
+def _binary_refit_aux(left, right, first, count, is_leaf, leaf_nodes,
+                      roots, leaf_order) -> BinaryRefitAux:
+    """Host-side BinaryRefitAux construction (see class docstring).
+
+    Asserts the in-place-partition contiguity invariant the RMQ refit
+    needs: every internal node's children split its triangle range."""
+    nn = left.shape[0]
+    nl = leaf_nodes.shape[0]
+    tri_lo = np.where(is_leaf, first, 0)
+    tri_hi = np.where(is_leaf, first + count, 0)
+    # BFS levels of internal nodes (leaf roots contribute no levels).
+    rts = roots[roots >= 0]
+    levels = []
+    frontier = rts[~is_leaf[rts]]
+    while frontier.size:
+        levels.append(frontier)
+        ch = np.concatenate([left[frontier], right[frontier]])
+        frontier = ch[~is_leaf[ch]]
+    for f in reversed(levels):
+        l, r = left[f], right[f]
+        tri_lo[f] = np.minimum(tri_lo[l], tri_lo[r])
+        tri_hi[f] = np.maximum(tri_hi[l], tri_hi[r])
+    for f in levels:
+        l, r = left[f], right[f]
+        straddle = ((np.minimum(tri_lo[l], tri_lo[r]) == tri_lo[f])
+                    & (np.maximum(tri_hi[l], tri_hi[r]) == tri_hi[f])
+                    & ((tri_hi[l] == tri_lo[r]) | (tri_hi[r] == tri_lo[l])))
+        if not straddle.all():
+            raise ValueError(
+                "binary tree is not an in-place partition (children do not "
+                "split their parent's triangle range); refit aux requires "
+                "a contiguous-range builder")
+    leaf_firsts = first[leaf_nodes]
+    rank_order = np.argsort(leaf_firsts, kind="stable")  # rank -> lidx
+    sorted_firsts = leaf_firsts[rank_order]
+    rank_lo = np.searchsorted(sorted_firsts, tri_lo).astype(np.int64)
+    rank_hi = (np.searchsorted(sorted_firsts, tri_hi, side="left")
+               - 1).astype(np.int64)
+    assert (rank_lo <= rank_hi).all() and (rank_hi < nl).all()
+    visit_of_lidx = np.empty(nl, np.int64)
+    visit_of_lidx[leaf_order] = np.arange(nl)
+    return BinaryRefitAux(
+        rank_lo=jnp.asarray(rank_lo, jnp.int32),
+        rank_hi=jnp.asarray(rank_hi, jnp.int32),
+        visit_of_rank=jnp.asarray(visit_of_lidx[rank_order], jnp.int32),
+        visit_of_lidx=jnp.asarray(visit_of_lidx, jnp.int32),
+    )
+
+
 def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
                      order, root, leaf_size: int, tri_vidx=None,
                      tri_mesh=None, tri_prim=None,
-                     tri_mask=None) -> PackedScene:
+                     tri_mask=None, return_refit_aux: bool = False):
     """Pack an ARBITRARY host-built binary BVH for the packet kernel.
 
     Feeds any binary topology (e.g. the corrected-rtk C++ oracle's binned
@@ -349,9 +466,11 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
 
     left/right: child node id or -1 for leaves; first/count index into
     `order` (leaf triangle lists, <= leaf_size each); box_lo/hi: (Nn, 3)
-    node bounds.  tri_v: (T, 3, 3) soup.  No Scene exists, so refit/
-    repack is not supported for the result; tri_perm holds original soup
-    ids (pad -1).
+    node bounds.  tri_v: (T, 3, 3) soup; tri_perm holds original soup
+    ids (pad -1).  return_refit_aux=True additionally returns a
+    BinaryRefitAux so refit_packed_binary can refit the result on device
+    (requires an in-place-partition topology, which the native binned
+    SAH is; raises ValueError otherwise).
 
     `root` may be an ARRAY of binary root ids whose subtrees are
     disjoint and jointly cover every leaf exactly once (a forest, e.g.
@@ -433,7 +552,10 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
                          jnp.asarray(box_lo[leaf_nodes]),
                          jnp.asarray(box_hi[leaf_nodes]),
                          slot_src_j, meta_j, n_rows=slot_src.shape[0])
-    return PackedScene(
+    aux = (_binary_refit_aux(left, right, first, count, is_leaf,
+                             leaf_nodes, roots, leaf_order)
+           if return_refit_aux else None)
+    packed = PackedScene(
         nodes=nodes,
         meta=meta_j,
         tris=_tri_rows(tv, validj, mask, tm, tp_),
@@ -446,6 +568,7 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
         num_tris=int(T),
         leaf_size=k,
     )
+    return (packed, aux) if return_refit_aux else packed
 
 
 def repack_bounds(packed: PackedScene, scene: Scene) -> PackedScene:

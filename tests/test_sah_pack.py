@@ -59,6 +59,82 @@ def test_sah_topology_any_and_records(pair):
     assert (np.asarray(ga.triangle_index)[hit] >= 0).all()
 
 
+def test_sah_refit_matches_lbvh_of_frame():
+    """refit_packed_binary: host-SAH topology refit ON DEVICE to deformed
+    vertices must trace the deformed geometry identically to a fresh
+    LBVH build of the same frame (modulo exact-t ties) — both in
+    step-quantized and classic SAH (in-place partition contiguity must
+    hold for the refit aux in both builders)."""
+    import rtk_tpu
+    from rtk_tpu.trace.packed import refit_packed_binary
+
+    g0 = np.asarray(scenes.deforming_grid(0.0, n=24))
+    frame = np.asarray(scenes.deforming_grid(0.3, n=24))
+    cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 32, 32)
+    ref = trace_packets(
+        pack_scene(build_from_soup(
+            frame, config=BuildConfig(branching=8, leaf_size=8))),
+        cam, interpret=True)
+    for sq in (False, True):
+        sah, aux = rtk_tpu.build_sah_packed(
+            (g0.reshape(-1, 3), np.arange(g0.shape[0] * 3).reshape(-1, 3)),
+            BuildConfig(leaf_size=8), step_quant=sq, refittable=True)
+        refitted = refit_packed_binary(sah, aux, frame)
+        _parity(trace_packets(refitted, cam, interpret=True), ref)
+        # vertex records must reflect the deformed frame
+        got = trace_packets(refitted, cam, interpret=True)
+        hit = np.asarray(got.hit)
+        np.testing.assert_allclose(
+            np.asarray(got.position())[hit],
+            np.asarray(ref.position())[hit], rtol=1e-6, atol=1e-6)
+
+
+def test_sah_refit_fused_and_frames_paths():
+    """trace_packets_refit / trace_packets_refit_frames accept a
+    BinaryRefitAux in place of a Scene and match the manual
+    refit_packed_binary + trace pipeline frame by frame."""
+    import jax.numpy as jnp
+
+    import rtk_tpu
+    from rtk_tpu.ops.pallas_trace import (trace_packets_refit,
+                                          trace_packets_refit_frames)
+    from rtk_tpu.trace.packed import refit_packed_binary
+
+    g0 = np.asarray(scenes.deforming_grid(0.0, n=24))
+    sah, aux = rtk_tpu.build_sah_packed(
+        (g0.reshape(-1, 3), np.arange(g0.shape[0] * 3).reshape(-1, 3)),
+        BuildConfig(leaf_size=8), step_quant=True, refittable=True)
+    cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 24, 24)
+    ts = (0.1, 0.25, 0.4)
+    for t in ts:
+        frame = jnp.asarray(scenes.deforming_grid(t, n=24))
+        got, aux2, packed2 = trace_packets_refit(sah, aux, frame, cam,
+                                                 interpret=True)
+        want = trace_packets(refit_packed_binary(sah, aux, frame), cam,
+                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(want.hit))
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+        np.testing.assert_array_equal(np.asarray(got.slot),
+                                      np.asarray(want.slot))
+    frames = jnp.stack([jnp.asarray(scenes.deforming_grid(t, n=24))
+                        for t in ts])
+    got = trace_packets_refit_frames(sah, aux, frames, cam, interpret=True,
+                                     sort_rays=True)
+    assert len(got) == len(ts)
+    for f, t in enumerate(ts):
+        want = trace_packets(
+            refit_packed_binary(sah, aux,
+                                jnp.asarray(scenes.deforming_grid(t, n=24))),
+            cam, interpret=True, sort_rays=True)
+        np.testing.assert_array_equal(np.asarray(got[f].hit),
+                                      np.asarray(want.hit))
+        np.testing.assert_array_equal(np.asarray(got[f].t),
+                                      np.asarray(want.t))
+        np.testing.assert_array_equal(np.asarray(got[f].u),
+                                      np.asarray(want.u))
+
+
 def test_build_sah_packed_public_surface():
     """build_sah_packed accepts build_scene-style mesh input and traces
     identically to the LBVH path (modulo exact-t ties)."""
