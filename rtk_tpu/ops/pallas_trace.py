@@ -1748,17 +1748,21 @@ def _refit_repack(scene, packed, tri_pos):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
-                     "dual", "pkt", "narrow", "sort_rays"),
+                     "dual", "pkt", "narrow", "sort_rays", "ordered",
+                     "islab", "leaf_loop", "defer_uv"),
 )
 def _refit_trace_jit(scene, packed, new_tri_pos, origin, direction, min_t,
                      max_t, roots, *, mode, watertight, interpret, p_pk,
-                     hbm_tris, dual, pkt, narrow, sort_rays):
+                     hbm_tris, dual, pkt, narrow, sort_rays, ordered=False,
+                     islab=False, leaf_loop=False, defer_uv=False):
     scene2, packed2 = _refit_repack(scene, packed, new_tri_pos)
     hits = _trace_impl(
         packed2, origin, direction, min_t, max_t, roots,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
-        sort_rays=sort_rays)
+        sort_rays=sort_rays, ordered=ordered, islab=islab,
+        leaf_loop=leaf_loop, defer_uv=defer_uv,
+        lesion="noupdv" if defer_uv else None)
     return hits, scene2, packed2
 
 
@@ -1767,7 +1771,9 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
                         interpret: bool = False, p_pk: int = DEFAULT_P,
                         hbm_tris: bool | None = None, dual: bool = False,
                         pkt: int | None = None, narrow: bool = True,
-                        sort_rays: bool | None = None):
+                        sort_rays: bool | None = None,
+                        ordered: bool = False, islab: bool = False,
+                        leaf_loop: bool = False, defer_uv: bool = False):
     """Per-frame dynamic-scene step as ONE device program: refit the BVH to
     deformed vertices (same topology), regather the packed tables, trace.
 
@@ -1794,17 +1800,21 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
         jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
-        sort_rays=sort_rays)
+        sort_rays=sort_rays, ordered=ordered, islab=islab,
+        leaf_loop=leaf_loop, defer_uv=defer_uv)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "watertight", "interpret", "p_pk", "hbm_tris",
-                     "dual", "pkt", "narrow", "sort_rays"),
+                     "dual", "pkt", "narrow", "sort_rays", "ordered",
+                     "islab", "leaf_loop", "defer_uv"),
 )
 def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
                             max_t, roots, *, mode, watertight, interpret,
-                            p_pk, hbm_tris, dual, pkt, narrow, sort_rays):
+                            p_pk, hbm_tris, dual, pkt, narrow, sort_rays,
+                            ordered=False, islab=False, leaf_loop=False,
+                            defer_uv=False):
     # Refit + repack ALL frames in one vmapped prep: the per-frame refit
     # is ~12 sequential RMQ gather levels (refit_ranges) + the repack
     # gathers, and under the old per-frame scan that serial chain was
@@ -1846,8 +1856,12 @@ def _refit_trace_frames_jit(scene, packed, frames, origin, direction, min_t,
             packed2, origin, direction, min_t, max_t, roots,
             mode=mode, watertight=watertight, interpret=interpret,
             p_pk=p_pk, hbm_tris=hbm_tris, dual=dual, pkt=pkt,
-            narrow=narrow, sort_rays=sort_rays)
-        return (), (h.t, h.u, h.v, h.slot, tri_v)
+            narrow=narrow, sort_rays=sort_rays, ordered=ordered,
+            islab=islab, leaf_loop=leaf_loop, defer_uv=defer_uv,
+            lesion="noupdv" if defer_uv else None)
+        # u_k/v_k, not .u/.v: under defer_uv the latter are lazy
+        # recomputes, which the scan must not force eagerly per frame.
+        return (), (h.t, h.u_k, h.v_k, h.slot, tri_v)
 
     _, outs = jax.lax.scan(body, (), (nodes_f, tris_f, triv_f))
     if inv is not None:
@@ -1864,7 +1878,10 @@ def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
                                hbm_tris: bool | None = None,
                                dual: bool = False, pkt: int | None = None,
                                narrow: bool = True,
-                               sort_rays: bool | None = None):
+                               sort_rays: bool | None = None,
+                               ordered: bool = False, islab: bool = False,
+                               leaf_loop: bool = False,
+                               defer_uv: bool = False):
     """Animation sub-stepping executor: refit+repack+trace F deformation
     frames of one topology against one ray batch, as ONE device program
     (`lax.scan` over frames — the Pallas kernel compiles once and the
@@ -1891,7 +1908,8 @@ def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
         jnp.asarray(rays.min_t), jnp.asarray(rays.max_t), roots,
         mode=mode, watertight=watertight, interpret=interpret, p_pk=p_pk,
         hbm_tris=hbm_tris, dual=dual, pkt=pkt, narrow=narrow,
-        sort_rays=sort_rays)
+        sort_rays=sort_rays, ordered=ordered, islab=islab,
+        leaf_loop=leaf_loop, defer_uv=defer_uv)
     origin = jnp.asarray(rays.origin)
     direction = jnp.asarray(rays.direction)
     return [
@@ -1899,6 +1917,6 @@ def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
                    slot=slot[f],
                    origin=origin, direction=direction, tri_v=tri_v[f],
                    tri_vidx=packed.tri_vidx, tri_mesh=packed.tri_mesh,
-                   tri_prim=packed.tri_prim)
+                   tri_prim=packed.tri_prim, uv_deferred=defer_uv)
         for f in range(frames.shape[0])
     ]

@@ -135,6 +135,43 @@ def test_sah_refit_fused_and_frames_paths():
                                       np.asarray(want.u))
 
 
+def test_refit_trace_perf_flags_parity():
+    """ordered/islab/leaf_loop/defer_uv plumbed through the refit
+    executors must keep hit/t bit-parity with the default path (they
+    are scheduling/laziness knobs, not semantics)."""
+    import jax.numpy as jnp
+
+    import rtk_tpu
+    from rtk_tpu.ops.pallas_trace import (trace_packets_refit,
+                                          trace_packets_refit_frames)
+
+    g0 = np.asarray(scenes.deforming_grid(0.0, n=16))
+    sah, aux = rtk_tpu.build_sah_packed(
+        (g0.reshape(-1, 3), np.arange(g0.shape[0] * 3).reshape(-1, 3)),
+        BuildConfig(leaf_size=8), step_quant=True, refittable=True)
+    cam = scenes.camera_rays((0, 3, 4), (0, 0, 0), (0, 1, 0), 50, 16, 16)
+    frames = jnp.stack([jnp.asarray(scenes.deforming_grid(t, n=16))
+                        for t in (0.1, 0.3)])
+    base = trace_packets_refit_frames(sah, aux, frames, cam, interpret=True)
+    flag = trace_packets_refit_frames(sah, aux, frames, cam, interpret=True,
+                                      leaf_loop=True, defer_uv=True,
+                                      ordered=True)
+    for f in range(2):
+        np.testing.assert_array_equal(np.asarray(base[f].hit),
+                                      np.asarray(flag[f].hit))
+        np.testing.assert_array_equal(np.asarray(base[f].t),
+                                      np.asarray(flag[f].t))
+        # defer_uv: lazy recompute, exact up to fma contraction
+        np.testing.assert_allclose(np.asarray(base[f].u),
+                                   np.asarray(flag[f].u), atol=5e-5)
+    h1, _, _ = trace_packets_refit(sah, aux, np.asarray(frames[1]), cam,
+                                   interpret=True, leaf_loop=True,
+                                   defer_uv=True)
+    np.testing.assert_array_equal(np.asarray(h1.hit),
+                                  np.asarray(base[1].hit))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(base[1].t))
+
+
 def test_build_sah_packed_public_surface():
     """build_sah_packed accepts build_scene-style mesh input and traces
     identically to the LBVH path (modulo exact-t ties)."""
