@@ -419,7 +419,7 @@ def _unsort_merge(idx, n, fields):
 def _instanced_packets_impl(packed, object_from_world, packed_roots,
                             inst_blas, inst_lo, inst_hi, origin, direction,
                             min_t, max_t, *, unit, M, C, n_inst, chunk,
-                            interpret):
+                            interpret, leaf_loop=False, ordered=False):
     """Candidates + all grouped rounds as ONE device program.
 
     Per round: sort rays into per-instance runs (padded to whole
@@ -467,7 +467,8 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
             packed_roots,
             jnp.take(inst_blas, jnp.minimum(bin_s[::unit], n_inst - 1)))
         h = trace_packets(packed, grouped, packet_roots=roots, pkt=unit,
-                          interpret=interpret)
+                          interpret=interpret, leaf_loop=leaf_loop,
+                          ordered=ordered)
         ht, hu, hv, hs, binb = _unsort_merge(
             idx_s, n, (h.t, h.u, h.v, h.slot, bin_s))
         improved = (hs >= 0) & (ht < best["t"])
@@ -486,13 +487,15 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
 
 @functools.lru_cache(maxsize=None)
 def _instanced_packets_jit(interpret: bool, tpu: bool, unit: int, M: int,
-                           C: int, n_inst: int, chunk: int):
+                           C: int, n_inst: int, chunk: int,
+                           leaf_loop: bool = False, ordered: bool = False):
     # See _instanced_rounds_jit note in r1: many per-round ray blocks trip
     # the default 16 MB scoped-vmem budget; v5e has 128 MB.
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_instanced_packets_impl, unit=unit, M=M, C=C,
-                          n_inst=n_inst, chunk=chunk, interpret=interpret),
+                          n_inst=n_inst, chunk=chunk, interpret=interpret,
+                          leaf_loop=leaf_loop, ordered=ordered),
         compiler_options=opts)
 
 
@@ -544,6 +547,8 @@ def trace_closest_instanced_packets(
     max_candidates: int = 8,
     interpret: bool = False,
     exact: bool = True,
+    leaf_loop: bool = False,
+    ordered: bool = False,
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
@@ -583,7 +588,8 @@ def trace_closest_instanced_packets(
     M = (np_ + n_inst * unit + blk - 1) // blk * blk
 
     fn = _instanced_packets_jit(interpret, jax.default_backend() == "tpu",
-                                unit, M, C, n_inst, chunk)
+                                unit, M, C, n_inst, chunk,
+                                leaf_loop=leaf_loop, ordered=ordered)
     best, best_inst, unproven = fn(
         pscene.packed, iscene.object_from_world, pscene.packed_roots,
         iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,

@@ -107,6 +107,27 @@ def test_instanced_packet_kernel_matches_brute():
     np.testing.assert_array_equal(np.asarray(inst) >= 0, wh)
 
 
+def test_instanced_packets_perf_flags_parity():
+    """leaf_loop/ordered threaded into the per-round packet traces must
+    not change results (scheduling knobs only)."""
+    from rtk_tpu.instancing import (pack_instanced,
+                                    trace_closest_instanced_packets)
+
+    iscene, world_tris, _, _ = _setup()
+    ps = pack_instanced(iscene)
+    rng = np.random.default_rng(11)
+    o = (rng.normal(size=(200, 3)) * 6).astype(np.float32)
+    d = rng.normal(size=(200, 3)).astype(np.float32)
+    rays = Rays.make(o, d)
+    base, ibase = trace_closest_instanced_packets(ps, rays, interpret=True)
+    flag, iflag = trace_closest_instanced_packets(ps, rays, interpret=True,
+                                                  leaf_loop=True,
+                                                  ordered=True)
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(flag.hit))
+    np.testing.assert_array_equal(np.asarray(base.t), np.asarray(flag.t))
+    np.testing.assert_array_equal(np.asarray(ibase), np.asarray(iflag))
+
+
 def test_total_triangles_counts_instances():
     """total_triangles = sum over instances of their BLAS's real triangle
     count (r1 fix: it returned the merged count regardless of instances)."""
