@@ -110,10 +110,25 @@ def test_instanced_packet_kernel_matches_brute():
 def test_instanced_packets_perf_flags_parity():
     """leaf_loop/ordered threaded into the per-round packet traces must
     not change results (scheduling knobs only)."""
+    from rtk_tpu.config import BuildConfig
     from rtk_tpu.instancing import (pack_instanced,
                                     trace_closest_instanced_packets)
 
-    iscene, world_tris, _, _ = _setup()
+    # leaf_loop needs lane-aligned leaves: build the BLAS at K=8 (the
+    # bench instanced config's leaf size), not the default.
+    rng = np.random.default_rng(2)
+    cfg8 = BuildConfig(branching=8, leaf_size=8)
+    blob_tris = scenes.blob(subdivisions=2)[0]
+    box_tris = scenes.box([-0.5, -0.5, -0.5], [0.5, 0.5, 0.5])
+    blas = [build_scene(_soup_of(blob_tris), cfg8),
+            build_scene(_soup_of(box_tris), cfg8)]
+    inst_blas = rng.integers(0, 2, 6).astype(np.int32)
+    tf = np.stack([
+        _transform(0.5 + rng.random(), rng.random() * 6.28,
+                   *(rng.random(3) * 8 - 4))
+        for _ in range(6)
+    ])
+    iscene = build_instanced(blas, inst_blas, tf)
     ps = pack_instanced(iscene)
     rng = np.random.default_rng(11)
     o = (rng.normal(size=(200, 3)) * 6).astype(np.float32)
