@@ -631,12 +631,17 @@ def config_instanced():
     nxt_cam5 = vary_rays(cam5)
 
     def wavefront4(k=None):
-        # Per-bounce: trace -> fused device shade/sample/compact; the only
-        # host sync is the live-count scalar that picks the pow2 bucket.
-        # Each call gets a fresh camera variant + RNG key so no dispatch
-        # repeats identical inputs (timeit cache hazard).
+        # Per-bounce: trace -> fused device shade/sample/compact.  Bounce
+        # batches keep the FULL 512^2 shape (live rays compacted to the
+        # front, dead tail max_t=0): the fused candidate-rounds program
+        # is a multi-minute tunnel compile, and the old pow2-bucket
+        # shapes compiled it once PER BUCKET (~4x) — which is what timed
+        # the config out of r3/r4 runs.  Dead rows are near-free in the
+        # kernel (dead-lane cull drains their packets in ~2 steps), so
+        # one shape costs ~ms while saving ~10 min of compiles.
         rays_b = nxt_cam5()
         total = rays_b.count
+        m = rays_b.count
         k = key5 if k is None else k
         hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                   max_candidates=CAND5)
@@ -646,8 +651,6 @@ def config_instanced():
             n_alive = int(n_alive_dev)
             if n_alive == 0:
                 break
-            m = min(rays_b.count,
-                    max(1024, 1 << int(np.ceil(np.log2(n_alive)))))
             rays_b = _take_rays(origin, nd, perm, n_alive_dev, m=m)
             hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                       max_candidates=CAND5)
@@ -655,9 +658,9 @@ def config_instanced():
         np.asarray(hits.t[:1])  # real sync (enqueue-level block hazard)
         return total
 
-    total5 = wavefront4()  # warm-up compiles all round shapes
+    total5 = wavefront4()  # warm-up compiles the (single) round shape
     # Distinct keys per timed call (unique bounce-round inputs; the
-    # timeit cache hazard).  Best-of-two absorbs a bucket-flip recompile.
+    # timeit cache hazard).
     t1 = time.perf_counter()
     wavefront4(jax.random.PRNGKey(11))
     t2 = time.perf_counter()
