@@ -523,9 +523,14 @@ def config_refit():
 
     nxt_cam = vary_rays(cam_d)  # unique inputs per call (timeit hazard)
 
+    # leaf_loop+defer_uv: -39% on this config (refit_sahq probe r4:
+    # lbvh 13.85 -> 8.46 ms/frame same-day; the refit executors gained
+    # the kernel perf flags in r4).  Bit-parity tested.
+    kw = dict(leaf_loop=True, defer_uv=True)
+
     def frame(i):
         hits, _, _ = trace_packets_refit(packed_d, scene_d, frames[i % 3],
-                                         nxt_cam(), sort_rays=False)
+                                         nxt_cam(), sort_rays=False, **kw)
         return hits
 
     import itertools
@@ -540,11 +545,24 @@ def config_refit():
     # F=8 11.0, F=16 10.8, F=32 7.95, F=64 8.62 ms/frame — the vmapped
     # prep scales with F and overtakes the amortisation past 32) and
     # the hoisted coherence sort beats unsorted (11.0 vs 12.3 at F=8).
+    # Topology: step-quantized SAH refit on device (refit_packed_binary,
+    # r4) edges LBVH at equal flags (8.25 vs 8.46); LBVH fallback if the
+    # native builder is unavailable.
     F = 32
     clip = jnp.stack([jnp.asarray(scenes.deforming_grid(0.05 * i, n=96))
                       for i in range(F)])
+    packed_s, scene_s = packed_d, scene_d
+    try:
+        from rtk_tpu.builder.sah import build_sah_packed
+
+        packed_s, scene_s = build_sah_packed(
+            (grid0.reshape(-1, 3),
+             np.arange(grid0.shape[0] * 3).reshape(-1, 3)),
+            BuildConfig(leaf_size=16), step_quant=True, refittable=True)
+    except Exception as e:
+        log(f"refit sahq build unavailable ({e}); scanning LBVH tables")
     dt = timeit(lambda: trace_packets_refit_frames(
-        packed_d, scene_d, clip, nxt_cam(), sort_rays=True)[-1],
+        packed_s, scene_s, clip, nxt_cam(), sort_rays=True, **kw)[-1],
         iters=3, batches=2)
     rec["refit_scan_ms_per_frame"] = round(dt / F * 1e3, 1)
     log(f"deforming refit+trace, {F}-frame scan: {dt/F*1e3:.1f} ms/frame "
