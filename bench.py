@@ -485,9 +485,13 @@ def config_atrium():
     rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium ({atr.shape[0]} tris) primary: "
         f"{rec['atrium_primary_mrays']:.2f} Mrays/s")
+    # ordered(+dual prune, r4) + defer_uv: bounce 1.29 -> 1.46 Mrays/s
+    # (bounce2/bounce3 probes; stale-pop culling is real once unions
+    # are narrow).
     nxtb = vary_rays(bounce)
     dt = timeit(lambda: trace_packets(packed_q16, nxtb(), dual=True,
-                                      leaf_loop=True),
+                                      leaf_loop=True, ordered=True,
+                                      defer_uv=True),
                 iters=2, batches=2)
     rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")

@@ -60,6 +60,11 @@ class TraceConfig:
         True/False forces split internal-stack + leaf-queue stepping on/off
         (split is ~1.6x faster on incoherent bounce batches, slightly
         slower on coherent primaries).
+      defer_uv: packet engine only — drop the u/v hit carries and the
+        rcp_det normalise from the kernel; PacketHits recomputes u/v
+        lazily on access (hits/t/slot bit-equal, u/v exact up to fma
+        contraction).  Measured +3.5% on the 67M headline; off by
+        default because it perturbs last-bit u/v.
     """
 
     max_stack: int = 48
@@ -67,3 +72,4 @@ class TraceConfig:
     max_steps: int = 0  # 0 = unbounded (loop until all rays finish)
     block_rays: int = 0
     dual_queues: bool | None = None
+    defer_uv: bool = False

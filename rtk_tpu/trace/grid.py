@@ -1,6 +1,6 @@
 """Macro-grid DDA tracing: the incoherent-ray engine, round 2.
 
-The binned engine (trace/binned.py) re-bins rays over BVH subtree cuts,
+The binned engine (testing/binned.py, demoted r4) re-bins rays over BVH subtree cuts,
 but subtree bins OVERLAP spatially, so after a ray finds a hit it must
 still trace every bin whose entry distance precedes it — measured ~6 live
 rounds per ray on the atrium bounce (docs/PERF_NOTES.md r2).  This engine

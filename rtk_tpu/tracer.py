@@ -8,9 +8,11 @@ contract (rtk_trace_ray semantics, rtk.c:543-577):
     cached on this object.
   * "stack": the pure-XLA lockstep traversal (trace/stack.py) — runs on any
     backend, any branching, and supports filter callables.
-  * "binned": the packet kernel behind a re-binning front-end
-    (trace/binned.py) — for incoherent bounce batches, whose packet
-    unions otherwise approach the whole tree.
+  * "binned": the packet kernel behind a re-binning front-end — DEMOTED
+    to rtk_tpu/testing/binned.py in r4: it loses to the flat packet
+    engine on every recorded TPU bounce measurement (0.13-0.20 vs
+    1.03+ Mrays/s) and is superseded by "grid" as a re-binning design;
+    kept importable as a correctness/reference path.
   * "grid": the macro-grid DDA engine (trace/grid.py) — re-bins
     incoherent rays over DISJOINT cells each round, so rays terminate
     at the first hit instead of draining overlapping bins.
@@ -117,10 +119,19 @@ class Tracer:
                 # batches; callers that know their batch is a bounce pass
                 # coherent=False.
                 dual = coherent is False
+            # Measured-default kernel flags (PERF_NOTES r4): the chunked
+            # leaf phase pays everywhere lane-aligned leaves allow it
+            # (headline +5%, bounce +26%, refit -39% with defer_uv), and
+            # near-to-far ordering + stale-subtree pruning pays on
+            # divergent dual batches (bounce 1.29 -> 1.43).  Both are
+            # bit-exact.
+            leaf_loop = self.scene.leaf_size % 8 == 0
             return trace_packets(self.packed, rays, mode=mode,
                                  watertight=self.config.watertight,
                                  dual=dual, filter_mask=filter_mask,
                                  filter_fn=filter_fn,
+                                 leaf_loop=leaf_loop, ordered=dual,
+                                 defer_uv=self.config.defer_uv,
                                  interpret=jax.default_backend() != "tpu")
         if filter_mask is not None and self.engine not in ("binned", "grid",
                                                            "march"):
@@ -143,7 +154,7 @@ class Tracer:
                 filter_mask=filter_mask,
                 interpret=jax.default_backend() != "tpu")
         if self.engine == "binned" and filter_fn is None:
-            from rtk_tpu.trace.binned import trace_packets_binned
+            from rtk_tpu.testing.binned import trace_packets_binned
 
             return trace_packets_binned(
                 self.packed, rays, mode=mode,

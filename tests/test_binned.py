@@ -1,12 +1,13 @@
 """Binned (re-binned) incoherent-ray engine: exact parity with the flat
-packet engine (trace/binned.py; PERF_NOTES r2 — the union-waste fix)."""
+packet engine (testing/binned.py; demoted from trace/ in r4 — loses to
+the flat engine on TPU, PERF_NOTES r2/r4)."""
 import pytest
 import numpy as np
 
 from rtk_tpu import build_scene
 from rtk_tpu.config import BuildConfig
 from rtk_tpu.ops.pallas_trace import trace_packets
-from rtk_tpu.trace.binned import subtree_bins, trace_packets_binned
+from rtk_tpu.testing.binned import subtree_bins, trace_packets_binned
 from rtk_tpu.trace.packed import pack_scene
 from rtk_tpu.testing import scenes
 from rtk_tpu.types import Rays

@@ -33,7 +33,7 @@ def main():
     from rtk_tpu.models.path import cosine_sample, geometric_normal
     from rtk_tpu.ops.pallas_trace import trace_packets
     from rtk_tpu.scene import build_from_soup
-    from rtk_tpu.trace.binned import trace_packets_binned
+    from rtk_tpu.testing.binned import trace_packets_binned
     from rtk_tpu.trace.packed import pack_scene
     from rtk_tpu.testing import scenes
 
