@@ -485,13 +485,15 @@ def config_atrium():
     rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium ({atr.shape[0]} tris) primary: "
         f"{rec['atrium_primary_mrays']:.2f} Mrays/s")
-    # ordered(+dual prune, r4) + defer_uv: bounce 1.29 -> 1.46 Mrays/s
-    # (bounce2/bounce3 probes; stale-pop culling is real once unions
-    # are narrow).
+    # ordered(+dual prune, r4) + defer_uv + narrow-wide blocks: bounce
+    # 1.29 -> 1.76 Mrays/s (bounce2/3/4 probes).  Pruning reversed the
+    # r2 packet-width verdict (narrow unions win once stale pops are
+    # culled) and P=16 x pkt=256 re-amortises the per-block fixed cost
+    # the narrower packets gave back.
     nxtb = vary_rays(bounce)
     dt = timeit(lambda: trace_packets(packed_q16, nxtb(), dual=True,
                                       leaf_loop=True, ordered=True,
-                                      defer_uv=True),
+                                      defer_uv=True, pkt=256, p_pk=16),
                 iters=2, batches=2)
     rec["atrium_bounce_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium incoherent bounce: {rec['atrium_bounce_mrays']:.2f} Mrays/s")
