@@ -605,12 +605,28 @@ def trace_closest_instanced_packets(
         # exhaustive re-trace (all-instance candidates through the XLA
         # stack path, which exposes its internal sorted slot -> mapped to
         # a packed slot so the lazy PacketHits record stays consistent).
-        # One scalar host sync; the residual batch is tiny unless C is
-        # far below the scene's instance-overlap depth.
-        n_res = int(jnp.sum(unproven))
+        # One scalar host sync.  The residual is COMPACTED first (r4):
+        # the stack engine's per-round cost scales with the ray-array
+        # width whether lanes are live or not, and an un-compacted
+        # residual at 30% unproven (bench instanced camera, overlap
+        # depth p90=9 > C=4) measured ~98 s per 262k-ray trace — the
+        # whole-batch rounds were the entire cost.
+        unp = np.asarray(unproven)
+        idx = np.flatnonzero(unp)
+        n_res = idx.size
         if n_res:
-            best, best_inst = _residual_exhaustive(
-                pscene, rays, best, best_inst, unproven)
+            idxj = jnp.asarray(idx, jnp.int32)
+            rays_r = Rays(origin=jnp.asarray(rays.origin)[idxj],
+                          direction=jnp.asarray(rays.direction)[idxj],
+                          min_t=jnp.asarray(rays.min_t)[idxj],
+                          max_t=jnp.asarray(rays.max_t)[idxj])
+            best_r = {k: v[idxj] for k, v in best.items()}
+            best_r, bi_r = _residual_exhaustive(
+                pscene, rays_r, best_r, best_inst[idxj],
+                jnp.ones((n_res,), bool))
+            best = {k: v.at[idxj].set(best_r[k])
+                    for k, v in best.items()}
+            best_inst = best_inst.at[idxj].set(bi_r)
 
     packed = pscene.packed
     hits = PacketHits(
