@@ -65,6 +65,12 @@ class TraceConfig:
         lazily on access (hits/t/slot bit-equal, u/v exact up to fma
         contraction).  Measured +3.5% on the 67M headline; off by
         default because it perturbs last-bit u/v.
+      pkt / packets_per_block: packet engine block geometry overrides
+        (ray lanes per packet, a multiple of 128; packets per kernel
+        block, a multiple of 8).  None = the measured auto policy (wide
+        for coherent batches).  Incoherent bounce batches measured best
+        at pkt=256 x 16 packets/block once ordering+pruning landed
+        (atrium 1M bounce 1.52 -> 1.76 Mrays/s, PERF_NOTES r4).
     """
 
     max_stack: int = 48
@@ -73,3 +79,5 @@ class TraceConfig:
     block_rays: int = 0
     dual_queues: bool | None = None
     defer_uv: bool = False
+    pkt: int | None = None
+    packets_per_block: int | None = None

@@ -126,13 +126,19 @@ class Tracer:
             # divergent dual batches (bounce 1.29 -> 1.43).  Both are
             # bit-exact.
             leaf_loop = self.scene.leaf_size % 8 == 0
+            kw = {}
+            if self.config.pkt is not None:
+                kw["pkt"] = self.config.pkt
+            if self.config.packets_per_block is not None:
+                kw["p_pk"] = self.config.packets_per_block
             return trace_packets(self.packed, rays, mode=mode,
                                  watertight=self.config.watertight,
                                  dual=dual, filter_mask=filter_mask,
                                  filter_fn=filter_fn,
                                  leaf_loop=leaf_loop, ordered=dual,
                                  defer_uv=self.config.defer_uv,
-                                 interpret=jax.default_backend() != "tpu")
+                                 interpret=jax.default_backend() != "tpu",
+                                 **kw)
         if filter_mask is not None and self.engine not in ("binned", "grid",
                                                            "march"):
             raise ValueError(
