@@ -419,7 +419,8 @@ def _unsort_merge(idx, n, fields):
 def _instanced_packets_impl(packed, object_from_world, packed_roots,
                             inst_blas, inst_lo, inst_hi, origin, direction,
                             min_t, max_t, *, unit, M, C, n_inst, chunk,
-                            interpret, leaf_loop=False, ordered=False):
+                            interpret, leaf_loop=False, ordered=False,
+                            p_pk=8):
     """Candidates + all grouped rounds as ONE device program.
 
     Per round: sort rays into per-instance runs (padded to whole
@@ -468,7 +469,7 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
             jnp.take(inst_blas, jnp.minimum(bin_s[::unit], n_inst - 1)))
         h = trace_packets(packed, grouped, packet_roots=roots, pkt=unit,
                           interpret=interpret, leaf_loop=leaf_loop,
-                          ordered=ordered)
+                          ordered=ordered, p_pk=p_pk)
         ht, hu, hv, hs, binb = _unsort_merge(
             idx_s, n, (h.t, h.u, h.v, h.slot, bin_s))
         improved = (hs >= 0) & (ht < best["t"])
@@ -488,14 +489,15 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
 @functools.lru_cache(maxsize=None)
 def _instanced_packets_jit(interpret: bool, tpu: bool, unit: int, M: int,
                            C: int, n_inst: int, chunk: int,
-                           leaf_loop: bool = False, ordered: bool = False):
+                           leaf_loop: bool = False, ordered: bool = False,
+                           p_pk: int = 8):
     # See _instanced_rounds_jit note in r1: many per-round ray blocks trip
     # the default 16 MB scoped-vmem budget; v5e has 128 MB.
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_instanced_packets_impl, unit=unit, M=M, C=C,
                           n_inst=n_inst, chunk=chunk, interpret=interpret,
-                          leaf_loop=leaf_loop, ordered=ordered),
+                          leaf_loop=leaf_loop, ordered=ordered, p_pk=p_pk),
         compiler_options=opts)
 
 
@@ -549,6 +551,7 @@ def trace_closest_instanced_packets(
     exact: bool = True,
     leaf_loop: bool = False,
     ordered: bool = False,
+    p_pk: int = 8,
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
@@ -583,13 +586,14 @@ def trace_closest_instanced_packets(
             [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
 
     # Static grouped size: every ray + <= unit-1 padding per nonempty
-    # instance run, rounded to whole 8-packet blocks.
-    blk = 8 * unit
+    # instance run, rounded to whole kernel blocks (p_pk packets each).
+    blk = p_pk * unit
     M = (np_ + n_inst * unit + blk - 1) // blk * blk
 
     fn = _instanced_packets_jit(interpret, jax.default_backend() == "tpu",
                                 unit, M, C, n_inst, chunk,
-                                leaf_loop=leaf_loop, ordered=ordered)
+                                leaf_loop=leaf_loop, ordered=ordered,
+                                p_pk=p_pk)
     best, best_inst, unproven = fn(
         pscene.packed, iscene.object_from_world, pscene.packed_roots,
         iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,
@@ -615,18 +619,30 @@ def trace_closest_instanced_packets(
         idx = np.flatnonzero(unp)
         n_res = idx.size
         if n_res:
-            idxj = jnp.asarray(idx, jnp.int32)
-            rays_r = Rays(origin=jnp.asarray(rays.origin)[idxj],
-                          direction=jnp.asarray(rays.direction)[idxj],
-                          min_t=jnp.asarray(rays.min_t)[idxj],
-                          max_t=jnp.asarray(rays.max_t)[idxj])
-            best_r = {k: v[idxj] for k, v in best.items()}
+            # Pad the compacted batch to a power of two so repeated
+            # traces reuse one compiled residual program per bucket
+            # (the stack engine jits per shape; an exact-size batch
+            # would recompile on every call).  Pad rays are dead
+            # (max_t=0) and their scatter-back is masked off.
+            m_res = max(256, 1 << (n_res - 1).bit_length())
+            # Pad entries index out of bounds: gathers clip (their rows
+            # are dead via max_t=0), scatters drop them — no duplicate-
+            # index race against real rows.
+            pad_idx = np.full(m_res, n, np.int64)
+            pad_idx[:n_res] = idx
+            idxj = jnp.asarray(pad_idx, jnp.int32)
+            livep = jnp.asarray(np.arange(m_res) < n_res)
+            gat = lambda a: jnp.asarray(a)[jnp.minimum(idxj, n - 1)]
+            rays_r = Rays(origin=gat(rays.origin),
+                          direction=gat(rays.direction),
+                          min_t=gat(rays.min_t),
+                          max_t=jnp.where(livep, gat(rays.max_t), 0.0))
+            best_r = {k: gat(v) for k, v in best.items()}
             best_r, bi_r = _residual_exhaustive(
-                pscene, rays_r, best_r, best_inst[idxj],
-                jnp.ones((n_res,), bool))
-            best = {k: v.at[idxj].set(best_r[k])
+                pscene, rays_r, best_r, gat(best_inst), livep)
+            best = {k: v.at[idxj].set(best_r[k], mode="drop")
                     for k, v in best.items()}
-            best_inst = best_inst.at[idxj].set(bi_r)
+            best_inst = best_inst.at[idxj].set(bi_r, mode="drop")
 
     packed = pscene.packed
     hits = PacketHits(

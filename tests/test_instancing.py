@@ -137,7 +137,7 @@ def test_instanced_packets_perf_flags_parity():
     base, ibase = trace_closest_instanced_packets(ps, rays, interpret=True)
     flag, iflag = trace_closest_instanced_packets(ps, rays, interpret=True,
                                                   leaf_loop=True,
-                                                  ordered=True)
+                                                  ordered=True, p_pk=16)
     np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(flag.hit))
     np.testing.assert_array_equal(np.asarray(base.t), np.asarray(flag.t))
     np.testing.assert_array_equal(np.asarray(ibase), np.asarray(iflag))

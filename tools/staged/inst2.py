@@ -65,10 +65,11 @@ def main():
     cands = [
         ("C4 base", dict(max_candidates=4)),
         ("C4 loop", dict(max_candidates=4, leaf_loop=True)),
-        ("C4 loop ordered", dict(max_candidates=4, leaf_loop=True,
-                                 ordered=True)),
-        ("C3 loop", dict(max_candidates=3, leaf_loop=True)),
-        ("C6 loop", dict(max_candidates=6, leaf_loop=True)),
+        ("C4 loop p16", dict(max_candidates=4, leaf_loop=True, p_pk=16)),
+        ("C4 loop p32", dict(max_candidates=4, leaf_loop=True, p_pk=32)),
+        ("C4 loop ordered p16", dict(max_candidates=4, leaf_loop=True,
+                                     ordered=True, p_pk=16)),
+        ("C6 loop p16", dict(max_candidates=6, leaf_loop=True, p_pk=16)),
     ]
     for name, kw in cands:
         try:
