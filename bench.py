@@ -622,7 +622,13 @@ def config_instanced():
     cam5 = scenes.camera_rays((7, 6.5, 8), (2.2, 2.2, 2.2), (0, 1, 0), 55,
                               512, 512, order="morton")
     key5 = jax.random.PRNGKey(5)
-    CAND5 = 4  # nearest-candidate rounds per trace (bounds compiles)
+    # C=12 covers this camera's p99 instance-overlap depth (host AABB
+    # analysis r4: mean 3.3, p90 9, p99 12, max 13), so the stack-engine
+    # exactness residual all but vanishes; empty rounds skip at runtime
+    # (lax.cond, r4) so the extra rounds cost only when rays need them.
+    # The r3/r4 timeouts were C=4 leaving ~30% of rays to the residual
+    # (98 s/trace) — see PERF_NOTES.
+    CAND5 = 12
 
     scene_lo5 = jnp.asarray(tf[:, :, 3].min(axis=0) - 1.0)
     scene_hi5 = jnp.asarray(tf[:, :, 3].max(axis=0) + 2.0)
@@ -668,7 +674,8 @@ def config_instanced():
         m = rays_b.count
         k = key5 if k is None else k
         hits, _ = trace_closest_instanced_packets(pscene, rays_b,
-                                                  max_candidates=CAND5)
+                                                  max_candidates=CAND5,
+                                                  leaf_loop=True)
         for bounce in range(3):
             k, kd = jax.random.split(k)
             nd, origin, perm, n_alive_dev = _bounce_prep(hits, rays_b, kd)
@@ -677,7 +684,8 @@ def config_instanced():
                 break
             rays_b = _take_rays(origin, nd, perm, n_alive_dev, m=m)
             hits, _ = trace_closest_instanced_packets(pscene, rays_b,
-                                                      max_candidates=CAND5)
+                                                      max_candidates=CAND5,
+                                                      leaf_loop=True)
             total += n_alive
         np.asarray(hits.t[:1])  # real sync (enqueue-level block hazard)
         return total

@@ -440,19 +440,14 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         "slot": jnp.full((n,), -1, jnp.int32),
     }
     best_inst = jnp.full((n,), -1, jnp.int32)
-    for s in range(C):
+
+    def round_body(s, best, best_inst):
         comps = (origin[:, 0], origin[:, 1], origin[:, 2],
                  direction[:, 0], direction[:, 1], direction[:, 2],
                  min_t, best["t"], cand_t[:, s])
-        # Pre-sort liveness: a candidate whose AABB entry is already past
-        # the ray's best hit will be masked dead after the sort anyway —
-        # binning it as dead HERE keeps it out of the instance runs, so
-        # later rounds' packets hold only rays that still need tracing
-        # (bounce batches resolve mostly in round 0).
-        live_pre = cand_t[:, s] < best["t"]
         idx_s, bin_s, cs = _sorted_group(
-            jnp.where(live_pre, cand_idx[:, s], -1), cand_t[:, s],
-            comps, n_inst, unit)
+            jnp.where(cand_t[:, s] < best["t"], cand_idx[:, s], -1),
+            cand_t[:, s], comps, n_inst, unit)
         o0, o1, o2, d0, d1, d2, mnt, bt, ct = cs
         is_real = idx_s < n
         safe_bin = jnp.minimum(bin_s, n_inst - 1)
@@ -480,6 +475,26 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
             "slot": jnp.where(improved, hs, best["slot"]),
         }
         best_inst = jnp.where(improved, binb, best_inst)
+        return best, best_inst
+
+    for s in range(C):
+        # Pre-sort liveness: a candidate whose AABB entry is already past
+        # the ray's best hit will be masked dead after the sort anyway —
+        # binning it as dead HERE keeps it out of the instance runs, so
+        # later rounds' packets hold only rays that still need tracing
+        # (bounce batches resolve mostly in round 0).  Rounds with ZERO
+        # live candidates skip entirely at runtime (lax.cond): most rays
+        # prove within their first 1-2 candidates, so a C sized for the
+        # scene's p99 overlap depth costs only the rounds that matter —
+        # without the skip, every extra round paid two full-width
+        # multi-operand sorts + a kernel dispatch (r4: the instanced
+        # config's cost was exactly these empty rounds).
+        n_live = jnp.sum((cand_t[:, s] < best["t"]).astype(jnp.int32))
+        best, best_inst = jax.lax.cond(
+            n_live > 0,
+            lambda b, bi, s=s: round_body(s, b, bi),
+            lambda b, bi: (b, bi),
+            best, best_inst)
     # A ray whose (C+1)-th instance-AABB entry is still closer than its
     # best hit is unproven; the caller re-traces those exhaustively.
     unproven = overflow < best["t"]
