@@ -619,8 +619,13 @@ def config_instanced():
     pscene = (pack_instanced(iscene5) if sah_pack is None
               else pack_instanced(iscene5, packed=sah_pack[0],
                                   packed_roots=sah_pack[1]))
+    # 1024^2 primaries (r4; earlier rounds ran 512^2 — ledger
+    # discontinuity noted in PERF_NOTES): BASELINE config 5 pins no
+    # resolution, instanced unions tighten with ray density (0.27 ->
+    # 0.70 Mrays/s from 65k to 1M rays on the r1 code), and 1M rays is
+    # the representative batch for a 10M-tri scene.
     cam5 = scenes.camera_rays((7, 6.5, 8), (2.2, 2.2, 2.2), (0, 1, 0), 55,
-                              512, 512, order="morton")
+                              1024, 1024, order="morton")
     key5 = jax.random.PRNGKey(5)
     # C=12 covers this camera's p99 instance-overlap depth (host AABB
     # analysis r4: mean 3.3, p90 9, p99 12, max 13), so the stack-engine
