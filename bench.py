@@ -739,6 +739,17 @@ def main():
     best_rejected = 0.0
     for label, timeout in (("sahq-k16-ordered-kzs-loop", 600),
                            ("sahq-k16-ordered", 600), ("k8", 600)):
+        # The candidate loop must not starve the configs behind it: on
+        # compile-stall evenings (observed r4: three 10-18 min service
+        # stalls in one night) three failed 600 s candidates would eat
+        # the whole 1620 s suite budget.  Cap each candidate so ~13 min
+        # always remain for the per-config records.
+        rem = _remaining()
+        if rem < 300:
+            log(f"headline candidates out of suite budget "
+                f"({rem:.0f}s left) — continuing with configs")
+            break
+        timeout = min(timeout, max(240, int(rem - 780)))
         t0 = time.perf_counter()
         try:
             out = subprocess.run(
