@@ -474,13 +474,15 @@ def config_atrium():
         origin=origin, direction=bounce_dir,
         min_t=jnp.full((cam.count,), 1e-3, jnp.float32),
         max_t=jnp.where(prim.hit, np.float32(3.4e38), 0.0))
-    # leaf_loop: chunked-fori leaf phase (r4) — +26% on the bounce batch
-    # (1.03 -> 1.30 Mrays/s, bounce_lesion probe) and expected similar on
-    # primaries; bit-exact.
+    # Primary runs DEFAULT kernel flags: the ordered+leaf_loop primary
+    # shape hit two 30-min compile-service stalls in the r4 runs (the
+    # config recorded NOTHING both times), while this exact default
+    # shape is the one the bounce probes warm-compile — a recorded 22
+    # beats an unrecorded 24 (ordered+prune primary = +6%, PERF_NOTES
+    # atrium topology sweep, if a warm cache entry exists some round).
     nxtc_a = vary_rays(cam)
     dt = timeit(lambda: trace_packets(packed_q16, nxtc_a(),
-                                      sort_rays=False, ordered=True,
-                                      leaf_loop=True),
+                                      sort_rays=False),
                 iters=3)
     rec["atrium_primary_mrays"] = round(cam.count / dt / 1e6, 2)
     log(f"atrium ({atr.shape[0]} tris) primary: "
