@@ -311,8 +311,12 @@ def config_build():
 
     cfg = BuildConfig(branching=8, leaf_size=8)
     rec = {}
+    # blob(9) keeps variants/iters small: each variant is a 189 MB
+    # tunnel upload and each honest build is ~2.5 s (gather-bound at
+    # scale, PERF_NOTES r4) — the r4 rehearsal's 4-variant/4-iter shape
+    # blew the config timeout on prep alone.
     for sub, nvar, iters, key in ((6, 8, 10, "build_mtris_82k"),
-                                  (9, 4, 4, "build_mtris")):
+                                  (9, 2, 2, "build_mtris")):
         btris = scenes.blob(subdivisions=sub)[0]
         n = btris.shape[0]
         # Unique input bytes per timed call (timeit cache hazard): a dead
@@ -717,7 +721,7 @@ CONFIGS = {
     # then the cheap configs, then the two big ones.
     "refit": (config_refit, 420),
     "instanced": (config_instanced, 540),
-    "build": (config_build, 420),
+    "build": (config_build, 540),
     "cornell": (config_cornell, 300),
     "bunny": (config_bunny, 600),
     "atrium": (config_atrium, 540),
