@@ -722,8 +722,8 @@ CONFIGS = {
     "refit": (config_refit, 420),
     "instanced": (config_instanced, 540),
     "build": (config_build, 540),
+    "bunny": (config_bunny, 600),  # holds the compaction-win record
     "cornell": (config_cornell, 300),
-    "bunny": (config_bunny, 600),
     "atrium": (config_atrium, 540),
 }
 
