@@ -743,8 +743,19 @@ def main():
     # JSON prints the moment the first candidate lands.
     mrays = 0.0
     best_rejected = 0.0
+    best_label = None
+    # The primary candidate re-tries ONCE at the end if only a fallback
+    # landed and budget remains: r4 observed the primary timing out in
+    # one 10-min stall window and then completing in 180 s an hour
+    # later — stall windows pass, and primary-vs-fallback is worth
+    # ~45 Mrays/s of recorded headline.
     for label, timeout in (("sahq-k16-ordered-kzs-loop", 600),
-                           ("sahq-k16-ordered", 600), ("k8", 600)):
+                           ("sahq-k16-ordered", 600), ("k8", 600),
+                           ("sahq-k16-ordered-kzs-loop", 600)):
+        if label == best_label:
+            continue  # retry entry only matters if a fallback won
+        if mrays > 0.0 and label != "sahq-k16-ordered-kzs-loop":
+            continue  # fallbacks only run while nothing has landed
         # The candidate loop must not starve the configs behind it: on
         # compile-stall evenings (observed r4: three 10-18 min service
         # stalls in one night) three failed 600 s candidates would eat
@@ -784,11 +795,10 @@ def main():
             mrays = rec["mrays"]
             emit_headline(mrays)  # un-losable: record it the moment we know
         if mrays > 0.0:
-            # Fallback candidates exist to survive a failure of the
-            # primary, not to re-measure known-slower topologies (their
-            # numbers live in PERF_NOTES); each skipped candidate saves
-            # a ~3-5 min 67M subprocess of the driver's budget.
-            break
+            best_label = label
+            # Fallbacks exist to survive a failure of the primary, not
+            # to re-measure known-slower topologies — once anything
+            # lands, only the primary's retry entry may still run.
     if mrays == 0.0 and best_rejected > 0.0:
         # Every candidate mismatched the stored constant — more likely the
         # procedural scene/camera changed than three topologies all broke.
