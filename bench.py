@@ -239,8 +239,13 @@ def _headline_candidate(label, side=8192):
         packed = pack_scene(build_from_soup(
             jnp.asarray(btris),
             config=BuildConfig(branching=8, leaf_size=k)))
+    # device=True: the 67M host camera is ~2.4 GB of tunnel upload — the
+    # candidate's dominant cost and its stall-window exposure (r4: two
+    # 600 s candidate timeouts with a fully warm compile cache).  The
+    # device generator emits the identical morton layout; directions
+    # agree to float-eval order (hence the headline check's tolerance).
     rays = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
-                              side, side, order="morton")
+                              side, side, order="morton", device=True)
     out = trace_packets(packed, rays, sort_rays=False, dual=True,
                         **kw)  # warm-up; doubles as the hit-count sample
     n_hit = int(np.asarray(out.hit).sum())
@@ -785,7 +790,11 @@ def main():
         # across topologies; ties move WHICH triangle wins, never whether
         # a ray hits) — a mismatch means gross breakage (dropped leaves
         # run FAST, which is exactly when a throughput record lies).
-        if rec["n_hit"] != HEADLINE_EXPECT_HITS:
+        if abs(rec["n_hit"] - HEADLINE_EXPECT_HITS) > 5000:
+            # Tolerance: device-generated rays differ from the host
+            # reference in the last bit, shifting a handful of
+            # silhouette hits; gross breakage (dropped leaves) loses
+            # tens of thousands.
             log(f"bunny 8192x8192 [{label}]: hit-count mismatch "
                 f"({rec['n_hit']} vs expected {HEADLINE_EXPECT_HITS}) — "
                 f"candidate rejected")

@@ -8,6 +8,8 @@ matching triangle counts: a true Cornell box (~36 tris), a displaced icosphere
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from rtk_tpu.types import Rays
@@ -218,15 +220,88 @@ def _pixel_zorder_perm(height, width):
     return np.argsort(spread(xx.ravel()) | (spread(yy.ravel()) << 1))
 
 
+def _compact_bits(v):
+    """Inverse of the morton spread: gather the even bits of v (u32)."""
+    v = v & 0x55555555
+    v = (v | (v >> 1)) & 0x33333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF
+    return (v | (v >> 8)) & 0x0000FFFF
+
+
+def _camera_rays_device(eye, look_at, up, fov_deg, width, height, max_t,
+                        order):
+    """Device-side camera_rays: one jit, no host megaray buffers.
+
+    A 67M-ray host camera is ~2.4 GB of tunnel upload (the r4 headline
+    candidate's biggest cost and its stall-window exposure); this
+    computes the same rays on device from the camera params alone.
+    Directions match the host path up to float-eval order (last-bit);
+    the Z-order layout is the EXACT same permutation for square
+    power-of-two grids (dense morton codes: rank == code, so output k
+    is pixel (compact(k), compact(k >> 1)))."""
+    import jax
+    import jax.numpy as jnp
+
+    if order == "morton" and (width != height
+                              or width & (width - 1) != 0):
+        raise ValueError("device camera_rays: morton order needs a "
+                         "square power-of-two grid")
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gen(eye, fwd, right, cup):
+        n = width * height
+        k = jnp.arange(n, dtype=jnp.uint32)
+        if order == "morton":
+            xx = _compact_bits(k)
+            yy = _compact_bits(k >> 1)
+        else:
+            xx = k % width
+            yy = k // width
+        tan = np.float32(np.tan(np.radians(fov_deg) * 0.5))
+        xs = ((-1.0 + 2.0 * xx.astype(jnp.float32) / (width - 1))
+              * tan * (width / height))
+        ys = (1.0 - 2.0 * yy.astype(jnp.float32) / (height - 1)) * tan
+        dirs = (fwd[None] + xs[:, None] * right[None]
+                + ys[:, None] * cup[None])
+        dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+        return Rays(
+            origin=jnp.broadcast_to(eye, (n, 3)),
+            direction=dirs,
+            min_t=jnp.zeros((n,), jnp.float32),
+            max_t=jnp.full((n,), np.float32(max_t), jnp.float32))
+
+    eye = np.asarray(eye, np.float32)
+    look_at = np.asarray(look_at, np.float32)
+    up = np.asarray(up, np.float32)
+    fwd = look_at - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    cup = np.cross(right, fwd)
+    import jax.numpy as jnp
+
+    return gen(jnp.asarray(eye), jnp.asarray(fwd), jnp.asarray(right),
+               jnp.asarray(cup))
+
+
 def camera_rays(eye, look_at, up, fov_deg, width, height, max_t=1e30,
-                order="raster"):
+                order="raster", device=False):
     """Pinhole primary rays.  Returns Rays.
 
     order="raster": row-major pixel order.  order="morton": Z-order pixel
     tiles, so consecutive rays form square screen tiles — the layout the
     packet tracer's union traversal wants (a renderer that shades in
     tiles gets this for free).
+
+    device=True computes the rays ON DEVICE in one jit (no megaray host
+    buffers / uploads); directions agree with the host path to float-
+    eval order, and the morton layout is the identical permutation for
+    square power-of-two grids.
     """
+    if device:
+        return _camera_rays_device(eye, look_at, up, fov_deg, width,
+                                   height, max_t, order)
     eye = np.asarray(eye, np.float32)
     look_at = np.asarray(look_at, np.float32)
     up = np.asarray(up, np.float32)
