@@ -818,6 +818,29 @@ def main():
         mrays = best_rejected
         emit_headline(mrays)
     if mrays == 0.0:
+        # Last resort: a 4M-ray (2048^2) candidate — ~16x less device
+        # memory and upload exposure, known to run in ~1-2 min.  An
+        # honest smaller-batch number (~100 Mrays/s class) beats an
+        # empty record; the log marks the scale so it cannot be read
+        # as the 67M figure.
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-candidate",
+                 "sahq-k16-ordered-kzs-loop", "2048"],
+                timeout=max(180, min(420, int(_remaining() - 400))),
+                capture_output=True, text=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+            mrays = rec["mrays"]
+            log(f"headline FALLBACK at 2048^2 (4M rays): "
+                f"{mrays:.2f} Mrays/s — 67M candidates all failed; "
+                f"this number is the SMALL-batch rate")
+            emit_headline(mrays)
+        except Exception as e:
+            log(f"headline small-batch fallback also failed: "
+                f"{type(e).__name__}: {e}")
+    if mrays == 0.0:
         log("headline: ALL candidates failed — no JSON emitted yet; "
             "continuing with remaining configs")
     else:
@@ -854,7 +877,8 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--headline-candidate":
         _enable_compile_cache()
-        _n, _mrays, _n_hit = _headline_candidate(sys.argv[2])
+        _side = int(sys.argv[3]) if len(sys.argv) >= 4 else 8192
+        _n, _mrays, _n_hit = _headline_candidate(sys.argv[2], side=_side)
         print(json.dumps({"label": sys.argv[2], "mrays": round(_mrays, 3),
                           "n_hit": _n_hit}))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--config":
