@@ -270,10 +270,25 @@ def _run_config(name, timeout):
             [sys.executable, __file__, "--config", name],
             timeout=timeout, capture_output=True, text=True)
     except subprocess.TimeoutExpired as e:
+        salvage = None
         for s in (e.stderr or b""), (e.stdout or b""):
             txt = s.decode() if isinstance(s, bytes) else s
             if txt:
                 sys.stderr.write(txt)
+                # A child can print its full result and then hang in
+                # backend TEARDOWN (observed r4: cornell printed its
+                # JSON, then sat past the timeout) — salvage the record
+                # instead of discarding a finished measurement.
+                lines = [l for l in txt.splitlines() if l.startswith("{")]
+                if lines:
+                    try:
+                        salvage = json.loads(lines[-1])
+                    except Exception:
+                        pass
+        if salvage is not None:
+            log(f"config [{name}] timed out at teardown after {timeout}s "
+                f"— record salvaged from its output")
+            return salvage
         log(f"config [{name}] TIMED OUT after {timeout}s")
         return None
     if out.stderr:
