@@ -408,8 +408,11 @@ def config_bunny():
     dist = np.linalg.norm(d, axis=1)
     shadow = Rays.make(p, d / np.maximum(dist[:, None], 1e-9), min_t=1e-3,
                        max_t=np.where(np.asarray(hits.hit), dist, 0.0))
-    nxts = vary_rays(shadow)
-    dt = timeit(lambda: trace_packets(packed, nxts(), mode="any"), iters=5)
+    # m=6: each variant is a 16 MB min_t upload at 4M rays; 16 variants
+    # x two shadow sections was ~0.5 GB of tunnel traffic (the bunny
+    # config ran 428 s warm in the r4 rehearsal, mostly uploads).
+    nxts = vary_rays(shadow, m=6)
+    dt = timeit(lambda: trace_packets(packed, nxts(), mode="any"), iters=3)
     rec["bunny_shadow_mrays"] = round(shadow.count / dt / 1e6, 2)
     log(f"bunny shadow (any-hit, 4M rays, ~60% dead): "
         f"{rec['bunny_shadow_mrays']:.2f} Mrays/s")
@@ -428,8 +431,8 @@ def config_bunny():
                          (d / np.maximum(dist[:, None], 1e-9))[order],
                          min_t=1e-3,
                          max_t=np.where(live[order], dist[order], 0.0))
-    nxtc = vary_rays(shadow_c)
-    dt = timeit(lambda: trace_packets(packed, nxtc(), mode="any"), iters=5)
+    nxtc = vary_rays(shadow_c, m=6)
+    dt = timeit(lambda: trace_packets(packed, nxtc(), mode="any"), iters=3)
     rec["bunny_shadow_compact_mrays"] = round(nlive / dt / 1e6, 2)
     log(f"bunny shadow compacted ({nlive} live rays): "
         f"{rec['bunny_shadow_compact_mrays']:.2f} Mrays/s")
