@@ -752,8 +752,13 @@ CONFIGS = {
 
 
 def main():
+    # The parent NEVER imports jax: every measurement runs in a child
+    # process (which enables the compile cache itself).  An imported
+    # axon plugin in the parent holds a tunnel connection that starves
+    # the children — r4 observed every in-rehearsal candidate running
+    # 2-6x slower than the identical standalone invocation (94 s
+    # standalone vs 600 s-timeout in-suite with a warm cache).
     wait_for_device()
-    _enable_compile_cache()
 
     import subprocess
 
