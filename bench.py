@@ -709,7 +709,8 @@ def config_instanced():
         k = key5 if k is None else k
         hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                   max_candidates=CAND5,
-                                                  leaf_loop=True)
+                                                  leaf_loop=True,
+                                                  ordered=True, p_pk=16)
         for bounce in range(3):
             k, kd = jax.random.split(k)
             nd, origin, perm, n_alive_dev = _bounce_prep(hits, rays_b, kd)
@@ -719,7 +720,8 @@ def config_instanced():
             rays_b = _take_rays(origin, nd, perm, n_alive_dev, m=m)
             hits, _ = trace_closest_instanced_packets(pscene, rays_b,
                                                       max_candidates=CAND5,
-                                                      leaf_loop=True)
+                                                      leaf_loop=True,
+                                                      ordered=True, p_pk=16)
             total += n_alive
         np.asarray(hits.t[:1])  # real sync (enqueue-level block hazard)
         return total
