@@ -158,14 +158,58 @@ def vary_rays(rays, m=16):
     return lambda: variants[next(ctr) % m]
 
 
-def emit_headline(mrays):
-    """Print the driver-facing headline record NOW (never defer this)."""
-    print(json.dumps({
+def timeit_frames(packed, rays, frames=8, iters=3, **kw):
+    """Amortised per-dispatch trace timing: one program lax.scans the
+    kernel over `frames` ray variants, so the tunnel's fixed 3-7 ms
+    dispatch cost divides by `frames`.  Returns per-frame seconds.
+
+    This is the honest serving number for small batches on this
+    deployment (a renderer traces every frame through ONE resident
+    program; rtk's per-ray API has no dispatch floor at all, rtk.c:543)
+    — bench reports it ALONGSIDE the single-dispatch number, never
+    instead of it.  Variants differ in min_t bytes (cache hazard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.types import Rays
+
+    base = jnp.asarray(rays.min_t)
+    eps = (jnp.arange(frames, dtype=jnp.float32) + 1.0)[:, None] * 1e-7
+
+    @jax.jit
+    def run(min_t_f, bump):
+        def body(c, mt):
+            h = trace_packets(
+                packed, Rays(origin=rays.origin, direction=rays.direction,
+                             min_t=mt + bump, max_t=rays.max_t), **kw)
+            return c, (h.t, h.slot)
+        _, outs = jax.lax.scan(body, 0, min_t_f)
+        return outs
+
+    min_t_f = base[None, :] + eps
+    import itertools
+    ctr = itertools.count()
+    nxt = lambda: run(min_t_f, jnp.float32(1e-9) * (next(ctr) + 1))
+    dt = timeit(nxt, iters=iters, batches=2)
+    return dt / frames
+
+
+def emit_headline(mrays, scale="8192x8192"):
+    """Print the driver-facing headline record NOW (never defer this).
+
+    scale marks the batch in the machine-readable record itself (advisor
+    r4): the 2048^2 last-resort fallback must not be readable as the 67M
+    figure by anything that only parses the JSON."""
+    rec = {
         "metric": "primary_ray_closest_hit_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-    }), flush=True)
+    }
+    if scale != "8192x8192":
+        rec["scale"] = scale
+    print(json.dumps(rec), flush=True)
 
 
 HEADLINE_CANDIDATES = {
@@ -368,7 +412,15 @@ def config_cornell():
     dt = timeit(lambda: trace_packets(packed, nxt()))
     mrays = rays.count / dt / 1e6
     log(f"cornell 256x256 primary: {mrays:.2f} Mrays/s")
-    return {"cornell_mrays": round(mrays, 2)}
+    rec = {"cornell_mrays": round(mrays, 2)}
+    # Amortised rate: this config is ~7 ms tunnel dispatch on a sub-ms
+    # kernel; a scan-of-frames program divides the floor by F (VERDICT
+    # r4 item 7 — report BOTH numbers).
+    dtf = timeit_frames(packed, rays, frames=8)
+    rec["cornell_amort_mrays"] = round(rays.count / dtf / 1e6, 2)
+    log(f"cornell 256x256 amortised (8-frame scan): "
+        f"{rec['cornell_amort_mrays']:.2f} Mrays/s")
+    return rec
 
 
 def config_bunny():
@@ -398,6 +450,56 @@ def config_bunny():
     # (the 1024^2 intermediate was dropped in r4: the 8192^2 headline and
     # 512^2 config bracket the scaling curve, and each extra shape is a
     # 10-40 s tunnel compile of the suite budget)
+    dtf = timeit_frames(packed, rays512, frames=8, sort_rays=False,
+                        dual=True)
+    rec["bunny_512_amort_mrays"] = round(rays512.count / dtf / 1e6, 2)
+    log(f"bunny 512x512 amortised (8-frame scan): "
+        f"{rec['bunny_512_amort_mrays']:.2f} Mrays/s")
+
+    # Full-record TPU parity gate on the HEADLINE topology (VERDICT r4
+    # item 6): trace 512^2 through the exact headline config
+    # (sahq-k16-ordered + leaf_loop + kz_static + defer_uv, dual) ON THE
+    # TPU and compare hit/t/u/v/prim against the corrected-rtk C++
+    # oracle.  This catches a miscompile that preserves hit counts but
+    # corrupts records — the one failure mode the 67M hit-count guard
+    # cannot see.
+    try:
+        from rtk_tpu.testing.native_oracle import NativeOracle
+        from rtk_tpu.trace.packed import pack_binary_tree
+
+        orc16 = NativeOracle(btris.reshape(-1, 9), leaf_max=16,
+                             step_quant=True)
+        packed16 = pack_binary_tree(btris, *orc16.export_tree(),
+                                    leaf_size=16)
+        hl = trace_packets(packed16, rays512, sort_rays=False, dual=True,
+                           ordered=True, defer_uv=True, leaf_loop=True,
+                           kz_static=2)
+        ot, ou, ov, oidx = orc16.trace(
+            np.asarray(rays512.origin), np.asarray(rays512.direction),
+            np.asarray(rays512.min_t), np.asarray(rays512.max_t))
+        gh = np.asarray(hl.hit)
+        oh = oidx >= 0
+        n = gh.size
+        hit_mism = int((gh != oh).sum())
+        both = gh & oh
+        t_bad = int((np.abs(np.asarray(hl.t)[both] - ot[both])
+                     > 1e-4).sum())
+        same = both & (np.asarray(hl.triangle_index) == oidx)
+        # Exact-t ties pick either adjacent primitive; t equality above
+        # already proves the records agree where it matters.
+        same_frac = same.sum() / max(both.sum(), 1)
+        uv_bad = int(((np.abs(np.asarray(hl.u)[same] - ou[same]) > 1e-3)
+                      | (np.abs(np.asarray(hl.v)[same] - ov[same])
+                         > 1e-3)).sum())
+        ok = (hit_mism <= n * 1e-4 and t_bad <= both.sum() * 1e-4
+              and same_frac > 0.95 and uv_bad <= same.sum() * 1e-4)
+        rec["headline_record_parity"] = int(ok)
+        log(f"record parity [headline topology vs rtk-CPU oracle, 512^2]: "
+            f"{'OK' if ok else 'FAIL'} (hit mism {hit_mism}/{n}, "
+            f"t bad {t_bad}, prim same {same_frac:.4f}, uv bad {uv_bad})")
+    except Exception as e:
+        rec["headline_record_parity"] = 0
+        log(f"record parity gate unavailable: {type(e).__name__}: {e}")
 
     rays2k = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45,
                                 2048, 2048, order="morton")
@@ -696,7 +798,7 @@ def config_instanced():
 
     def wavefront4(k=None):
         # Per-bounce: trace -> fused device shade/sample/compact.  Bounce
-        # batches keep the FULL 512^2 shape (live rays compacted to the
+        # batches keep the FULL 1024^2 shape (live rays compacted to the
         # front, dead tail max_t=0): the fused candidate-rounds program
         # is a multi-minute tunnel compile, and the old pow2-bucket
         # shapes compiled it once PER BUCKET (~4x) — which is what timed
@@ -772,6 +874,7 @@ def main():
     # buffers + unrecoverable hung remote compiles), and the headline
     # JSON prints the moment the first candidate lands.
     mrays = 0.0
+    headline_scale = "8192x8192"
     best_rejected = 0.0
     best_label = None
     # The primary candidate re-tries ONCE at the end if only a fallback
@@ -846,8 +949,8 @@ def main():
         # Last resort: a 4M-ray (2048^2) candidate — ~16x less device
         # memory and upload exposure, known to run in ~1-2 min.  An
         # honest smaller-batch number (~100 Mrays/s class) beats an
-        # empty record; the log marks the scale so it cannot be read
-        # as the 67M figure.
+        # empty record; the JSON record carries scale=2048x2048 so it
+        # cannot be read as the 67M figure (advisor r4).
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--headline-candidate",
@@ -857,11 +960,21 @@ def main():
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             rec = json.loads(line)
-            mrays = rec["mrays"]
-            log(f"headline FALLBACK at 2048^2 (4M rays): "
-                f"{mrays:.2f} Mrays/s — 67M candidates all failed; "
-                f"this number is the SMALL-batch rate")
-            emit_headline(mrays)
+            # Same gross-breakage gate as the 67M path, scaled: hits
+            # track covered solid angle, so 2048^2 expects ~1/16 of the
+            # 8192^2 count; silhouette/pixel-boundary drift is ~0.3%,
+            # dropped-leaf breakage loses far more.  2% tolerance.
+            expect_2048 = HEADLINE_EXPECT_HITS // 16
+            if abs(rec["n_hit"] - expect_2048) > expect_2048 // 50:
+                log(f"headline 2048^2 fallback: hit-count mismatch "
+                    f"({rec['n_hit']} vs ~{expect_2048}) — rejected")
+            else:
+                mrays = rec["mrays"]
+                headline_scale = "2048x2048"
+                log(f"headline FALLBACK at 2048^2 (4M rays): "
+                    f"{mrays:.2f} Mrays/s — 67M candidates all failed; "
+                    f"this number is the SMALL-batch rate")
+                emit_headline(mrays, scale=headline_scale)
         except Exception as e:
             log(f"headline small-batch fallback also failed: "
                 f"{type(e).__name__}: {e}")
@@ -896,7 +1009,8 @@ def main():
 
     log("bench summary: " + json.dumps(results))
     if mrays > 0.0:
-        emit_headline(mrays)  # final line is always the headline record
+        # final line is always the headline record
+        emit_headline(mrays, scale=headline_scale)
 
 
 if __name__ == "__main__":

@@ -639,7 +639,10 @@ def trace_closest_instanced_packets(
             # (the stack engine jits per shape; an exact-size batch
             # would recompile on every call).  Pad rays are dead
             # (max_t=0) and their scatter-back is masked off.
-            m_res = max(256, 1 << (n_res - 1).bit_length())
+            # Cap at the full batch width: pow2 rounding can otherwise
+            # exceed n (n_res just over n/2 on a non-pow2 batch), making
+            # the "compacted" residual wider than the uncompacted one.
+            m_res = min(max(256, 1 << (n_res - 1).bit_length()), max(n, 256))
             # Pad entries index out of bounds: gathers clip (their rows
             # are dead via max_t=0), scatters drop them — no duplicate-
             # index race against real rows.

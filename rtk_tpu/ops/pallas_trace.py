@@ -1507,6 +1507,15 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
     )
 
 
+def _check_leaf_loop(packed, narrow, leaf_loop):
+    """leaf_loop precondition, shared by trace_packets and the refit
+    executors (advisor r4: the refit entries bypassed the guard and an
+    unaligned scene reached the kernel unvalidated)."""
+    if leaf_loop and (packed.leaf_size % 8 or not narrow):
+        raise ValueError("leaf_loop needs lane-aligned leaves "
+                         "(leaf_size % 8 == 0) and the narrow leaf path")
+
+
 def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
                   watertight: bool = True, interpret: bool = False,
                   p_pk: int = DEFAULT_P, hbm_tris: bool | None = None,
@@ -1588,9 +1597,7 @@ def trace_packets(packed: PackedScene, rays: Rays, mode: str = "closest",
             raise ValueError("kz_static does not compose with march")
         if not narrow:
             raise ValueError("kz_static needs the narrow leaf path")
-    if leaf_loop and (packed.leaf_size % 8 or not narrow):
-        raise ValueError("leaf_loop needs lane-aligned leaves "
-                         "(leaf_size % 8 == 0) and the narrow leaf path")
+    _check_leaf_loop(packed, narrow, leaf_loop)
     if tris128:
         if packed.leaf_size % 8 or not narrow:
             raise ValueError("tris128 needs lane-aligned leaves "
@@ -1786,6 +1793,7 @@ def trace_packets_refit(packed: PackedScene, scene, new_tri_pos, rays: Rays,
     is dispatch-bound when refit/repack/trace run as separate programs.
     """
     n = rays.count
+    _check_leaf_loop(packed, narrow, leaf_loop)
     if pkt is None:
         pkt = 512 if n >= p_pk * 512 else 128
     if sort_rays is None:
@@ -1893,6 +1901,7 @@ def trace_packets_refit_frames(packed: PackedScene, scene, frames_tri_pos,
     are shared (static topology), tri_v is per-frame.
     """
     n = rays.count
+    _check_leaf_loop(packed, narrow, leaf_loop)
     if pkt is None:
         pkt = 512 if n >= p_pk * 512 else 128
     if sort_rays is None:

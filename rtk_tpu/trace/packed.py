@@ -441,7 +441,11 @@ def _binary_refit_aux(left, right, first, count, is_leaf, leaf_nodes,
     rank_lo = np.searchsorted(sorted_firsts, tri_lo).astype(np.int64)
     rank_hi = (np.searchsorted(sorted_firsts, tri_hi, side="left")
                - 1).astype(np.int64)
-    assert (rank_lo <= rank_hi).all() and (rank_hi < nl).all()
+    if not ((rank_lo <= rank_hi).all() and (rank_hi < nl).all()):
+        raise ValueError(
+            "malformed binary tree: leaf-rank ranges are inconsistent "
+            "(empty leaves or out-of-range triangle spans); refit aux "
+            "cannot be derived")
     visit_of_lidx = np.empty(nl, np.int64)
     visit_of_lidx[leaf_order] = np.arange(nl)
     return BinaryRefitAux(
