@@ -420,13 +420,22 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
                             inst_blas, inst_lo, inst_hi, origin, direction,
                             min_t, max_t, *, unit, M, C, n_inst, chunk,
                             interpret, leaf_loop=False, ordered=False,
-                            p_pk=8):
+                            p_pk=8, caps=None):
     """Candidates + all grouped rounds as ONE device program.
 
     Per round: sort rays into per-instance runs (padded to whole
     packets), transform to object space, trace with per-packet BLAS
     roots, sort results back, merge.  No host syncs and no large
-    gathers."""
+    gathers.
+
+    caps (static, optional): per-round row capacities.  Round s slices
+    the grouped layout to caps[s] rows before transforming/tracing and
+    scatters results back by row id — the r4 lesion showed the ROUND
+    KERNELS at 64% of a C=12 trace while late rounds have few live
+    rays, so full-width rounds burn the whole batch width every round.
+    A live row beyond its round's cap (caps mis-sized) is marked
+    unproven and lands in the caller's exactness residual — capping
+    never drops a hit."""
     from rtk_tpu.ops.pallas_trace import trace_packets
 
     cand_idx, cand_t, overflow = _instance_candidates_impl(
@@ -440,14 +449,27 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         "slot": jnp.full((n,), -1, jnp.int32),
     }
     best_inst = jnp.full((n,), -1, jnp.int32)
+    over_cap = jnp.zeros((n,), bool)
 
-    def round_body(s, best, best_inst):
+    def round_body(s, best, best_inst, over_cap, cap):
         comps = (origin[:, 0], origin[:, 1], origin[:, 2],
                  direction[:, 0], direction[:, 1], direction[:, 2],
                  min_t, best["t"], cand_t[:, s])
         idx_s, bin_s, cs = _sorted_group(
             jnp.where(cand_t[:, s] < best["t"], cand_idx[:, s], -1),
             cand_t[:, s], comps, n_inst, unit)
+        if cap is not None and cap < idx_s.shape[0]:
+            # Any real live row past the cap loses its trace: route it
+            # to the residual (its bin sorts before the dead tail, so a
+            # correctly sized cap never cuts one).
+            cut_live = ((idx_s[cap:] < n) & (bin_s[cap:] < n_inst)
+                        & (cs[8][cap:] < cs[7][cap:]))
+            over_cap = over_cap.at[
+                jnp.where(cut_live, idx_s[cap:], n)].set(
+                    True, mode="drop")
+            idx_s = idx_s[:cap]
+            bin_s = bin_s[:cap]
+            cs = [c[:cap] for c in cs]
         o0, o1, o2, d0, d1, d2, mnt, bt, ct = cs
         is_real = idx_s < n
         safe_bin = jnp.minimum(bin_s, n_inst - 1)
@@ -465,6 +487,18 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         h = trace_packets(packed, grouped, packet_roots=roots, pkt=unit,
                           interpret=interpret, leaf_loop=leaf_loop,
                           ordered=ordered, p_pk=p_pk)
+        if cap is not None:
+            # Scatter-merge by row id: the capped rows no longer span
+            # the batch, so the full-width unsort sort is both wasted
+            # and wrong-shaped.  Improvements target their original ray
+            # row; everything else targets n (dropped).
+            improved = h.hit & (h.t < bt) & live
+            tgt = jnp.where(improved, idx_s, n)
+            best = {k: best[k].at[tgt].set(v, mode="drop")
+                    for k, v in (("t", h.t), ("u", h.u), ("v", h.v),
+                                 ("slot", h.slot))}
+            best_inst = best_inst.at[tgt].set(bin_s, mode="drop")
+            return best, best_inst, over_cap
         ht, hu, hv, hs, binb = _unsort_merge(
             idx_s, n, (h.t, h.u, h.v, h.slot, bin_s))
         improved = (hs >= 0) & (ht < best["t"])
@@ -475,7 +509,7 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
             "slot": jnp.where(improved, hs, best["slot"]),
         }
         best_inst = jnp.where(improved, binb, best_inst)
-        return best, best_inst
+        return best, best_inst, over_cap
 
     for s in range(C):
         # Pre-sort liveness: a candidate whose AABB entry is already past
@@ -489,15 +523,17 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         # without the skip, every extra round paid two full-width
         # multi-operand sorts + a kernel dispatch (r4: the instanced
         # config's cost was exactly these empty rounds).
+        cap = None if caps is None else min(int(caps[s]), M)
         n_live = jnp.sum((cand_t[:, s] < best["t"]).astype(jnp.int32))
-        best, best_inst = jax.lax.cond(
+        best, best_inst, over_cap = jax.lax.cond(
             n_live > 0,
-            lambda b, bi, s=s: round_body(s, b, bi),
-            lambda b, bi: (b, bi),
-            best, best_inst)
+            lambda b, bi, oc, s=s, cap=cap: round_body(s, b, bi, oc, cap),
+            lambda b, bi, oc: (b, bi, oc),
+            best, best_inst, over_cap)
     # A ray whose (C+1)-th instance-AABB entry is still closer than its
     # best hit is unproven; the caller re-traces those exhaustively.
-    unproven = overflow < best["t"]
+    # over_cap rays lost a round to their cap and are unproven too.
+    unproven = (overflow < best["t"]) | over_cap
     return best, best_inst, unproven
 
 
@@ -505,14 +541,15 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
 def _instanced_packets_jit(interpret: bool, tpu: bool, unit: int, M: int,
                            C: int, n_inst: int, chunk: int,
                            leaf_loop: bool = False, ordered: bool = False,
-                           p_pk: int = 8):
+                           p_pk: int = 8, caps=None):
     # See _instanced_rounds_jit note in r1: many per-round ray blocks trip
     # the default 16 MB scoped-vmem budget; v5e has 128 MB.
     opts = {"xla_tpu_scoped_vmem_limit_kib": 120 * 1024} if tpu else None
     return jax.jit(
         functools.partial(_instanced_packets_impl, unit=unit, M=M, C=C,
                           n_inst=n_inst, chunk=chunk, interpret=interpret,
-                          leaf_loop=leaf_loop, ordered=ordered, p_pk=p_pk),
+                          leaf_loop=leaf_loop, ordered=ordered, p_pk=p_pk,
+                          caps=caps),
         compiler_options=opts)
 
 
@@ -567,6 +604,7 @@ def trace_closest_instanced_packets(
     leaf_loop: bool = False,
     ordered: bool = False,
     p_pk: int = 8,
+    round_caps=None,
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
@@ -605,10 +643,33 @@ def trace_closest_instanced_packets(
     blk = p_pk * unit
     M = (np_ + n_inst * unit + blk - 1) // blk * blk
 
+    if round_caps == "auto":
+        # Size each round's kernel width from the batch's actual
+        # candidate-rank population (r5: full-width rounds were 64% of
+        # the trace while late ranks hold a few % of rays).  One extra
+        # candidates dispatch + a C-int readback; counts ignore best-t
+        # evolution so they upper-bound every round's live set, and
+        # pow2-of-block quantisation bounds the compile variants.
+        ci, ct, _ = _instance_candidates(pscene.iscene, rays, C)
+        cnt = np.asarray(jnp.sum(
+            (ci >= 0) & (ct < jnp.asarray(rays.max_t)[:, None]), axis=0))
+        caps = []
+        for s in range(C):
+            need = int(cnt[s]) + unit * min(int(cnt[s]), n_inst)
+            q = blk
+            while q < need:
+                q *= 2
+            caps.append(min(q, M))
+        round_caps = tuple(caps)
+    elif round_caps is not None:
+        round_caps = tuple(int(c_) for c_ in round_caps)
+        if len(round_caps) != C:
+            raise ValueError(f"round_caps needs {C} entries")
+
     fn = _instanced_packets_jit(interpret, jax.default_backend() == "tpu",
                                 unit, M, C, n_inst, chunk,
                                 leaf_loop=leaf_loop, ordered=ordered,
-                                p_pk=p_pk)
+                                p_pk=p_pk, caps=round_caps)
     best, best_inst, unproven = fn(
         pscene.packed, iscene.object_from_world, pscene.packed_roots,
         iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,

@@ -143,6 +143,35 @@ def test_instanced_packets_perf_flags_parity():
     np.testing.assert_array_equal(np.asarray(ibase), np.asarray(iflag))
 
 
+def test_instanced_packets_round_caps_parity():
+    """Capped rounds (r5: per-round kernel widths sized from candidate
+    counts, scatter-merge) must reproduce the full-width results; tiny
+    explicit caps must stay exact via the over-cap residual."""
+    from rtk_tpu.instancing import (pack_instanced,
+                                    trace_closest_instanced_packets)
+
+    iscene, world_tris, _, _ = _setup()
+    ps = pack_instanced(iscene)
+    rng = np.random.default_rng(13)
+    o = (rng.normal(size=(300, 3)) * 6).astype(np.float32)
+    d = rng.normal(size=(300, 3)).astype(np.float32)
+    rays = Rays.make(o, d)
+    base, ibase = trace_closest_instanced_packets(ps, rays, interpret=True)
+    auto, iauto = trace_closest_instanced_packets(ps, rays, interpret=True,
+                                                  round_caps="auto")
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(auto.hit))
+    np.testing.assert_array_equal(np.asarray(base.t), np.asarray(auto.t))
+    np.testing.assert_array_equal(np.asarray(ibase), np.asarray(iauto))
+    # Deliberately starved caps: rounds lose live rows, the over-cap
+    # marking must route them into the exactness residual.
+    C = min(8, iscene.num_instances)
+    tiny, itiny = trace_closest_instanced_packets(
+        ps, rays, interpret=True, round_caps=(1024,) + (128,) * (C - 1))
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(tiny.hit))
+    np.testing.assert_allclose(np.asarray(base.t), np.asarray(tiny.t),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_total_triangles_counts_instances():
     """total_triangles = sum over instances of their BLAS's real triangle
     count (r1 fix: it returned the merged count regardless of instances)."""
