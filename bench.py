@@ -539,21 +539,28 @@ def config_bunny():
     log(f"bunny shadow compacted ({nlive} live rays): "
         f"{rec['bunny_shadow_compact_mrays']:.2f} Mrays/s")
 
-    # Reference CPU baseline: the corrected-rtk C++ oracle on the same
+    # Reference CPU baseline: the corrected-rtk C++ oracles on the same
     # config (single thread; rtk scales queries linearly with host
-    # threads, rtk.c:543-577 purity).  Measured so "vs reference CPU" is
-    # a ratio, not a guess.
+    # threads, rtk.c:543-577 purity).  Two rows since r5: the scalar
+    # BVH2 stand-in (historical series) and the clean-room SSE BVH4 —
+    # the reference's own kernel is 4-wide SSE, so the honest "vs one
+    # CPU core" multiple divides by the SSE number (VERDICT r4 item 8).
     try:
         from rtk_tpu.testing.native_oracle import NativeOracle
+        from rtk_tpu.utils.native_sah import NativeOracleSSE
 
-        orc = NativeOracle(btris.reshape(-1, 9))
-        t0 = time.perf_counter()
-        orc.trace(np.asarray(rays512.origin), np.asarray(rays512.direction),
-                  np.asarray(rays512.min_t), np.asarray(rays512.max_t))
-        cpu_dt = time.perf_counter() - t0
-        rec["cpu_oracle_mrays"] = round(rays512.count / cpu_dt / 1e6, 2)
-        log(f"reference-CPU oracle (corrected rtk, scalar BVH2, 1 core): "
-            f"{rec['cpu_oracle_mrays']:.2f} Mrays/s")
+        for cls, key, label in (
+                (NativeOracle, "cpu_oracle_mrays", "scalar BVH2"),
+                (NativeOracleSSE, "cpu_oracle_sse_mrays", "SSE BVH4")):
+            orc = cls(btris.reshape(-1, 9))
+            t0 = time.perf_counter()
+            orc.trace(np.asarray(rays512.origin),
+                      np.asarray(rays512.direction),
+                      np.asarray(rays512.min_t), np.asarray(rays512.max_t))
+            cpu_dt = time.perf_counter() - t0
+            rec[key] = round(rays512.count / cpu_dt / 1e6, 2)
+            log(f"reference-CPU oracle (corrected rtk, {label}, 1 core): "
+                f"{rec[key]:.2f} Mrays/s")
     except Exception as e:
         log(f"reference-CPU oracle baseline unavailable: {e}")
     return rec

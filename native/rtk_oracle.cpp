@@ -416,3 +416,349 @@ void* rtko_build3(const float* tris, int64_t n, int leaf_max, int quant) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SSE BVH4 path (r5): the honest CPU baseline.  The reference's trace
+// kernel is a 4-wide SSE BVH4 (rtk.c:181-539); the scalar BVH2 above
+// under-states what a corrected build of it would score, so the "vs one
+// CPU core" ratio quoted against it was inflated.  This is a clean-room
+// 4-wide design in this file's own style: the BVH2 above collapsed two
+// levels per node into SoA BVH4 rows, leaf triangles pre-transposed
+// into padded 4-tri SoA chunks, SSE slab tests with near-to-far child
+// ordering, and the same watertight shear semantics (f64 fallback on
+// exact-zero lanes) as the scalar path — the *behaviour* matches the
+// corrected reference; the code shares nothing with it.
+// ---------------------------------------------------------------------------
+
+#include <smmintrin.h>
+
+namespace {
+
+struct Node4 {
+  // SoA child bounds: component-major, 4 lanes per component.
+  alignas(16) float lox[4], hix[4], loy[4], hiy[4], loz[4], hiz[4];
+  int32_t child[4];   // >= 0: Node4 index; -1: empty; <= -2: leaf id -c-2
+};
+
+struct Leaf4 {
+  int32_t chunk_first;  // index into Scene4::chunks (each = 4 tris SoA)
+  int32_t chunk_count;
+};
+
+struct Chunk4 {
+  // 4 triangles, component-major: v[vertex][axis][lane].
+  alignas(16) float v[3][3][4];
+  int32_t idx[4];  // original triangle id, -1 = padding (NaN coords)
+};
+
+struct Scene4 {
+  std::vector<Node4> nodes;
+  std::vector<Leaf4> leaves;
+  std::vector<Chunk4> chunks;
+  std::vector<float> tris;  // n*9 (f64 fallback reads original coords)
+};
+
+// Collapse the BVH2 into BVH4 by pulling grandchildren; BVH2 leaves met
+// on the way become direct children.
+static int32_t collapse4(const Scene& s2, Scene4& s4, int32_t n2) {
+  const Node& nd = s2.nodes[(size_t)n2];
+  int32_t slots[4];
+  Box boxes[4];
+  int cnt = 0;
+  if (nd.left < 0) {
+    // Root-is-leaf degenerate: single-slot node.
+    slots[cnt] = ~(int32_t)0;  // placeholder, filled below
+    boxes[cnt++] = nd.box;
+    int32_t self = (int32_t)s4.nodes.size();
+    s4.nodes.emplace_back();
+    Node4& out = s4.nodes[(size_t)self];
+    for (int i = 0; i < 4; ++i) {
+      out.child[i] = -1;
+      out.lox[i] = 1.f; out.hix[i] = -1.f;
+      out.loy[i] = 1.f; out.hiy[i] = -1.f;
+      out.loz[i] = 1.f; out.hiz[i] = -1.f;
+    }
+    int32_t lf = (int32_t)s4.leaves.size();
+    s4.leaves.push_back({0, 0});  // chunks filled by caller helper
+    out.child[0] = -lf - 2;
+    out.lox[0] = nd.box.lo.x; out.hix[0] = nd.box.hi.x;
+    out.loy[0] = nd.box.lo.y; out.hiy[0] = nd.box.hi.y;
+    out.loz[0] = nd.box.lo.z; out.hiz[0] = nd.box.hi.z;
+    return self;
+  }
+  int32_t two[2] = {nd.left, nd.right};
+  for (int h = 0; h < 2; ++h) {
+    const Node& c = s2.nodes[(size_t)two[h]];
+    if (c.left < 0) {
+      slots[cnt] = two[h];
+      boxes[cnt++] = c.box;
+    } else {
+      slots[cnt] = c.left;
+      boxes[cnt++] = s2.nodes[(size_t)c.left].box;
+      slots[cnt] = c.right;
+      boxes[cnt++] = s2.nodes[(size_t)c.right].box;
+    }
+  }
+  int32_t self = (int32_t)s4.nodes.size();
+  s4.nodes.emplace_back();
+  for (int i = 0; i < 4; ++i) {
+    Node4& out = s4.nodes[(size_t)self];
+    if (i >= cnt) {
+      out.child[i] = -1;  // empty slot: inverted bounds fail every slab
+      out.lox[i] = 1.f; out.hix[i] = -1.f;
+      out.loy[i] = 1.f; out.hiy[i] = -1.f;
+      out.loz[i] = 1.f; out.hiz[i] = -1.f;
+      continue;
+    }
+    out.lox[i] = boxes[i].lo.x; out.hix[i] = boxes[i].hi.x;
+    out.loy[i] = boxes[i].lo.y; out.hiy[i] = boxes[i].hi.y;
+    out.loz[i] = boxes[i].lo.z; out.hiz[i] = boxes[i].hi.z;
+  }
+  for (int i = 0; i < cnt; ++i) {
+    const Node& c = s2.nodes[(size_t)slots[i]];
+    int32_t enc;
+    if (c.left < 0) {
+      int32_t lf = (int32_t)s4.leaves.size();
+      int32_t c0 = (int32_t)s4.chunks.size();
+      int32_t nch = (c.count + 3) / 4;
+      for (int32_t g = 0; g < nch; ++g) {
+        Chunk4 ch;
+        for (int l = 0; l < 4; ++l) {
+          int32_t k = c.first + g * 4 + l;
+          if (k < c.first + c.count) {
+            int32_t tri = s2.order[(size_t)k];
+            ch.idx[l] = tri;
+            for (int vtx = 0; vtx < 3; ++vtx)
+              for (int ax = 0; ax < 3; ++ax)
+                ch.v[vtx][ax][l] = s2.tris[(size_t)tri * 9 + vtx * 3 + ax];
+          } else {
+            ch.idx[l] = -1;
+            for (int vtx = 0; vtx < 3; ++vtx)
+              for (int ax = 0; ax < 3; ++ax)
+                ch.v[vtx][ax][l] = std::numeric_limits<float>::quiet_NaN();
+          }
+        }
+        s4.chunks.push_back(ch);
+      }
+      s4.leaves.push_back({c0, nch});
+      enc = -lf - 2;
+    } else {
+      enc = collapse4(s2, s4, slots[i]);
+    }
+    s4.nodes[(size_t)self].child[i] = enc;
+  }
+  return self;
+}
+
+// 4-triangle watertight intersector: shear-space edge functions on all
+// lanes at once; exact-zero edge lanes re-resolved through the scalar
+// f64 path (identical semantics to tri_hit above).
+static inline void leaf4_hit(const Ray& r, const Scene4& s4,
+                             const Leaf4& lf, float& best_t, float& best_u,
+                             float& best_v, int32_t& best, int mode) {
+  const __m128 sx = _mm_set1_ps(r.sx);
+  const __m128 sy = _mm_set1_ps(r.sy);
+  const __m128 sz = _mm_set1_ps(r.sz);
+  const float ox = axis(r.o, r.kx), oy = axis(r.o, r.ky),
+              oz = axis(r.o, r.kz);
+  for (int32_t g = 0; g < lf.chunk_count; ++g) {
+    const Chunk4& ch = s4.chunks[(size_t)(lf.chunk_first + g)];
+    __m128 X[3], Y[3], Z[3];
+    for (int vtx = 0; vtx < 3; ++vtx) {
+      __m128 px = _mm_sub_ps(_mm_load_ps(ch.v[vtx][r.kx]),
+                             _mm_set1_ps(ox));
+      __m128 py = _mm_sub_ps(_mm_load_ps(ch.v[vtx][r.ky]),
+                             _mm_set1_ps(oy));
+      __m128 pz = _mm_sub_ps(_mm_load_ps(ch.v[vtx][r.kz]),
+                             _mm_set1_ps(oz));
+      X[vtx] = _mm_add_ps(px, _mm_mul_ps(sx, pz));
+      Y[vtx] = _mm_add_ps(py, _mm_mul_ps(sy, pz));
+      Z[vtx] = _mm_mul_ps(sz, pz);
+    }
+    __m128 U = _mm_sub_ps(_mm_mul_ps(X[1], Y[2]), _mm_mul_ps(Y[1], X[2]));
+    __m128 V = _mm_sub_ps(_mm_mul_ps(X[2], Y[0]), _mm_mul_ps(Y[2], X[0]));
+    __m128 W = _mm_sub_ps(_mm_mul_ps(X[0], Y[1]), _mm_mul_ps(Y[0], X[1]));
+    const __m128 zero = _mm_setzero_ps();
+    int zmask = _mm_movemask_ps(_mm_or_ps(
+        _mm_cmpeq_ps(U, zero),
+        _mm_or_ps(_mm_cmpeq_ps(V, zero), _mm_cmpeq_ps(W, zero))));
+    if (zmask) {
+      // Exact-sign fallback lanes go through the scalar f64 path (skip
+      // NaN padding: its compares are already false).
+      for (int l = 0; l < 4; ++l) {
+        if (!((zmask >> l) & 1) || ch.idx[l] < 0) continue;
+        float t, u, v;
+        if (tri_hit(r, &s4.tris[(size_t)ch.idx[l] * 9], best_t, &t, &u,
+                    &v)) {
+          best_t = t; best_u = u; best_v = v; best = ch.idx[l];
+        }
+      }
+    }
+    __m128 mn = _mm_min_ps(U, _mm_min_ps(V, W));
+    __m128 mx = _mm_max_ps(U, _mm_max_ps(V, W));
+    __m128 signs_ok = _mm_or_ps(_mm_cmpge_ps(mn, zero),
+                                _mm_cmple_ps(mx, zero));
+    __m128 det = _mm_add_ps(U, _mm_add_ps(V, W));
+    __m128 rcp = _mm_div_ps(_mm_set1_ps(1.f), det);
+    __m128 tnum = _mm_add_ps(
+        _mm_mul_ps(U, Z[0]),
+        _mm_add_ps(_mm_mul_ps(V, Z[1]), _mm_mul_ps(W, Z[2])));
+    __m128 t = _mm_mul_ps(tnum, rcp);
+    __m128 ok = _mm_and_ps(
+        signs_ok,
+        _mm_and_ps(_mm_cmpgt_ps(t, _mm_set1_ps(r.mint)),
+                   _mm_cmplt_ps(t, _mm_set1_ps(best_t))));
+    int m = _mm_movemask_ps(ok) & ~zmask;
+    while (m) {
+      int l = __builtin_ctz((unsigned)m);
+      m &= m - 1;
+      if (ch.idx[l] < 0) continue;
+      alignas(16) float ts[4], us[4], vs[4], rs[4];
+      _mm_store_ps(ts, t);
+      _mm_store_ps(us, U);
+      _mm_store_ps(vs, V);
+      _mm_store_ps(rs, rcp);
+      if (ts[l] < best_t) {
+        best_t = ts[l];
+        best_u = us[l] * rs[l];
+        best_v = vs[l] * rs[l];
+        best = ch.idx[l];
+        // tighten the window for remaining lanes
+        __m128 ok2 = _mm_and_ps(ok, _mm_cmplt_ps(t, _mm_set1_ps(best_t)));
+        m &= _mm_movemask_ps(ok2);
+      }
+      if (mode == 1 && best >= 0) return;
+    }
+    if (mode == 1 && best >= 0) return;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rtko_build4(const float* tris, int64_t n, int leaf_max) {
+  g_leaf_max = leaf_max < 1 ? 1 : leaf_max;
+  Scene* s2 = (Scene*)rtko_build(tris, n);
+  g_leaf_max = kLeafMax;
+  auto* s4 = new Scene4();
+  s4->tris = s2->tris;
+  collapse4(*s2, *s4, s2->root);
+  // Degenerate root-leaf: fill the placeholder leaf's chunks.
+  if (s2->nodes[(size_t)s2->root].left < 0 && !s4->leaves.empty() &&
+      s4->leaves[0].chunk_count == 0) {
+    const Node& c = s2->nodes[(size_t)s2->root];
+    int32_t nch = (c.count + 3) / 4;
+    for (int32_t g = 0; g < nch; ++g) {
+      Chunk4 ch;
+      for (int l = 0; l < 4; ++l) {
+        int32_t k = c.first + g * 4 + l;
+        if (k < c.first + c.count) {
+          int32_t tri = s2->order[(size_t)k];
+          ch.idx[l] = tri;
+          for (int vtx = 0; vtx < 3; ++vtx)
+            for (int ax = 0; ax < 3; ++ax)
+              ch.v[vtx][ax][l] = s2->tris[(size_t)tri * 9 + vtx * 3 + ax];
+        } else {
+          ch.idx[l] = -1;
+          for (int vtx = 0; vtx < 3; ++vtx)
+            for (int ax = 0; ax < 3; ++ax)
+              ch.v[vtx][ax][l] = std::numeric_limits<float>::quiet_NaN();
+        }
+      }
+      s4->chunks.push_back(ch);
+    }
+    s4->leaves[0] = {0, nch};
+  }
+  delete s2;
+  return s4;
+}
+
+void rtko_trace4(const void* scene, const float* rays, int64_t n, int mode,
+                 float* out_t, float* out_u, float* out_v,
+                 int32_t* out_idx) {
+  const Scene4& s4 = *(const Scene4*)scene;
+  for (int64_t i = 0; i < n; ++i) {
+    Ray r;
+    r.o = {rays[i * 8 + 0], rays[i * 8 + 1], rays[i * 8 + 2]};
+    r.d = {rays[i * 8 + 3], rays[i * 8 + 4], rays[i * 8 + 5]};
+    r.mint = rays[i * 8 + 6];
+    r.maxt = rays[i * 8 + 7];
+    ray_setup(r);
+    float best_t = r.maxt, best_u = 0, best_v = 0;
+    int32_t best = -1;
+    // Precompute slab operands: per-axis sign-selected plane pick.
+    const float dx = r.d.x, dy = r.d.y, dz = r.d.z;
+    const __m128 rx = _mm_set1_ps(1.0f / dx);
+    const __m128 ry = _mm_set1_ps(1.0f / dy);
+    const __m128 rz = _mm_set1_ps(1.0f / dz);
+    const __m128 px = _mm_set1_ps(r.o.x), py = _mm_set1_ps(r.o.y),
+                 pz = _mm_set1_ps(r.o.z);
+    struct Ent { int32_t node; float t; };
+    Ent stack[256];
+    int sp = 0;
+    stack[sp++] = {0, r.mint};
+    while (sp) {
+      Ent e = stack[--sp];
+      if (e.t >= best_t) continue;  // stale-subtree pop cull
+      if (e.node <= -2) {
+        leaf4_hit(r, s4, s4.leaves[(size_t)(-e.node - 2)], best_t, best_u,
+                  best_v, best, mode);
+        if (mode == 1 && best >= 0) break;
+        continue;
+      }
+      const Node4& nd = s4.nodes[(size_t)e.node];
+      __m128 nlo_x = _mm_load_ps(dx >= 0 ? nd.lox : nd.hix);
+      __m128 nhi_x = _mm_load_ps(dx >= 0 ? nd.hix : nd.lox);
+      __m128 nlo_y = _mm_load_ps(dy >= 0 ? nd.loy : nd.hiy);
+      __m128 nhi_y = _mm_load_ps(dy >= 0 ? nd.hiy : nd.loy);
+      __m128 nlo_z = _mm_load_ps(dz >= 0 ? nd.loz : nd.hiz);
+      __m128 nhi_z = _mm_load_ps(dz >= 0 ? nd.hiz : nd.loz);
+      __m128 t0 = _mm_mul_ps(_mm_sub_ps(nlo_x, px), rx);
+      __m128 t1 = _mm_mul_ps(_mm_sub_ps(nhi_x, px), rx);
+      // NaN (0*inf) lanes must stay unconstrained: MINPS/MAXPS return
+      // their SECOND operand when either input is NaN, so folding with
+      // the accumulator second drops NaN plane distances.
+      __m128 tn = _mm_set1_ps(r.mint);
+      __m128 tf = _mm_set1_ps(best_t);
+      tn = _mm_max_ps(t0, tn);
+      tf = _mm_min_ps(t1, tf);
+      __m128 t0y = _mm_mul_ps(_mm_sub_ps(nlo_y, py), ry);
+      __m128 t1y = _mm_mul_ps(_mm_sub_ps(nhi_y, py), ry);
+      tn = _mm_max_ps(t0y, tn);
+      tf = _mm_min_ps(t1y, tf);
+      __m128 t0z = _mm_mul_ps(_mm_sub_ps(nlo_z, pz), rz);
+      __m128 t1z = _mm_mul_ps(_mm_sub_ps(nhi_z, pz), rz);
+      tn = _mm_max_ps(t0z, tn);
+      tf = _mm_min_ps(t1z, tf);
+      int hitm = _mm_movemask_ps(_mm_cmple_ps(tn, tf));
+      if (!hitm) continue;
+      alignas(16) float tns[4];
+      _mm_store_ps(tns, tn);
+      // Collect hit children, insertion-sort far-to-near so the nearest
+      // pops first.
+      Ent add[4];
+      int na = 0;
+      for (int l = 0; l < 4; ++l) {
+        if (!((hitm >> l) & 1)) continue;
+        if (nd.child[l] == -1) continue;
+        add[na++] = {nd.child[l], tns[l]};
+      }
+      for (int a = 1; a < na; ++a) {
+        Ent key = add[a];
+        int b = a - 1;
+        while (b >= 0 && add[b].t < key.t) { add[b + 1] = add[b]; --b; }
+        add[b + 1] = key;
+      }
+      for (int a = 0; a < na && sp < 256; ++a) stack[sp++] = add[a];
+    }
+    out_t[i] = best_t;
+    out_u[i] = best_u;
+    out_v[i] = best_v;
+    out_idx[i] = best;
+  }
+}
+
+void rtko_free4(void* scene) { delete (Scene4*)scene; }
+
+}  // extern "C"

@@ -473,6 +473,21 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 leaf_pack = leaf_pack | (al.astype(jnp.int32) << p)
                 tri0s.append((-lent - 2) * k_tris)
 
+            if stats:
+                # Diagnostic accumulators (stats mode only): lane 0
+                # counts steps, lane 1 internal pops, lane 2 leaf pops —
+                # the dual-queue balance (steps ~= max of the two pop
+                # totals) that decides whether wider nodes could pay.
+                ip = jax.lax.population_count(
+                    int_pack.astype(jnp.uint32)).astype(jnp.int32)
+                lp = jax.lax.population_count(
+                    leaf_pack.astype(jnp.uint32)).astype(jnp.int32)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (P, PKT), 1)
+                inc = jnp.where(
+                    lane == 0, 1,
+                    jnp.where(lane == 1, ip, jnp.where(lane == 2, lp, 0)))
+                out_steps[:] = out_steps[:] + inc
+
             # ---- stage node child rows + leaf triangle rows ----
             if hbm_tris:
                 # Triangles live in HBM (VMEM can't hold big scenes) as
@@ -1245,15 +1260,8 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             tuple(jnp.int32(0) for _ in range(P)),  # leaf queues empty
           )
         if stats:
-            def body_counted(carry):
-                inner, steps = carry
-                return body(inner), steps + 1
-
-            carry, steps = jax.lax.while_loop(
-                lambda c: cond(c[0]), body_counted, (init, jnp.int32(0)))
-            out_steps[:] = jnp.full((P, PKT), steps, jnp.int32)
-        else:
-            jax.lax.while_loop(cond, body, init)
+            out_steps[:] = jnp.zeros((P, PKT), jnp.int32)
+        jax.lax.while_loop(cond, body, init)
 
     return kernel
 
@@ -1479,8 +1487,13 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
 
     hit = slot >= 0
     if stats:
-        # Per-ray kernel step count of the ray's block (observability:
+        # Per-ray diagnostic counters of the ray's block (observability:
         # the packet analogue of rtk's per-node build logging hooks).
+        # Lane encoding within each packet (r5): lane 0 = step count,
+        # lane 1 = internal-queue pops, lane 2 = leaf-queue pops, other
+        # lanes 0 — the dual pop balance names which queue binds
+        # (steps ~= max of the two totals in dual mode).  Read with
+        # sort_rays=False so lanes stay aligned.
         steps = out[4].reshape(-1)[:n2]
         if idx is not None:
             _, steps = jax.lax.sort((idx, steps), num_keys=1)

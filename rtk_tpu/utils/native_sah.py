@@ -32,7 +32,7 @@ def _load():
     if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
         _BUILD.mkdir(parents=True, exist_ok=True)
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O2", "-std=c++17", "-msse4.1", "-shared", "-fPIC",
              str(_SRC), "-o", str(_SO)],
             check=True,
         )
@@ -54,6 +54,13 @@ def _load():
     lib.rtko_build3.restype = ctypes.c_void_p
     lib.rtko_build3.argtypes = [ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.rtko_build4.restype = ctypes.c_void_p
+    lib.rtko_build4.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                ctypes.c_int64, ctypes.c_int]
+    lib.rtko_trace4.restype = None
+    lib.rtko_trace4.argtypes = lib.rtko_trace.argtypes
+    lib.rtko_free4.restype = None
+    lib.rtko_free4.argtypes = [ctypes.c_void_p]
     lib.rtko_node_count.restype = ctypes.c_int64
     lib.rtko_node_count.argtypes = [ctypes.c_void_p]
     lib.rtko_export.restype = None
@@ -140,5 +147,49 @@ class NativeOracle:
     def __del__(self):
         try:
             self._lib.rtko_free(self._handle)
+        except Exception:
+            pass
+
+
+class NativeOracleSSE:
+    """Clean-room SSE BVH4 CPU tracer (r5): the honest reference-CPU
+    baseline — the reference's own kernel is a 4-wide SSE BVH4
+    (rtk.c:181-539), so CPU-vs-TPU ratios must be quoted against this,
+    not the scalar BVH2 stand-in above."""
+
+    def __init__(self, tri_pos: np.ndarray, leaf_max: int = 4):
+        lib = _load()
+        tris = np.ascontiguousarray(tri_pos, np.float32).reshape(-1, 9)
+        self._n = tris.shape[0]
+        fp = tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        self._handle = lib.rtko_build4(fp, ctypes.c_int64(self._n),
+                                       ctypes.c_int(int(leaf_max)))
+        self._lib = lib
+
+    def trace(self, origin, direction, min_t, max_t, mode="closest"):
+        """-> (t, u, v, tri_index) numpy arrays; index -1 on miss."""
+        n = len(origin)
+        rays = np.empty((n, 8), np.float32)
+        rays[:, 0:3] = origin
+        rays[:, 3:6] = direction
+        rays[:, 6] = min_t
+        rays[:, 7] = max_t
+        rays = np.ascontiguousarray(rays)
+        t = np.empty(n, np.float32)
+        u = np.empty(n, np.float32)
+        v = np.empty(n, np.float32)
+        idx = np.empty(n, np.int32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._lib.rtko_trace4(
+            self._handle, rays.ctypes.data_as(fp), ctypes.c_int64(n),
+            0 if mode == "closest" else 1,
+            t.ctypes.data_as(fp), u.ctypes.data_as(fp), v.ctypes.data_as(fp),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return t, u, v, idx
+
+    def __del__(self):
+        try:
+            self._lib.rtko_free4(self._handle)
         except Exception:
             pass

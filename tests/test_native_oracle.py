@@ -97,3 +97,30 @@ def test_native_host_decode_matches_numpy():
     # gather
     gi = rng.integers(0, 5000, size=9999).astype(np.uint32)
     np.testing.assert_array_equal(native_host.gather_soup(v, gi), v[gi])
+
+
+def test_sse_bvh4_matches_scalar():
+    """Clean-room SSE BVH4 (r5 honest CPU baseline) vs the scalar BVH2
+    oracle: same hit mask, t within float tolerance, prims modulo ties."""
+    from rtk_tpu.utils.native_sah import NativeOracleSSE
+
+    tris = scenes.blob(subdivisions=3)[0]
+    cam = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 48, 48)
+    o = np.asarray(cam.origin)
+    d = np.asarray(cam.direction)
+    mn = np.asarray(cam.min_t)
+    mx = np.asarray(cam.max_t)
+    a = native.NativeOracle(tris.reshape(-1, 9))
+    b = NativeOracleSSE(tris.reshape(-1, 9))
+    ta, ua, va, ia = a.trace(o, d, mn, mx)
+    tb, ub, vb, ib = b.trace(o, d, mn, mx)
+    hm = ia >= 0
+    np.testing.assert_array_equal(hm, ib >= 0)
+    np.testing.assert_allclose(tb[hm], ta[hm], rtol=1e-5, atol=1e-6)
+    same = hm & (ia == ib)
+    assert same.sum() / max(hm.sum(), 1) > 0.95
+    np.testing.assert_allclose(ub[same], ua[same], atol=1e-4)
+    np.testing.assert_allclose(vb[same], va[same], atol=1e-4)
+    # any-hit: exactly the closest-hit mask on this config
+    _, _, _, i2 = b.trace(o, d, mn, mx, mode="any")
+    np.testing.assert_array_equal(i2 >= 0, hm)
