@@ -374,13 +374,19 @@ def config_build():
     import itertools
 
     cfg = BuildConfig(branching=8, leaf_size=8)
+    cfg_kernel = BuildConfig(branching=8, leaf_size=8, wide_nodes=False)
     rec = {}
     # blob(9) keeps variants/iters small: each variant is a 189 MB
-    # tunnel upload and each honest build is ~2.5 s (gather-bound at
-    # scale, PERF_NOTES r4) — the r4 rehearsal's 4-variant/4-iter shape
-    # blew the config timeout on prep alone.
-    for sub, nvar, iters, key in ((6, 8, 10, "build_mtris_82k"),
-                                  (9, 2, 2, "build_mtris")):
+    # tunnel upload; the r4 rehearsal's 4-variant/4-iter shape blew the
+    # config timeout on prep alone.  Two rows at scale since r5: the
+    # full Scene (wide arrays for the XLA stack engine included) and the
+    # packet-kernel product build (wide_nodes=False — pack_scene derives
+    # its tables from the binary topology; the wide collapse was ~55% of
+    # the full build, tools/staged/build2.py).
+    for sub, nvar, iters, key, bc in (
+            (6, 8, 10, "build_mtris_82k", cfg),
+            (9, 2, 3, "build_mtris", cfg),
+            (9, 2, 3, "build_kernel_mtris", cfg_kernel)):
         btris = scenes.blob(subdivisions=sub)[0]
         n = btris.shape[0]
         # Unique input bytes per timed call (timeit cache hazard): a dead
@@ -389,10 +395,11 @@ def config_build():
                    for i in range(nvar)]
         ctr = itertools.count()
         dt = timeit(lambda: build_from_soup(btris_v[next(ctr) % nvar],
-                                            config=cfg), iters=iters)
+                                            config=bc), iters=iters)
         mtris = n / dt / 1e6
         rec[key] = round(mtris, 1)
-        log(f"build: {n} tris in {dt*1e3:.2f} ms ({mtris:.1f} Mtris/s)")
+        log(f"build[{key}]: {n} tris in {dt*1e3:.2f} ms "
+            f"({mtris:.1f} Mtris/s)")
     return rec
 
 

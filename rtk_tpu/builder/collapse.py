@@ -10,9 +10,12 @@ same idea to log2(W) levels, computed for every node in parallel:
   * empty slots get inverted bounds (+1/-1) so any slab test fails, exactly
     like rtk's empty BVH4 slots (rtk.c:1612-1620).
 
-Output arrays are sized by the binary internal-node count (a static upper
-bound on the wide-node count); only rows reachable from wide node 0 (the
-root) are ever touched by traversal.
+r5 layout note: slot bounds come from ONE row gather of a fused
+(Li + L + 1, 6) bounds table — internal rows, leaf rows, then a single
+sentinel row holding the inverted empty-slot bounds — instead of six
+per-component element gathers.  TPU gathers cost ~80 ns per ROW almost
+independent of width, so 6 element-gathers of (Li*8) were ~8x the one
+row gather (tools/staged/build3.py: 1445 -> 181 ms at 5.24M tris).
 """
 from __future__ import annotations
 
@@ -21,6 +24,25 @@ import jax.numpy as jnp
 from rtk_tpu.builder.lbvh import is_leaf_code, leaf_id_of
 
 EMPTY = -1  # python int: keep module constants off-device
+
+
+def _fused_bounds(node_min, node_max, leaf_min, leaf_max):
+    """(Li + L + 1, 6) rows: [min | max] per binary node, then per leaf,
+    then the inverted sentinel row for empty slots."""
+    nodes6 = jnp.concatenate([node_min, node_max], axis=1)
+    leaves6 = jnp.concatenate([leaf_min, leaf_max], axis=1)
+    sentinel = jnp.asarray([[1.0, 1.0, 1.0, -1.0, -1.0, -1.0]],
+                           node_min.dtype)
+    return jnp.concatenate([nodes6, leaves6, sentinel], axis=0)
+
+
+def _slot_rows(src, n_int, n_leaf):
+    """Map child encodings to fused-table row ids (empty -> sentinel)."""
+    internal = src >= 0
+    leaf = is_leaf_code(src)
+    li = jnp.clip(leaf_id_of(src), 0, n_leaf - 1)
+    return jnp.where(internal, src,
+                     jnp.where(leaf, n_int + li, n_int + n_leaf))
 
 
 def collapse_wide(left, right, node_min, node_max, leaf_min, leaf_max,
@@ -73,24 +95,14 @@ def collapse_wide(left, right, node_min, node_max, leaf_min, leaf_max,
 def gather_slot_bounds(src, node_min, node_max, leaf_min, leaf_max):
     """Child-slot AABBs from binary-tree sources (also used by refit).
 
-    Empty slots get inverted bounds (min=+1, max=-1) like rtk.c:1612-1620.
+    Empty slots get inverted bounds (min=+1, max=-1) like rtk.c:1612-1620,
+    via the fused table's sentinel row.
     """
     n_int = node_min.shape[0]
     n_leaf = leaf_min.shape[0]
-    internal = src >= 0
-    leaf = is_leaf_code(src)
-    si = jnp.clip(src, 0, n_int - 1)
-    li = jnp.clip(leaf_id_of(src), 0, n_leaf - 1)
-    # Per-component gathers keep the lane dimension wide; gathering whole
-    # (..., 3) rows leaves most TPU lanes idle.
-    wmin, wmax = [], []
-    for c in range(3):
-        nmin = jnp.take(node_min[:, c], si)
-        lmin = jnp.take(leaf_min[:, c], li)
-        wmin.append(jnp.where(internal, nmin,
-                              jnp.where(leaf, lmin, jnp.float32(1.0))))
-        nmax = jnp.take(node_max[:, c], si)
-        lmax_ = jnp.take(leaf_max[:, c], li)
-        wmax.append(jnp.where(internal, nmax,
-                              jnp.where(leaf, lmax_, jnp.float32(-1.0))))
-    return jnp.stack(wmin, axis=-1), jnp.stack(wmax, axis=-1)
+    w = src.shape[1]
+    table = _fused_bounds(node_min, node_max, leaf_min, leaf_max)
+    rows = _slot_rows(src, n_int, n_leaf)
+    g = jnp.take(table, rows.reshape(-1), axis=0).reshape(
+        src.shape[0], w, 6)
+    return g[..., :3], g[..., 3:]

@@ -21,11 +21,18 @@ class BuildConfig:
       morton_bits: bits per axis of the Morton code (<=10 for uint32 keys).
       snap_node_counts: round dynamic node counts up to the next power of two
         bucket so repeated builds of similarly-sized scenes reuse compiles.
+      wide_nodes: also build the wide (branching-ary) SoA node arrays.
+        The packet-kernel product path derives its own tables from the
+        binary topology (trace/packed.py), so a kernel-only user can skip
+        the collapse — at build-at-scale it is the single costliest stage
+        (~1.4 s of a 2.5 s 5.24M-tri build, tools/staged/build2.py).  The
+        XLA stack/stackless engines and wide-array refit need True.
     """
 
     leaf_size: int = 4
     branching: int = 8
     morton_bits: int = 10
+    wide_nodes: bool = True
 
     def __post_init__(self):
         if self.branching not in (2, 4, 8):

@@ -450,26 +450,47 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
     }
     best_inst = jnp.full((n,), -1, jnp.int32)
     over_cap = jnp.zeros((n,), bool)
+    live_counts = []  # per-round ACTUAL liveness (calibrate_round_caps)
 
     def round_body(s, best, best_inst, over_cap, cap):
+        slim = cap is not None and cap * 8 <= M
         comps = (origin[:, 0], origin[:, 1], origin[:, 2],
                  direction[:, 0], direction[:, 1], direction[:, 2],
                  min_t, best["t"], cand_t[:, s])
-        idx_s, bin_s, cs = _sorted_group(
-            jnp.where(cand_t[:, s] < best["t"], cand_idx[:, s], -1),
-            cand_t[:, s], comps, n_inst, unit)
+        if slim:
+            # Small round: sort only (key, idx) and gather the ray
+            # components for the cap rows — a cap-row gather beats
+            # carrying 9 extra full-width sort operands once the cap is
+            # well under the batch width.
+            idx_s, bin_s, _ = _sorted_group(
+                jnp.where(cand_t[:, s] < best["t"], cand_idx[:, s], -1),
+                cand_t[:, s], (), n_inst, unit)
+        else:
+            idx_s, bin_s, cs = _sorted_group(
+                jnp.where(cand_t[:, s] < best["t"], cand_idx[:, s], -1),
+                cand_t[:, s], comps, n_inst, unit)
         if cap is not None and cap < idx_s.shape[0]:
+            if slim:
+                safe_tail = jnp.clip(idx_s[cap:], 0, n - 1)
+                cut_live = ((idx_s[cap:] < n) & (bin_s[cap:] < n_inst)
+                            & (jnp.take(cand_t[:, s], safe_tail)
+                               < jnp.take(best["t"], safe_tail)))
+            else:
+                cut_live = ((idx_s[cap:] < n) & (bin_s[cap:] < n_inst)
+                            & (cs[8][cap:] < cs[7][cap:]))
             # Any real live row past the cap loses its trace: route it
             # to the residual (its bin sorts before the dead tail, so a
             # correctly sized cap never cuts one).
-            cut_live = ((idx_s[cap:] < n) & (bin_s[cap:] < n_inst)
-                        & (cs[8][cap:] < cs[7][cap:]))
             over_cap = over_cap.at[
                 jnp.where(cut_live, idx_s[cap:], n)].set(
                     True, mode="drop")
             idx_s = idx_s[:cap]
             bin_s = bin_s[:cap]
-            cs = [c[:cap] for c in cs]
+            if not slim:
+                cs = [c[:cap] for c in cs]
+        if slim:
+            safe = jnp.clip(idx_s, 0, n - 1)
+            cs = [jnp.take(c, safe) for c in comps]
         o0, o1, o2, d0, d1, d2, mnt, bt, ct = cs
         is_real = idx_s < n
         safe_bin = jnp.minimum(bin_s, n_inst - 1)
@@ -525,6 +546,7 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
         # config's cost was exactly these empty rounds).
         cap = None if caps is None else min(int(caps[s]), M)
         n_live = jnp.sum((cand_t[:, s] < best["t"]).astype(jnp.int32))
+        live_counts.append(n_live)
         best, best_inst, over_cap = jax.lax.cond(
             n_live > 0,
             lambda b, bi, oc, s=s, cap=cap: round_body(s, b, bi, oc, cap),
@@ -534,7 +556,7 @@ def _instanced_packets_impl(packed, object_from_world, packed_roots,
     # best hit is unproven; the caller re-traces those exhaustively.
     # over_cap rays lost a round to their cap and are unproven too.
     unproven = (overflow < best["t"]) | over_cap
-    return best, best_inst, unproven
+    return best, best_inst, unproven, jnp.stack(live_counts)
 
 
 @functools.lru_cache(maxsize=None)
@@ -605,6 +627,7 @@ def trace_closest_instanced_packets(
     ordered: bool = False,
     p_pk: int = 8,
     round_caps=None,
+    return_live_counts: bool = False,
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
@@ -670,11 +693,13 @@ def trace_closest_instanced_packets(
                                 unit, M, C, n_inst, chunk,
                                 leaf_loop=leaf_loop, ordered=ordered,
                                 p_pk=p_pk, caps=round_caps)
-    best, best_inst, unproven = fn(
+    best, best_inst, unproven, live_counts = fn(
         pscene.packed, iscene.object_from_world, pscene.packed_roots,
         iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,
         padded(rays.origin, 0.0), padded(rays.direction, 1.0),
         padded(rays.min_t, 0.0), padded(rays.max_t, 0.0))
+    if return_live_counts:
+        return live_counts
     if pad:
         best = {k: v[:n] for k, v in best.items()}
         best_inst = best_inst[:n]
@@ -741,3 +766,42 @@ def trace_closest_instanced_packets(
         tri_prim=packed.tri_prim,
     )
     return hits, best_inst
+
+
+def calibrate_round_caps(pscene: PackedInstancedScene, rays: Rays,
+                         max_candidates: int = 8, margin: float = 1.5,
+                         p_pk: int = 8, **kw):
+    """Measure per-round ACTUAL liveness on a sample batch and derive
+    round_caps for subsequent traces (the grid engine's calibrate_caps
+    pattern).
+
+    The 'auto' caps bound each round by its candidate-rank population,
+    but a ray's rank-s AABB overlap counts whether or not an earlier
+    candidate already resolved it — on the bench camera that bound
+    barely shrinks (inst4 probe: 957 -> 911 ms).  True round liveness
+    (cand_t[s] < best_t as best evolves) collapses much faster; this
+    runs one uncapped trace that also reports those counts and sizes
+    caps at margin x measured (pow2-of-block).  A hotter later batch
+    only loses rows to the exactness residual, never hits.
+    """
+    from rtk_tpu.ops.pallas_trace import PKT
+
+    counts = trace_closest_instanced_packets(
+        pscene, rays, max_candidates=max_candidates, p_pk=p_pk,
+        return_live_counts=True, **kw)
+    counts = np.asarray(counts)
+    n = rays.count
+    n_inst = pscene.iscene.num_instances
+    unit = PKT
+    blk = p_pk * unit
+    chunk = min(16384, max(1, n))
+    np_ = n + ((-n) % chunk)
+    M = (np_ + n_inst * unit + blk - 1) // blk * blk
+    caps = []
+    for c in counts:
+        need = int(c * margin) + unit * min(int(c), n_inst)
+        q = blk
+        while q < need:
+            q *= 2
+        caps.append(min(q, M))
+    return tuple(caps)

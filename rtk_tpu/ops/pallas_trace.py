@@ -478,10 +478,13 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 # counts steps, lane 1 internal pops, lane 2 leaf pops —
                 # the dual-queue balance (steps ~= max of the two pop
                 # totals) that decides whether wider nodes could pay.
-                ip = jax.lax.population_count(
-                    int_pack.astype(jnp.uint32)).astype(jnp.int32)
-                lp = jax.lax.population_count(
-                    leaf_pack.astype(jnp.uint32)).astype(jnp.int32)
+                # (scalar popcount is unsupported in Mosaic: unroll the
+                # P-bit sum — stats mode only, cost irrelevant)
+                ip = jnp.int32(0)
+                lp = jnp.int32(0)
+                for p in range(P):
+                    ip = ip + ((int_pack >> p) & 1)
+                    lp = lp + ((leaf_pack >> p) & 1)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (P, PKT), 1)
                 inc = jnp.where(
                     lane == 0, 1,
@@ -1697,6 +1700,124 @@ def uniform_kz(rays: Rays) -> int | None:
     kzr = np.where(ad[:, 0] == maxc, 0, np.where(ad[:, 1] == maxc, 1, 2))
     k0 = int(kzr[0])
     return k0 if bool((kzr == k0).all()) else None
+
+
+@jax.jit
+def _kz_bin_sort(origin, direction, min_t, max_t):
+    """Sort rays by (dominant axis, coherence key); returns the sorted
+    components + original index + per-axis counts."""
+    from rtk_tpu.ops.morton import ray_coherence_key
+
+    n = origin.shape[0]
+    ad = jnp.abs(direction)
+    maxc = jnp.max(ad, axis=1)
+    kzr = jnp.where(ad[:, 0] == maxc, 0,
+                    jnp.where(ad[:, 1] == maxc, 1, 2)).astype(jnp.uint32)
+    ckey = ray_coherence_key(origin, direction)
+    key = (kzr << jnp.uint32(30)) | (ckey >> jnp.uint32(2))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort(
+        (key, idx, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2], min_t, max_t),
+        num_keys=1)
+    counts = jnp.bincount(kzr.astype(jnp.int32), length=3)
+    return out, counts
+
+
+def trace_packets_kz_binned(packed: PackedScene, rays: Rays,
+                            pkt: int = 256, p_pk: int = 16,
+                            **kw) -> PacketHits:
+    """Incoherent-batch dispatcher: bin rays by dominant |direction| axis
+    and trace each bin with its compile-time shear axis (kz_static).
+
+    kz_static drops the leaf phase's 18 axis-select ops per triangle but
+    demands a batch-uniform axis (uniform_kz); bounce batches are mixed,
+    so this splits them into three axis-pure sub-batches after the usual
+    coherence sort (one fused multi-operand device sort — the same sort
+    trace_packets would have run for sort_rays), then runs up to three
+    kernel dispatches and scatters the records back.  Axis-purity also
+    tightens packet unions slightly (same-axis rays travel together).
+
+    Costs one 3-int host sync for the bin widths; each width pads to a
+    power-of-two block count so repeated batches reuse compiles.
+    """
+    n = rays.count
+    blk = p_pk * pkt
+    (key_s, idx_s, o0, o1, o2, d0, d1, d2, mnt, mxt), counts = _kz_bin_sort(
+        jnp.asarray(rays.origin), jnp.asarray(rays.direction),
+        jnp.asarray(rays.min_t), jnp.asarray(rays.max_t))
+    cnt = [int(c) for c in np.asarray(counts)]  # the ONE host sync
+    starts = [0, cnt[0], cnt[0] + cnt[1]]
+    ms = []
+    for c in cnt:
+        if c == 0:
+            ms.append(0)
+            continue
+        m = blk
+        while m < c:
+            m *= 2
+        ms.append(m)
+    run = _kz_binned_jit(tuple(ms), n, pkt, p_pk,
+                         tuple(sorted(kw.items())))
+    t_all, u_all, v_all, slot_all = run(
+        packed, idx_s, o0, o1, o2, d0, d1, d2, mnt, mxt,
+        jnp.asarray(starts, jnp.int32), jnp.asarray(cnt, jnp.int32),
+        jnp.asarray(rays.max_t))
+    return PacketHits(
+        hit=slot_all >= 0, t=t_all, u_k=u_all, v_k=v_all, slot=slot_all,
+        origin=jnp.asarray(rays.origin),
+        direction=jnp.asarray(rays.direction),
+        tri_v=packed.tri_v, tri_vidx=packed.tri_vidx,
+        tri_mesh=packed.tri_mesh, tri_prim=packed.tri_prim,
+        uv_deferred=bool(kw.get("defer_uv", False)))
+
+
+@functools.lru_cache(maxsize=None)
+def _kz_binned_jit(ms, n, pkt, p_pk, kwt):
+    """One fused program for all (<= 3) kz bins: slice, trace with the
+    bin's static shear axis, scatter records back.  Cached per
+    (bin widths, n, block shape, flags)."""
+    kw = dict(kwt)
+
+    @jax.jit
+    def run(packed, idx_s, o0, o1, o2, d0, d1, d2, mnt, mxt, s0s, cs,
+            maxt_orig):
+        mpad = max(max(ms), 1)
+        padf = lambda a, fill: jnp.concatenate(
+            [a, jnp.full((mpad,), fill, a.dtype)])
+        idx_p = padf(idx_s, n)
+        comps_p = [padf(a, 0.0) for a in (o0, o1, o2, d0, d1, d2, mnt)]
+        mxt_p = padf(mxt, 0.0)
+        t_all = maxt_orig
+        u_all = jnp.zeros((n,), jnp.float32)
+        v_all = jnp.zeros((n,), jnp.float32)
+        slot_all = jnp.full((n,), -1, jnp.int32)
+        for axis3 in range(3):
+            m = ms[axis3]
+            if m == 0:
+                continue
+            s0 = s0s[axis3]
+            c = cs[axis3]
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, m)
+            live = jnp.arange(m) < c
+            po0, po1, po2, pd0, pd1, pd2, pmnt = (
+                sl(a) for a in comps_p)
+            bin_rays = Rays(
+                origin=jnp.stack([po0, po1, po2], axis=1),
+                direction=jnp.stack([pd0, pd1, pd2], axis=1),
+                min_t=pmnt,
+                max_t=jnp.where(live, sl(mxt_p), 0.0))
+            h = trace_packets(packed, bin_rays, sort_rays=False,
+                              kz_static=axis3, pkt=pkt, p_pk=p_pk, **kw)
+            improved = live & h.hit
+            tgt = jnp.where(improved, sl(idx_p), n)
+            t_all = t_all.at[tgt].set(h.t, mode="drop")
+            u_all = u_all.at[tgt].set(h.u_k, mode="drop")
+            v_all = v_all.at[tgt].set(h.v_k, mode="drop")
+            slot_all = slot_all.at[tgt].set(h.slot, mode="drop")
+        return t_all, u_all, v_all, slot_all
+
+    return run
 
 
 def trace_packets_chunked(packed: PackedScene, rays: Rays,

@@ -278,8 +278,8 @@ def trace_instanced_sharded(
                              interpret=interpret)
 
     def local_trace(packed, ofw, roots, iblas, ilo, ihi, o, d, mn, mx):
-        best, best_inst, unproven = impl(packed, ofw, roots, iblas, ilo,
-                                         ihi, o, d, mn, mx)
+        best, best_inst, unproven, _ = impl(packed, ofw, roots, iblas,
+                                            ilo, ihi, o, d, mn, mx)
         return (best["t"], best["u"], best["v"], best["slot"], best_inst,
                 unproven)
 

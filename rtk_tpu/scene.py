@@ -18,10 +18,9 @@ import numpy as np
 from flax import struct
 
 from rtk_tpu.builder.collapse import collapse_wide, gather_slot_bounds
-from rtk_tpu.builder.lbvh import (karras_topology, leaf_code,
-                                  refit_ranges)
+from rtk_tpu.builder.lbvh import (karras_topology_scan, leaf_code,
+                                  refit_ranges_flat)
 from rtk_tpu.config import BuildConfig
-from rtk_tpu.ops.morton import morton3d, scene_bounds, sort_by_morton
 
 Array = jax.Array
 
@@ -60,6 +59,11 @@ class Scene(struct.PyTreeNode):
     leaf_size: int = struct.field(pytree_node=False)
     branching: int = struct.field(pytree_node=False)
     num_leaves: int = struct.field(pytree_node=False)
+    # BuildConfig(wide_nodes=False) skips the wide collapse (the packet
+    # kernel derives its tables from the binary topology); node_child/
+    # node_min/node_max are then 1-row dummies and the XLA stack engines
+    # refuse the scene (trace/stack.py guard).
+    has_wide: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_padded_tris(self) -> int:
@@ -85,12 +89,21 @@ def _leaf_bounds(tri_v: Array, num_tris: int, leaf_size: int):
     return jnp.stack(mins, axis=1), jnp.stack(maxs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size", "branching", "morton_bits"))
+@functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size", "branching", "morton_bits", "wide"))
 def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, codes=None, *,
-                num_tris, leaf_size, branching, morton_bits):
+                num_tris, leaf_size, branching, morton_bits, wide=True):
+    # SoA internals (r5): every stage below runs on flat (T,) component
+    # arrays — (T,3)/(T,3,3) shapes pay a 42x/113x minor-dim padding tax
+    # in any op XLA materialises on TPU (measured: elementwise Morton
+    # over (T,3,3) = 331 ms at 5.24M tris vs 9 ms on components), and
+    # the payload rides the ONE lax.sort as extra operands (~4 ms per
+    # operand at 5.24M) instead of post-sort gathers (~80 ns per
+    # gathered row).  tools/staged/build2.py / build3.py hold the
+    # measurements.
     t = num_tris
     if tri_vidx is None:  # defaults built on-device (an eager arange per
-        tri_vidx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
+        tri_vidx = (jnp.arange(t, dtype=jnp.int32)[:, None] * 3
+                    + jnp.arange(3, dtype=jnp.int32)[None, :])
     if tri_mesh is None:  # call costs a host->device round trip each)
         tri_mesh = jnp.zeros((t,), jnp.int32)
     if tri_prim is None:
@@ -98,33 +111,69 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, codes=None, *,
     n_leaf = max(1, -(-t // leaf_size))
     tp = n_leaf * leaf_size
 
-    lo, hi = scene_bounds(tri_pos)
+    comps = [tri_pos[:, a, c] for a in range(3) for c in range(3)]
+    los = [jnp.min(jnp.minimum(jnp.minimum(comps[c], comps[3 + c]),
+                               comps[6 + c])) for c in range(3)]
+    his = [jnp.max(jnp.maximum(jnp.maximum(comps[c], comps[3 + c]),
+                               comps[6 + c])) for c in range(3)]
+    lo = jnp.stack(los)
+    hi = jnp.stack(his)
     if codes is None:
         # Default spatial keys; callers may pass custom sort keys instead
         # (e.g. the macro-grid engine's cell-prefixed local Morton codes,
         # trace/grid.py, which make every cell an exact Karras subtree).
-        centroids = jnp.mean(tri_pos, axis=1)
-        codes = morton3d(centroids, lo, hi, bits=morton_bits)
-    _, perm = sort_by_morton(codes)
+        from rtk_tpu.ops.morton import expand_bits10
+        scale = jnp.float32((1 << morton_bits) - 1)
+        shift = 10 - morton_bits
+        exs = []
+        for c in range(3):
+            cc = (comps[c] + comps[3 + c] + comps[6 + c]) * (1.0 / 3.0)
+            ext = jnp.maximum(his[c] - los[c], jnp.float32(1e-30))
+            q = jnp.clip((cc - los[c]) / ext * scale, 0.0, scale)
+            qi = q.astype(jnp.uint32)
+            exs.append(expand_bits10(qi << shift if shift else qi))
+        codes = (exs[0] << 2) | (exs[1] << 1) | exs[2]
+
+    idx = jnp.arange(t, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (codes, idx, *comps, tri_vidx[:, 0], tri_vidx[:, 1],
+         tri_vidx[:, 2], tri_mesh, tri_prim), num_keys=2)
+    sort_codes, perm = sorted_ops[0], sorted_ops[1]
+    scomps = list(sorted_ops[2:11])
+    svidx = sorted_ops[11:14]
+    smesh, sprim = sorted_ops[14], sorted_ops[15]
 
     pad = tp - t
-    sort_v = jnp.take(tri_pos, perm, axis=0)
-    sort_vidx = jnp.take(tri_vidx, perm, axis=0)
-    sort_mesh = jnp.take(tri_mesh, perm, axis=0)
-    sort_prim = jnp.take(tri_prim, perm, axis=0)
-    sort_codes = jnp.take(codes, perm, axis=0)
     if pad:
-        sort_v = jnp.concatenate(
-            [sort_v, jnp.zeros((pad, 3, 3), jnp.float32)], axis=0)
-        sort_vidx = jnp.concatenate(
-            [sort_vidx, jnp.full((pad, 3), -1, jnp.int32)], axis=0)
-        sort_mesh = jnp.concatenate(
-            [sort_mesh, jnp.full((pad,), -1, jnp.int32)], axis=0)
-        sort_prim = jnp.concatenate(
-            [sort_prim, jnp.full((pad,), -1, jnp.int32)], axis=0)
-        perm = jnp.concatenate([perm, jnp.full((pad,), -1, jnp.int32)], axis=0)
+        zpad = jnp.zeros((pad,), jnp.float32)
+        mpad = jnp.full((pad,), -1, jnp.int32)
+        scomps = [jnp.concatenate([c, zpad]) for c in scomps]
+        svidx = [jnp.concatenate([v, mpad]) for v in svidx]
+        smesh = jnp.concatenate([smesh, mpad])
+        sprim = jnp.concatenate([sprim, mpad])
+        perm = jnp.concatenate([perm, mpad])
 
-    leaf_min, leaf_max = _leaf_bounds(sort_v, t, leaf_size)
+    # Per-leaf AABBs from the sorted components: a (L, K) reshape-reduce
+    # per component (no gathers, no padded tiles).
+    valid = jnp.arange(tp) < t
+    lmins, lmaxs = [], []
+    for c in range(3):
+        m = jnp.minimum(jnp.minimum(scomps[c], scomps[3 + c]),
+                        scomps[6 + c])
+        M = jnp.maximum(jnp.maximum(scomps[c], scomps[3 + c]),
+                        scomps[6 + c])
+        m = jnp.where(valid, m, jnp.inf)
+        M = jnp.where(valid, M, -jnp.inf)
+        lmins.append(jnp.min(m.reshape(n_leaf, leaf_size), axis=1))
+        lmaxs.append(jnp.max(M.reshape(n_leaf, leaf_size), axis=1))
+    leaf_min = jnp.stack(lmins, axis=1)
+    leaf_max = jnp.stack(lmaxs, axis=1)
+
+    sort_v = jnp.stack([jnp.stack(scomps[3 * a:3 * a + 3], axis=1)
+                        for a in range(3)], axis=1)
+    sort_vidx = jnp.stack(list(svidx), axis=1)
+    sort_mesh = smesh
+    sort_prim = sprim
 
     if n_leaf == 1:
         # Degenerate scene: a single wide root with one leaf child.
@@ -139,10 +188,18 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, codes=None, *,
         bmin, bmax = leaf_min, leaf_max
     else:
         cluster_codes = sort_codes[::leaf_size] if leaf_size > 1 else sort_codes
-        bin_left, bin_right, bin_lo, bin_hi = karras_topology(cluster_codes)
-        bmin, bmax = refit_ranges(bin_lo, bin_hi, leaf_min, leaf_max)
-        node_child, node_min, node_max = collapse_wide(
-            bin_left, bin_right, bmin, bmax, leaf_min, leaf_max, branching)
+        bin_left, bin_right, bin_lo, bin_hi = karras_topology_scan(
+            cluster_codes)
+        bmin, bmax = refit_ranges_flat(bin_lo, bin_hi, leaf_min, leaf_max)
+        if wide:
+            node_child, node_min, node_max = collapse_wide(
+                bin_left, bin_right, bmin, bmax, leaf_min, leaf_max,
+                branching)
+        else:
+            # Dummy 1-row wide arrays; Scene.has_wide=False gates users.
+            node_child = jnp.full((1, branching), -1, jnp.int32)
+            node_min = jnp.full((1, branching, 3), 1.0, jnp.float32)
+            node_max = jnp.full((1, branching, 3), -1.0, jnp.float32)
 
     return dict(
         node_child=node_child,
@@ -189,6 +246,7 @@ def build_from_soup(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
         leaf_size=config.leaf_size,
         branching=config.branching,
         morton_bits=config.morton_bits,
+        wide=config.wide_nodes,
     )
     n_leaf = max(1, -(-t // config.leaf_size))
     return Scene(
@@ -196,12 +254,14 @@ def build_from_soup(tri_pos, tri_vidx=None, tri_mesh=None, tri_prim=None,
         leaf_size=config.leaf_size,
         branching=config.branching,
         num_leaves=n_leaf,
+        has_wide=config.wide_nodes or n_leaf == 1,
         **arrays,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size"))
-def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size):
+@functools.partial(jax.jit, static_argnames=("num_tris", "leaf_size", "has_wide"))
+def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size,
+                has_wide=True):
     """Re-gather vertices in sorted order and refit all bounds, keeping the
     topology. The reference has no refit (it rebuilds); this is the dynamic
     -scene entry the BASELINE deforming-mesh config requires."""
@@ -216,11 +276,16 @@ def _refit_impl(scene_arrays, new_tri_pos, *, num_tris, leaf_size):
         node_max = scene_arrays["node_max"].at[0, 0].set(leaf_max[0])
         bmin, bmax = leaf_min, leaf_max
     else:
-        bmin, bmax = refit_ranges(
+        bmin, bmax = refit_ranges_flat(
             scene_arrays["bin_lo"], scene_arrays["bin_hi"],
             leaf_min, leaf_max)
-        node_min, node_max = gather_slot_bounds(
-            scene_arrays["node_child"], bmin, bmax, leaf_min, leaf_max)
+        if has_wide:
+            node_min, node_max = gather_slot_bounds(
+                scene_arrays["node_child"], bmin, bmax, leaf_min,
+                leaf_max)
+        else:
+            node_min = scene_arrays["node_min"]
+            node_max = scene_arrays["node_max"]
     lo = jnp.min(leaf_min, axis=0)
     hi = jnp.max(leaf_max, axis=0)
     return dict(node_min=node_min, node_max=node_max,
@@ -248,5 +313,6 @@ def refit(scene: Scene, new_tri_pos) -> Scene:
         new_tri_pos,
         num_tris=scene.num_tris,
         leaf_size=scene.leaf_size,
+        has_wide=scene.has_wide,
     )
     return scene.replace(**updates)

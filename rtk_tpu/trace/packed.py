@@ -367,7 +367,7 @@ def refit_packed_binary(packed: PackedScene, aux: BinaryRefitAux,
     class as the LBVH refit prep (per-leaf bounds + log2(nl) RMQ levels
     + the repack gathers).
     """
-    from rtk_tpu.builder.lbvh import refit_ranges
+    from rtk_tpu.builder.lbvh import refit_ranges_flat
 
     tri_pos = jnp.asarray(new_tri_pos, jnp.float32)
     safe = jnp.clip(packed.tri_perm, 0, packed.num_tris - 1)
@@ -387,8 +387,8 @@ def refit_packed_binary(packed: PackedScene, aux: BinaryRefitAux,
     else:
         lmin_rank = jnp.take(lmin_visit, aux.visit_of_rank, axis=0)
         lmax_rank = jnp.take(lmax_visit, aux.visit_of_rank, axis=0)
-        bmin, bmax = refit_ranges(aux.rank_lo, aux.rank_hi,
-                                  lmin_rank, lmax_rank)
+        bmin, bmax = refit_ranges_flat(aux.rank_lo, aux.rank_hi,
+                                       lmin_rank, lmax_rank)
     lmin_lidx = jnp.take(lmin_visit, aux.visit_of_lidx, axis=0)
     lmax_lidx = jnp.take(lmax_visit, aux.visit_of_lidx, axis=0)
     nodes = _gather_rows(bmin, bmax, lmin_lidx, lmax_lidx,

@@ -92,6 +92,11 @@ def _sort_w(ts, children, w):
 def _trace_loop(scene: Scene, rays: Rays, *, mode: str,
                 filter_fn: Optional[Callable], config: TraceConfig,
                 start_node=None, init_hit_t=None, return_slot=False):
+    if not scene.has_wide:
+        raise ValueError(
+            "scene was built with BuildConfig(wide_nodes=False); the XLA "
+            "stack engine needs the wide node arrays — rebuild with "
+            "wide_nodes=True (the packet engine works either way)")
     n = rays.count
     w = scene.branching
     d = config.max_stack

@@ -168,7 +168,7 @@ def save_scene(scene: Scene, f: Union[str, BinaryIO]) -> int:
             return save_scene(scene, fh)
     arrays = {name: getattr(scene, name) for name in _FIELDS}
     meta = (scene.num_tris, scene.leaf_size, scene.branching,
-            scene.num_leaves)
+            scene.num_leaves, int(scene.has_wide))
     return _save_container(KIND_SCENE, arrays, meta, f)
 
 
@@ -177,11 +177,15 @@ def _scene_from(arrays, meta_ints, prefix="") -> Scene:
     if missing:
         raise ValueError(f"scene blob missing sections: {missing}")
     num_tris, leaf_size, branching, num_leaves = meta_ints[:4]
+    # 5th int (r5): wide-array presence; pre-r5 blobs lack it (always
+    # built wide then).
+    has_wide = bool(meta_ints[4]) if len(meta_ints) > 4 else True
     return Scene(
         num_tris=int(num_tris),
         leaf_size=int(leaf_size),
         branching=int(branching),
         num_leaves=int(num_leaves),
+        has_wide=has_wide,
         **{n: arrays[prefix + n] for n in _FIELDS},
     )
 

@@ -170,6 +170,15 @@ def test_instanced_packets_round_caps_parity():
     np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(tiny.hit))
     np.testing.assert_allclose(np.asarray(base.t), np.asarray(tiny.t),
                                rtol=1e-6, atol=1e-6)
+    # Calibrated caps (measured per-round liveness) stay exact too, and
+    # exercise the slim-sort (2-op sort + cap-row gather) small rounds.
+    from rtk_tpu.instancing import calibrate_round_caps
+    caps = calibrate_round_caps(ps, rays, interpret=True)
+    cal, ical = trace_closest_instanced_packets(ps, rays, interpret=True,
+                                                round_caps=caps)
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(cal.hit))
+    np.testing.assert_allclose(np.asarray(base.t), np.asarray(cal.t),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_total_triangles_counts_instances():

@@ -43,11 +43,13 @@ def warm(name, tris, cfg):
 
 def main():
     cfg8 = BuildConfig(branching=8, leaf_size=8)
+    cfg8k = BuildConfig(branching=8, leaf_size=8, wide_nodes=False)
     warm("blob6 k8", scenes.blob(subdivisions=6)[0], cfg8)
     warm("atrium k16", scenes.atrium(),
          BuildConfig(branching=8, leaf_size=16))
     warm("grid96 k8", scenes.deforming_grid(0.0, n=96), cfg8)
     warm("blob9 k8", scenes.blob(subdivisions=9)[0], cfg8)
+    warm("blob9 k8 kernel", scenes.blob(subdivisions=9)[0], cfg8k)
 
 
 if __name__ == "__main__":
