@@ -118,11 +118,37 @@ def _popcount8(v):
     return (v + (v >> 4)) & 0x0F
 
 
+def _popcount16(v):
+    """SWAR popcount of 16-bit lane values (int32 arrays)."""
+    v = v - ((v >> 1) & 0x5555)
+    v = (v & 0x3333) + ((v >> 2) & 0x3333)
+    v = (v + (v >> 4)) & 0x0F0F
+    return (v + (v >> 8)) & 0x1F
+
+
+def _oem_network(n):
+    """Batcher odd-even mergesort comparator pairs for n a power of 2
+    (63 comparators at n=16 — the W=16 ordered-descent sort)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
 def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                  hbm_tris=False, dual=False, pkt=PKT, narrow=True,
                  interpret=False, ordered=False, islab=False, lesion=None,
                  use_mask=False, filter_fn=None, march=None,
-                 kz_static=None, tris128=False, leaf_loop=False):
+                 kz_static=None, tris128=False, leaf_loop=False,
+                 w_arity=8):
     """dual=False: one mixed stack per packet (cheapest per step; best for
     coherent primaries).  dual=True: separate internal stack + leaf queue,
     one of each popped per step so both vector phases stay busy (~1.6x on
@@ -134,6 +160,18 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
     k_tris = leaf_size
     P = p_pk
     PKT = pkt
+    # Wide arity (r5): 8 (classic) or 16 (W=16 tables for internal-pop-
+    # bound configs, hl2 probe: 97.7% of headline blocks).  Shadows the
+    # module constants so every W-derived size below follows.
+    W = w_arity
+    assert W in (8, 16), "w_arity must be 8 or 16"
+    assert W == 8 or march is None, "march supports W=8 tables only"
+    STACK_D = D_INT + W + D_LEAF + W
+    LEAF_BASE = D_INT + W
+    MMASK = (1 << W) - 1  # meta int/leaf mask width
+    CB = 4 if W <= 8 else 5  # count field bits (pushes <= W)
+    CMASK = (1 << CB) - 1
+    _pc = _popcount8 if W <= 8 else _popcount16
     # Stale-subtree pruning rides the ordered sort (needs per-child entry
     # keys, which only exist when the sort computed them).  In dual mode
     # the compaction carries the keys into the INTERNAL queue (leaf-queue
@@ -650,12 +688,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                 fc = nr3[:, 0, 6:7]
                 fl = nr3[:, 0, 7:8]
                 masks = nr3[:, 1, 6:7]
-                im = masks & 0xFF
-                lm = (masks >> 8) & 0xFF
+                im = masks & MMASK
+                lm = (masks >> W) & MMASK
                 is_i = (im >> iota_w) & 1  # (P, W)
                 is_l = (lm >> iota_w) & 1
-                irank = _popcount8(im & below)
-                lrank = _popcount8(lm & below)
+                irank = _pc(im & below)
+                lrank = _pc(lm & below)
                 entries = jnp.where(is_i == 1, fc + irank,
                                     -(fl + lrank) - 2)
                 # The interval test passes inverted (empty-slot) bounds;
@@ -675,11 +713,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     key = [jnp.where(hitv[:, w:w + 1], dists[w], -_BIG)
                            for w in range(W)]
                     ent = [entries[:, w:w + 1] for w in range(W)]
-                    net = [(0, 1), (2, 3), (4, 5), (6, 7),
-                           (0, 2), (1, 3), (4, 6), (5, 7),
-                           (1, 2), (5, 6), (0, 4), (3, 7),
-                           (1, 5), (2, 6), (1, 4), (3, 6),
-                           (2, 4), (3, 5), (3, 4)]
+                    net = ([(0, 1), (2, 3), (4, 5), (6, 7),
+                            (0, 2), (1, 3), (4, 6), (5, 7),
+                            (1, 2), (5, 6), (0, 4), (3, 7),
+                            (1, 5), (2, 6), (1, 4), (3, 6),
+                            (2, 4), (3, 5), (3, 4)] if W == 8
+                           else _oem_network(W))
                     for a, b in net:
                         sw = key[a] < key[b]
                         key[a], key[b] = (jnp.where(sw, key[b], key[a]),
@@ -698,7 +737,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     # push entry distances with the compacted entries.
                     vint = valid.astype(jnp.int32)
                     vbits = jnp.sum(vint << iota_w, axis=1, keepdims=True)
-                    vrank = _popcount8(vbits & below)
+                    vrank = _pc(vbits & below)
                     out = jnp.full_like(entries, -1)
                     outk = (None if keys is None
                             else jnp.full_like(keys, -_BIG))
@@ -708,7 +747,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         out = jnp.where(sel, entries[:, w:w + 1], out)
                         if keys is not None:
                             outk = jnp.where(sel, keys[:, w:w + 1], outk)
-                    return out, _popcount8(vbits), outk
+                    return out, _pc(vbits), outk
 
                 comp_k = None
                 if dual:
@@ -721,14 +760,14 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     else:
                         comp_i, cnt_i, _ = compact(validm & (is_i == 1))
                         comp_l, cnt_l, _ = compact(validm & (is_l == 1))
-                    counts = cnt_i | (cnt_l << 4)  # (P,1), 4 bits each
+                    counts = cnt_i | (cnt_l << CB)  # (P,1), CB bits each
                 elif ordered and (narrow or islab):
                     # Valid entries are already contiguous at the front
                     # after the sort; no rank compaction needed.
                     comp_i = jnp.where(validm, entries, -1)
                     vbits = jnp.sum(validm.astype(jnp.int32) << iota_w,
                                     axis=1, keepdims=True)
-                    counts = _popcount8(vbits)
+                    counts = _pc(vbits)
                     comp_l = comp_i
                     if prune:
                         comp_k = jnp.concatenate(key, axis=1)
@@ -763,12 +802,12 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
             # and needs one sum per 4 packets.
             pcol = _iota_col(P)
             grp = pcol // 4
-            if not dual and P <= 8:
+            if not dual and P <= 8 and W <= 8:
                 c_all = jnp.sum(counts << (4 * pcol))
 
                 def cnt_of(p):
                     return (c_all >> (4 * p)) & 0xF
-            else:
+            elif W <= 8:
                 c_packed = []
                 for g in range(P // 4):
                     c_packed.append(jnp.sum(jnp.where(
@@ -776,6 +815,17 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
 
                 def cnt_of(p):
                     return (c_packed[p // 4] >> (8 * (p % 4))) & 0xFF
+            else:
+                # W=16: dual counts are 2xCB=10 bits — 16-bit fields,
+                # two packets per scalar sum.
+                grp2 = pcol // 2
+                c_packed = []
+                for g in range(P // 2):
+                    c_packed.append(jnp.sum(jnp.where(
+                        grp2 == g, counts << (16 * (pcol % 2)), 0)))
+
+                def cnt_of(p):
+                    return (c_packed[p // 2] >> (16 * (p % 2))) & 0xFFFF
 
             def do_push(f_all=None):
                 # ---- vector push: one (8,8) block store per packet per
@@ -809,7 +859,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                     # bounded-stack policy like rtk's fixed 64-deep stack);
                     # unclamped counters would make later pops read out of
                     # bounds and fault the chip.
-                    spi = jnp.minimum(spi + (cnt & 0xF),
+                    spi = jnp.minimum(spi + (cnt & CMASK),
                                       max_i).astype(jnp.int32)
                     if dual:
                         spl = new_spl[p]
@@ -817,7 +867,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                         stack_ref[
                             pl.ds(p * STACK_D + LEAF_BASE + posl, W), :
                         ] = jnp.broadcast_to(comp_l_t[:, p:p + 1], (W, 8))
-                        spl = jnp.minimum(spl + (cnt >> 4),
+                        spl = jnp.minimum(spl + (cnt >> CB),
                                           D_LEAF).astype(jnp.int32)
                     else:
                         spl = jnp.int32(0)
@@ -1275,7 +1325,7 @@ def _make_kernel(leaf_size, mode, watertight, p_pk, stats=False,
                      "leaf_size", "stats", "p_pk", "hbm_tris", "dual",
                      "pkt", "narrow", "ordered", "islab", "lesion",
                      "use_mask", "filter_fn", "march", "kz_static",
-                     "tris128", "leaf_loop"),
+                     "tris128", "leaf_loop", "w_arity"),
 )
 def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode,
                 watertight, interpret, num_tris, leaf_size, stats=False,
@@ -1283,9 +1333,11 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode,
                 narrow=True, ordered=False, islab=False, lesion=None,
                 use_mask=False, filter_fn=None,
                 march=None, kz_static=None, tris128=False,
-                leaf_loop=False):
+                leaf_loop=False, w_arity=8):
     P = p_pk
     PKT = pkt
+    W = w_arity
+    STACK_D = D_INT + W + D_LEAF + W
     n_rows = ray_comps[0].shape[0]  # multiple of P, each row 128 rays
     grid = n_rows // P
     ray_spec = pl.BlockSpec((P, PKT), lambda i, roots, qmask: (i, 0),
@@ -1299,7 +1351,8 @@ def _run_kernel(nodes, tris, ray_comps, roots, qmask, *, mode,
                           ordered=ordered, islab=islab, lesion=lesion,
                           use_mask=use_mask, filter_fn=filter_fn,
                           march=march, kz_static=kz_static,
-                          tris128=tris128, leaf_loop=leaf_loop)
+                          tris128=tris128, leaf_loop=leaf_loop,
+                          w_arity=w_arity)
     n_out = 5 if stats else 4
     # Per-packet roots ride as a scalar-prefetch arg (SMEM): one i32 per
     # packet instead of a (grid, P, PKT) VMEM broadcast.
@@ -1463,7 +1516,7 @@ def _trace_impl_fn(packed, origin, direction, min_t, max_t, roots,
         ordered=ordered, islab=islab, lesion=lesion, use_mask=use_mask,
         stats=stats, filter_fn=filter_fn,
         march=march, kz_static=kz_static, tris128=tris128,
-        leaf_loop=leaf_loop,
+        leaf_loop=leaf_loop, w_arity=packed.branching,
     )
     out_t, out_u, out_v, out_slot = out[:4]
     t = out_t.reshape(-1)[:n2]

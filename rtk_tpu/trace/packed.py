@@ -60,6 +60,9 @@ class PackedScene(struct.PyTreeNode):
     tri_perm: Array  # (Tp,) i32 old sorted-tri slot per new slot
     num_tris: int = struct.field(pytree_node=False)
     leaf_size: int = struct.field(pytree_node=False)
+    # Wide arity of the node table (8 classic; 16 = the r5 W=16 tables
+    # for internal-pop-bound configs — the kernel reads it as w_arity).
+    branching: int = struct.field(pytree_node=False, default=8)
 
     @property
     def num_nodes(self) -> int:
@@ -75,7 +78,7 @@ def _area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
 
 
-def _greedy_slots(left, right, area, root=0):
+def _greedy_slots(left, right, area, root=0, w=W):
     """Greedy wide collapse, level by level (vectorised host NumPy).
 
     Returns slot_src (Nd, 8) int64 (binary id >= 0, leaf code <= -2,
@@ -95,7 +98,7 @@ def _greedy_slots(left, right, area, root=0):
     first = True
     while frontier.size:
         f = frontier.shape[0]
-        slots = np.full((f, W), -1, np.int64)
+        slots = np.full((f, w), -1, np.int64)
         if first:
             isleaf = frontier <= -2
             isempty = frontier == -1
@@ -109,10 +112,10 @@ def _greedy_slots(left, right, area, root=0):
             slots[:, 1] = right[frontier]
         nslots = np.full(f, 2, np.int64)
         rows = np.arange(f)
-        for _ in range(W - 2):
+        for _ in range(w - 2):
             internal = slots >= 0
             a = np.where(internal, area[np.clip(slots, 0, None)], -np.inf)
-            a[nslots >= W] = -np.inf  # no free slot left
+            a[nslots >= w] = -np.inf  # no free slot left
             pick = a.argmax(1)
             ok = a[rows, pick] > -np.inf
             b = slots[rows, pick]
@@ -141,8 +144,11 @@ def _pack_meta(slot_src: np.ndarray, node_base: int = 0,
     fc = node_base + root_rows + np.concatenate(
         [[0], np.cumsum(n_int)[:-1]])
     fl = leaf_base + np.concatenate([[0], np.cumsum(n_leaf)[:-1]])
-    bits = 1 << np.arange(W, dtype=np.int64)[None, :]
-    masks = (int_m * bits).sum(1) | ((leaf_m * bits).sum(1) << 8)
+    w = slot_src.shape[1]
+    bits = 1 << np.arange(w, dtype=np.int64)[None, :]
+    # leaf mask rides above the int mask: shift = w (8 for the classic
+    # tables, 16 for W=16 — the kernel unpacks with the same shift).
+    masks = (int_m * bits).sum(1) | ((leaf_m * bits).sum(1) << w)
     leaf_order = -slot_src[leaf_m] - 2  # row-major == fl ranks
     meta = np.stack(
         [fc, fl, masks, np.zeros_like(fc)], axis=1).astype(np.int32)
@@ -168,14 +174,15 @@ def _gather_rows(bin_min, bin_max, leaf_min, leaf_max, slot_src, meta, *,
         l = jnp.take(leaf_max[:, c], li)
         comps.append(jnp.where(internal, b,
                                jnp.where(leaf, l, jnp.float32(-1.0))))
+    w = slot_src.shape[1]
     bounds = jax.lax.bitcast_convert_type(
-        jnp.stack(comps, axis=-1), jnp.int32)  # (Nd, 8, 6) i32
-    pad = jnp.zeros((n_rows, W, 1), jnp.int32)
-    rows = jnp.concatenate([bounds, pad, pad], axis=2)  # (Nd, 8, 8)
+        jnp.stack(comps, axis=-1), jnp.int32)  # (Nd, W, 6) i32
+    pad = jnp.zeros((n_rows, w, 1), jnp.int32)
+    rows = jnp.concatenate([bounds, pad, pad], axis=2)  # (Nd, W, 8)
     rows = rows.at[:, 0, 6].set(meta[:, 0])
     rows = rows.at[:, 0, 7].set(meta[:, 1])
     rows = rows.at[:, 1, 6].set(meta[:, 2])
-    return rows.reshape(n_rows * W, 8)
+    return rows.reshape(n_rows * w, 8)
 
 
 MASK_COL = 9  # filter-mask column in the kernel tri row (float VALUE,
@@ -459,7 +466,8 @@ def _binary_refit_aux(left, right, first, count, is_leaf, leaf_nodes,
 def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
                      order, root, leaf_size: int, tri_vidx=None,
                      tri_mesh=None, tri_prim=None,
-                     tri_mask=None, return_refit_aux: bool = False):
+                     tri_mask=None, return_refit_aux: bool = False,
+                     branching: int = 8):
     """Pack an ARBITRARY host-built binary BVH for the packet kernel.
 
     Feeds any binary topology (e.g. the corrected-rtk C++ oracle's binned
@@ -508,13 +516,13 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
     roots_m = np.where(is_leaf[roots], -(lidx[roots] + 2), roots)
     if np.ndim(root) == 0:
         slot_src = _greedy_slots(lm, rm, _area(box_lo, box_hi),
-                                 root=int(roots_m[0]))
+                                 root=int(roots_m[0]), w=branching)
         meta, leaf_order = _pack_meta(slot_src)
     else:
         # Forest: packed entry id of root r is r (root rows reserved
         # first, pack_multiroot convention) — multi-BLAS SAH tables.
         slot_src = _greedy_slots(lm, rm, _area(box_lo, box_hi),
-                                 root=roots_m)
+                                 root=roots_m, w=branching)
         meta, leaf_order = _pack_meta(slot_src,
                                       root_rows=roots_m.shape[0])
     assert leaf_order.shape[0] == nl, (leaf_order.shape[0], nl)
@@ -571,6 +579,7 @@ def pack_binary_tree(tri_v, left, right, first, count, box_lo, box_hi,
         tri_perm=jnp.asarray(np.where(valid, tri_ids, -1).astype(np.int32)),
         num_tris=int(T),
         leaf_size=k,
+        branching=branching,
     )
     return (packed, aux) if return_refit_aux else packed
 
