@@ -663,7 +663,10 @@ def config_refit():
     from rtk_tpu.testing import scenes
 
     rec = {}
-    cfg = BuildConfig(branching=8, leaf_size=8)
+    # wide_nodes=False (r5): the refit executors only re-derive the
+    # PACKED tables (repack_bounds reads the binary bounds), so the
+    # per-frame fused program can skip the wide-array slot regather.
+    cfg = BuildConfig(branching=8, leaf_size=8, wide_nodes=False)
     grid0 = scenes.deforming_grid(0.0, n=96)  # 18,432 tris
     scene_d = build_from_soup(jnp.asarray(grid0), config=cfg)
     packed_d = pack_scene(scene_d)

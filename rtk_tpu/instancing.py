@@ -698,8 +698,6 @@ def trace_closest_instanced_packets(
         iscene.instance_blas, iscene.inst_lo, iscene.inst_hi,
         padded(rays.origin, 0.0), padded(rays.direction, 1.0),
         padded(rays.min_t, 0.0), padded(rays.max_t, 0.0))
-    if return_live_counts:
-        return live_counts
     if pad:
         best = {k: v[:n] for k, v in best.items()}
         best_inst = best_inst[:n]
@@ -765,6 +763,11 @@ def trace_closest_instanced_packets(
         tri_mesh=packed.tri_mesh,
         tri_prim=packed.tri_prim,
     )
+    if return_live_counts:
+        # (hits, inst, per-round live counts): calibration callers need
+        # the hits too (e.g. a wavefront generating its bounce batches
+        # while collecting counts for a shared caps tuple).
+        return hits, best_inst, live_counts
     return hits, best_inst
 
 
@@ -786,12 +789,22 @@ def calibrate_round_caps(pscene: PackedInstancedScene, rays: Rays,
     """
     from rtk_tpu.ops.pallas_trace import PKT
 
-    counts = trace_closest_instanced_packets(
+    _, _, counts = trace_closest_instanced_packets(
         pscene, rays, max_candidates=max_candidates, p_pk=p_pk,
         return_live_counts=True, **kw)
-    counts = np.asarray(counts)
-    n = rays.count
-    n_inst = pscene.iscene.num_instances
+    return caps_from_counts(np.asarray(counts), rays.count,
+                            pscene.iscene.num_instances, margin=margin,
+                            p_pk=p_pk)
+
+
+def caps_from_counts(counts, n: int, n_inst: int, margin: float = 1.5,
+                     p_pk: int = 8):
+    """round_caps tuple from measured per-round live counts (callers that
+    pool counts across several batches — e.g. a wavefront sharing ONE
+    fused-program compile across its bounces — take an elementwise max
+    first)."""
+    from rtk_tpu.ops.pallas_trace import PKT
+
     unit = PKT
     blk = p_pk * unit
     chunk = min(16384, max(1, n))
@@ -799,7 +812,7 @@ def calibrate_round_caps(pscene: PackedInstancedScene, rays: Rays,
     M = (np_ + n_inst * unit + blk - 1) // blk * blk
     caps = []
     for c in counts:
-        need = int(c * margin) + unit * min(int(c), n_inst)
+        need = int(int(c) * margin) + unit * min(int(c), n_inst)
         q = blk
         while q < need:
             q *= 2
