@@ -813,7 +813,7 @@ def config_instanced():
 
     nxt_cam5 = vary_rays(cam5)
 
-    def wavefront4(k=None):
+    def wavefront4(k=None, caps=None, collect=None):
         # Per-bounce: trace -> fused device shade/sample/compact.  Bounce
         # batches keep the FULL 1024^2 shape (live rays compacted to the
         # front, dead tail max_t=0): the fused candidate-rounds program
@@ -822,14 +822,28 @@ def config_instanced():
         # the config out of r3/r4 runs.  Dead rows are near-free in the
         # kernel (dead-lane cull drains their packets in ~2 steps), so
         # one shape costs ~ms while saving ~10 min of compiles.
+        # caps (r5): ONE pooled round_caps tuple for every trace in the
+        # wavefront (pooling keeps it at one compile); collect gathers
+        # the per-round live counts that size it (inst6: 0.37 -> 0.41).
         rays_b = nxt_cam5()
         total = rays_b.count
         m = rays_b.count
         k = key5 if k is None else k
-        hits, _ = trace_closest_instanced_packets(pscene, rays_b,
-                                                  max_candidates=CAND5,
-                                                  leaf_loop=True,
-                                                  ordered=True, p_pk=16)
+        kw5 = dict(max_candidates=CAND5, leaf_loop=True, ordered=True,
+                   p_pk=16)
+        if caps is not None:
+            kw5["round_caps"] = caps
+
+        def trace(rb):
+            if collect is not None:
+                h, _, cnt = trace_closest_instanced_packets(
+                    pscene, rb, return_live_counts=True, **kw5)
+                collect.append(np.asarray(cnt))
+                return h
+            h, _ = trace_closest_instanced_packets(pscene, rb, **kw5)
+            return h
+
+        hits = trace(rays_b)
         for bounce in range(3):
             k, kd = jax.random.split(k)
             nd, origin, perm, n_alive_dev = _bounce_prep(hits, rays_b, kd)
@@ -837,21 +851,25 @@ def config_instanced():
             if n_alive == 0:
                 break
             rays_b = _take_rays(origin, nd, perm, n_alive_dev, m=m)
-            hits, _ = trace_closest_instanced_packets(pscene, rays_b,
-                                                      max_candidates=CAND5,
-                                                      leaf_loop=True,
-                                                      ordered=True, p_pk=16)
+            hits = trace(rays_b)
             total += n_alive
         np.asarray(hits.t[:1])  # real sync (enqueue-level block hazard)
         return total
 
-    total5 = wavefront4()  # warm-up compiles the (single) round shape
+    from rtk_tpu.instancing import caps_from_counts
+
+    col5 = []
+    total5 = wavefront4(collect=col5)  # warm-up doubles as calibration
+    caps5 = caps_from_counts(np.max(np.stack(col5), axis=0), cam5.count,
+                             n_inst, p_pk=16)
+    log(f"instanced round caps (pooled, calibrated): {caps5}")
+    total5 = wavefront4(caps=caps5)  # warm-up compiles the capped shape
     # Distinct keys per timed call (unique bounce-round inputs; the
     # timeit cache hazard).
     t1 = time.perf_counter()
-    wavefront4(jax.random.PRNGKey(11))
+    wavefront4(jax.random.PRNGKey(11), caps=caps5)
     t2 = time.perf_counter()
-    wavefront4(jax.random.PRNGKey(12))
+    wavefront4(jax.random.PRNGKey(12), caps=caps5)
     best5 = min(t2 - t1, time.perf_counter() - t2)
     mrays = total5 / best5 / 1e6
     log(f"instanced 10.2M tris (125 x 82k BLAS) 4-bounce wavefront: "
