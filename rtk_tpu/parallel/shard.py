@@ -202,7 +202,7 @@ def trace_grid_sharded(
     be (smaller sorts, same cells).  Calibrate caps on one chip's
     worth of a representative batch (trace.grid.calibrate_caps).
     """
-    from rtk_tpu.trace.grid import trace_packets_grid
+    from rtk_tpu.testing.grid import trace_packets_grid
     from rtk_tpu.types import PacketHits
 
     if mesh is None:

@@ -13,9 +13,13 @@ contract (rtk_trace_ray semantics, rtk.c:543-577):
     engine on every recorded TPU bounce measurement (0.13-0.20 vs
     1.03+ Mrays/s) and is superseded by "grid" as a re-binning design;
     kept importable as a correctness/reference path.
-  * "grid": the macro-grid DDA engine (trace/grid.py) — re-bins
-    incoherent rays over DISJOINT cells each round, so rays terminate
-    at the first hit instead of draining overlapping bins.
+  * "grid"/"march": the macro-grid DDA engine — DEMOTED to
+    rtk_tpu/testing/grid.py in r5: both its rounds form (0.46-0.48)
+    and the fused in-kernel march (0.40-0.43) lose to the flat engine
+    (1.77) on every recorded TPU bounce measurement.  Kept importable
+    and selectable as a correctness/reference design (disjoint-cell
+    re-binning, exact-by-construction march); the flat packet engine
+    is the product incoherent path.
 
 "auto" picks packet on TPU when eligible and falls back to stack otherwise
 (including any call that passes a filter, which must trace arbitrary user
@@ -146,7 +150,7 @@ class Tracer:
                 "(packet/binned/grid/march); use filter_fn on the stack "
                 "engine")
         if self.engine == "march" and filter_fn is None:
-            from rtk_tpu.trace.grid import (build_grid_from_scene,
+            from rtk_tpu.testing.grid import (build_grid_from_scene,
                                             trace_packets_march)
 
             if self._grid is None or self._grid.cells_march is None:
@@ -168,7 +172,7 @@ class Tracer:
                 filter_mask=filter_mask,
                 interpret=jax.default_backend() != "tpu")
         if self.engine == "grid" and filter_fn is None:
-            from rtk_tpu.trace.grid import (build_grid_from_scene,
+            from rtk_tpu.testing.grid import (build_grid_from_scene,
                                             trace_packets_grid)
 
             if self._grid is None:
