@@ -750,7 +750,10 @@ def config_instanced():
     try:
         from rtk_tpu.builder.sah import build_sah_forest
 
-        sah_pack = build_sah_forest([blas_tris], cfg)
+        # K=16 forest (r5, inst7 probe): 0.43 vs 0.41 wavefront — the
+        # same leaf-step economics that won the flat bounce records.
+        sah_pack = build_sah_forest(
+            [blas_tris], BuildConfig(branching=8, leaf_size=16))
     except Exception as e:
         log(f"instanced sahq build unavailable ({e}); using LBVH tables")
     n_inst = 125  # 125 x 81,920 = 10.24M instanced triangles
