@@ -177,8 +177,7 @@ def timeit_frames(packed, rays, frames=8, iters=3, **kw):
     base = jnp.asarray(rays.min_t)
     eps = (jnp.arange(frames, dtype=jnp.float32) + 1.0)[:, None] * 1e-7
 
-    @jax.jit
-    def run(min_t_f, bump):
+    def run_fn(min_t_f, bump):
         def body(c, mt):
             h = trace_packets(
                 packed, Rays(origin=rays.origin, direction=rays.direction,
@@ -186,6 +185,14 @@ def timeit_frames(packed, rays, frames=8, iters=3, **kw):
             return c, (h.t, h.slot)
         _, outs = jax.lax.scan(body, 0, min_t_f)
         return outs
+
+    # The kernel inlines under this jit (no top-level _trace_impl_jit),
+    # so the scoped-vmem raise must attach HERE — without it the scan
+    # body's pallas_call hits the default 16 MB limit and OOMs (caught
+    # in the r5 rehearsal: bunny amortised failed compile).
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": 120 * 1024}
+            if jax.default_backend() == "tpu" else None)
+    run = jax.jit(run_fn, compiler_options=opts)
 
     min_t_f = base[None, :] + eps
     import itertools
@@ -422,11 +429,15 @@ def config_cornell():
     rec = {"cornell_mrays": round(mrays, 2)}
     # Amortised rate: this config is ~7 ms tunnel dispatch on a sub-ms
     # kernel; a scan-of-frames program divides the floor by F (VERDICT
-    # r4 item 7 — report BOTH numbers).
-    dtf = timeit_frames(packed, rays, frames=8)
-    rec["cornell_amort_mrays"] = round(rays.count / dtf / 1e6, 2)
-    log(f"cornell 256x256 amortised (8-frame scan): "
-        f"{rec['cornell_amort_mrays']:.2f} Mrays/s")
+    # r4 item 7 — report BOTH numbers).  Guarded: an amortised-path
+    # failure must not lose the recorded single-dispatch number.
+    try:
+        dtf = timeit_frames(packed, rays, frames=8)
+        rec["cornell_amort_mrays"] = round(rays.count / dtf / 1e6, 2)
+        log(f"cornell 256x256 amortised (8-frame scan): "
+            f"{rec['cornell_amort_mrays']:.2f} Mrays/s")
+    except Exception as e:
+        log(f"cornell amortised scan failed: {type(e).__name__}: {e}")
     return rec
 
 
@@ -457,11 +468,14 @@ def config_bunny():
     # (the 1024^2 intermediate was dropped in r4: the 8192^2 headline and
     # 512^2 config bracket the scaling curve, and each extra shape is a
     # 10-40 s tunnel compile of the suite budget)
-    dtf = timeit_frames(packed, rays512, frames=8, sort_rays=False,
-                        dual=True)
-    rec["bunny_512_amort_mrays"] = round(rays512.count / dtf / 1e6, 2)
-    log(f"bunny 512x512 amortised (8-frame scan): "
-        f"{rec['bunny_512_amort_mrays']:.2f} Mrays/s")
+    try:
+        dtf = timeit_frames(packed, rays512, frames=8, sort_rays=False,
+                            dual=True)
+        rec["bunny_512_amort_mrays"] = round(rays512.count / dtf / 1e6, 2)
+        log(f"bunny 512x512 amortised (8-frame scan): "
+            f"{rec['bunny_512_amort_mrays']:.2f} Mrays/s")
+    except Exception as e:
+        log(f"bunny amortised scan failed: {type(e).__name__}: {e}")
 
     # Full-record TPU parity gate on the HEADLINE topology (VERDICT r4
     # item 6): trace 512^2 through the exact headline config
