@@ -628,6 +628,7 @@ def trace_closest_instanced_packets(
     p_pk: int = 8,
     round_caps=None,
     return_live_counts: bool = False,
+    unit: int | None = None,
 ) -> tuple[Hits, Array]:
     """Closest-hit over an instanced scene using the Pallas packet kernel.
 
@@ -646,8 +647,9 @@ def trace_closest_instanced_packets(
     # flat scenes (where wider packets win with batch size), instanced
     # traversal stays union-footprint-bound — a 512-ray per-instance
     # packet spans most of its object and measured 20-30% SLOWER than
-    # 128 at 512^2..1024^2; keep the narrow unit.
-    unit = PKT
+    # 128 at 512^2..1024^2 (pre-ordered/prune; unit= lets callers
+    # re-probe under newer flags); default keeps the narrow unit.
+    unit = PKT if unit is None else int(unit)
     n_inst = iscene.num_instances
     C = min(max_candidates, n_inst)
     chunk = min(16384, max(1, n))
@@ -773,7 +775,7 @@ def trace_closest_instanced_packets(
 
 def calibrate_round_caps(pscene: PackedInstancedScene, rays: Rays,
                          max_candidates: int = 8, margin: float = 1.5,
-                         p_pk: int = 8, **kw):
+                         p_pk: int = 8, unit: int | None = None, **kw):
     """Measure per-round ACTUAL liveness on a sample batch and derive
     round_caps for subsequent traces (the grid engine's calibrate_caps
     pattern).
@@ -791,21 +793,21 @@ def calibrate_round_caps(pscene: PackedInstancedScene, rays: Rays,
 
     _, _, counts = trace_closest_instanced_packets(
         pscene, rays, max_candidates=max_candidates, p_pk=p_pk,
-        return_live_counts=True, **kw)
+        return_live_counts=True, unit=unit, **kw)
     return caps_from_counts(np.asarray(counts), rays.count,
                             pscene.iscene.num_instances, margin=margin,
-                            p_pk=p_pk)
+                            p_pk=p_pk, unit=unit)
 
 
 def caps_from_counts(counts, n: int, n_inst: int, margin: float = 1.5,
-                     p_pk: int = 8):
+                     p_pk: int = 8, unit: int | None = None):
     """round_caps tuple from measured per-round live counts (callers that
     pool counts across several batches — e.g. a wavefront sharing ONE
     fused-program compile across its bounces — take an elementwise max
     first)."""
     from rtk_tpu.ops.pallas_trace import PKT
 
-    unit = PKT
+    unit = PKT if unit is None else int(unit)
     blk = p_pk * unit
     chunk = min(16384, max(1, n))
     np_ = n + ((-n) % chunk)
