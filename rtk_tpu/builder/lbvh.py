@@ -334,18 +334,22 @@ def refit_ranges_flat(lo: Array, hi: Array, leaf_min: Array, leaf_max: Array):
                 cur_max, jnp.broadcast_to(cur_max[-1:], cur_max.shape))
         mins.append(cur_min)
         maxs.append(cur_max)
-    tab_min = jnp.concatenate(mins, axis=0)  # (levels*L, 3)
-    tab_max = jnp.concatenate(maxs, axis=0)
+    # Fused (levels*L, 6) [min | max] table: TWO row gathers answer all
+    # nodes (row gathers are latency-bound per ROW, nearly free in
+    # width — build3.py).
+    tab = jnp.concatenate(
+        [jnp.concatenate([m, M], axis=1) for m, M in zip(mins, maxs)],
+        axis=0)
 
     length = hi - lo + 1
     k = 31 - jax.lax.clz(jnp.maximum(length, 1))  # floor log2
     k = jnp.minimum(k, levels - 1)
     b = jnp.clip(hi - jnp.left_shift(jnp.int32(1), k) + 1, 0, n_leaf - 1)
     base = k * n_leaf
-    node_min = jnp.minimum(jnp.take(tab_min, base + lo, axis=0),
-                           jnp.take(tab_min, base + b, axis=0))
-    node_max = jnp.maximum(jnp.take(tab_max, base + lo, axis=0),
-                           jnp.take(tab_max, base + b, axis=0))
+    ga = jnp.take(tab, base + lo, axis=0)
+    gb = jnp.take(tab, base + b, axis=0)
+    node_min = jnp.minimum(ga[:, :3], gb[:, :3])
+    node_max = jnp.maximum(ga[:, 3:], gb[:, 3:])
     return node_min, node_max
 
 

@@ -101,13 +101,19 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, codes=None, *,
     # gathered row).  tools/staged/build2.py / build3.py hold the
     # measurements.
     t = num_tris
-    if tri_vidx is None:  # defaults built on-device (an eager arange per
-        tri_vidx = (jnp.arange(t, dtype=jnp.int32)[:, None] * 3
-                    + jnp.arange(3, dtype=jnp.int32)[None, :])
-    if tri_mesh is None:  # call costs a host->device round trip each)
-        tri_mesh = jnp.zeros((t,), jnp.int32)
-    if tri_prim is None:
-        tri_prim = jnp.arange(t, dtype=jnp.int32)
+    # Default metadata (vidx = arange pattern, mesh = 0, prim = arange)
+    # NEVER rides the sort: it is a pure function of the permutation, so
+    # the sorted forms derive elementwise from perm afterwards — 5 fewer
+    # sort operands (~20 ms at 5.24M).  Custom metadata still sorts.
+    defaults = tri_vidx is None and tri_mesh is None and tri_prim is None
+    if not defaults:
+        if tri_vidx is None:
+            tri_vidx = (jnp.arange(t, dtype=jnp.int32)[:, None] * 3
+                        + jnp.arange(3, dtype=jnp.int32)[None, :])
+        if tri_mesh is None:
+            tri_mesh = jnp.zeros((t,), jnp.int32)
+        if tri_prim is None:
+            tri_prim = jnp.arange(t, dtype=jnp.int32)
     n_leaf = max(1, -(-t // leaf_size))
     tp = n_leaf * leaf_size
 
@@ -135,23 +141,34 @@ def _build_impl(tri_pos, tri_vidx, tri_mesh, tri_prim, codes=None, *,
         codes = (exs[0] << 2) | (exs[1] << 1) | exs[2]
 
     idx = jnp.arange(t, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(
-        (codes, idx, *comps, tri_vidx[:, 0], tri_vidx[:, 1],
-         tri_vidx[:, 2], tri_mesh, tri_prim), num_keys=2)
-    sort_codes, perm = sorted_ops[0], sorted_ops[1]
-    scomps = list(sorted_ops[2:11])
-    svidx = sorted_ops[11:14]
-    smesh, sprim = sorted_ops[14], sorted_ops[15]
+    if defaults:
+        sorted_ops = jax.lax.sort((codes, idx, *comps), num_keys=2)
+        sort_codes, perm = sorted_ops[0], sorted_ops[1]
+        scomps = list(sorted_ops[2:11])
+    else:
+        sorted_ops = jax.lax.sort(
+            (codes, idx, *comps, tri_vidx[:, 0], tri_vidx[:, 1],
+             tri_vidx[:, 2], tri_mesh, tri_prim), num_keys=2)
+        sort_codes, perm = sorted_ops[0], sorted_ops[1]
+        scomps = list(sorted_ops[2:11])
+        svidx = list(sorted_ops[11:14])
+        smesh, sprim = sorted_ops[14], sorted_ops[15]
 
     pad = tp - t
     if pad:
         zpad = jnp.zeros((pad,), jnp.float32)
         mpad = jnp.full((pad,), -1, jnp.int32)
         scomps = [jnp.concatenate([c, zpad]) for c in scomps]
-        svidx = [jnp.concatenate([v, mpad]) for v in svidx]
-        smesh = jnp.concatenate([smesh, mpad])
-        sprim = jnp.concatenate([sprim, mpad])
+        if not defaults:
+            svidx = [jnp.concatenate([v, mpad]) for v in svidx]
+            smesh = jnp.concatenate([smesh, mpad])
+            sprim = jnp.concatenate([sprim, mpad])
         perm = jnp.concatenate([perm, mpad])
+    if defaults:
+        valid_row = perm >= 0
+        sprim = jnp.where(valid_row, perm, -1)
+        smesh = jnp.where(valid_row, 0, -1)
+        svidx = [jnp.where(valid_row, perm * 3 + j, -1) for j in range(3)]
 
     # Per-leaf AABBs from the sorted components: a (L, K) reshape-reduce
     # per component (no gathers, no padded tiles).
