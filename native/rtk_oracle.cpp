@@ -458,6 +458,37 @@ struct Scene4 {
   std::vector<float> tris;  // n*9 (f64 fallback reads original coords)
 };
 
+// Pack a BVH2 leaf's triangles into padded 4-tri SoA chunks; returns the
+// encoded leaf id.  (Shared by collapse4 and the degenerate root-leaf
+// path in rtko_build4 — one copy so padding/transpose policy cannot
+// diverge between them.)
+static int32_t pack_leaf4(const Scene& s2, Scene4& s4, const Node& c) {
+  int32_t lf = (int32_t)s4.leaves.size();
+  int32_t c0 = (int32_t)s4.chunks.size();
+  int32_t nch = (c.count + 3) / 4;
+  for (int32_t g = 0; g < nch; ++g) {
+    Chunk4 ch;
+    for (int l = 0; l < 4; ++l) {
+      int32_t k = c.first + g * 4 + l;
+      if (k < c.first + c.count) {
+        int32_t tri = s2.order[(size_t)k];
+        ch.idx[l] = tri;
+        for (int vtx = 0; vtx < 3; ++vtx)
+          for (int ax = 0; ax < 3; ++ax)
+            ch.v[vtx][ax][l] = s2.tris[(size_t)tri * 9 + vtx * 3 + ax];
+      } else {
+        ch.idx[l] = -1;
+        for (int vtx = 0; vtx < 3; ++vtx)
+          for (int ax = 0; ax < 3; ++ax)
+            ch.v[vtx][ax][l] = std::numeric_limits<float>::quiet_NaN();
+      }
+    }
+    s4.chunks.push_back(ch);
+  }
+  s4.leaves.push_back({c0, nch});
+  return -lf - 2;
+}
+
 // Collapse the BVH2 into BVH4 by pulling grandchildren; BVH2 leaves met
 // on the way become direct children.
 static int32_t collapse4(const Scene& s2, Scene4& s4, int32_t n2) {
@@ -466,11 +497,10 @@ static int32_t collapse4(const Scene& s2, Scene4& s4, int32_t n2) {
   Box boxes[4];
   int cnt = 0;
   if (nd.left < 0) {
-    // Root-is-leaf degenerate: single-slot node.
-    slots[cnt] = ~(int32_t)0;  // placeholder, filled below
-    boxes[cnt++] = nd.box;
+    // Root-is-leaf degenerate: single-slot node over one packed leaf.
     int32_t self = (int32_t)s4.nodes.size();
     s4.nodes.emplace_back();
+    int32_t enc = pack_leaf4(s2, s4, nd);
     Node4& out = s4.nodes[(size_t)self];
     for (int i = 0; i < 4; ++i) {
       out.child[i] = -1;
@@ -478,9 +508,7 @@ static int32_t collapse4(const Scene& s2, Scene4& s4, int32_t n2) {
       out.loy[i] = 1.f; out.hiy[i] = -1.f;
       out.loz[i] = 1.f; out.hiz[i] = -1.f;
     }
-    int32_t lf = (int32_t)s4.leaves.size();
-    s4.leaves.push_back({0, 0});  // chunks filled by caller helper
-    out.child[0] = -lf - 2;
+    out.child[0] = enc;
     out.lox[0] = nd.box.lo.x; out.hix[0] = nd.box.hi.x;
     out.loy[0] = nd.box.lo.y; out.hiy[0] = nd.box.hi.y;
     out.loz[0] = nd.box.lo.z; out.hiz[0] = nd.box.hi.z;
@@ -518,30 +546,7 @@ static int32_t collapse4(const Scene& s2, Scene4& s4, int32_t n2) {
     const Node& c = s2.nodes[(size_t)slots[i]];
     int32_t enc;
     if (c.left < 0) {
-      int32_t lf = (int32_t)s4.leaves.size();
-      int32_t c0 = (int32_t)s4.chunks.size();
-      int32_t nch = (c.count + 3) / 4;
-      for (int32_t g = 0; g < nch; ++g) {
-        Chunk4 ch;
-        for (int l = 0; l < 4; ++l) {
-          int32_t k = c.first + g * 4 + l;
-          if (k < c.first + c.count) {
-            int32_t tri = s2.order[(size_t)k];
-            ch.idx[l] = tri;
-            for (int vtx = 0; vtx < 3; ++vtx)
-              for (int ax = 0; ax < 3; ++ax)
-                ch.v[vtx][ax][l] = s2.tris[(size_t)tri * 9 + vtx * 3 + ax];
-          } else {
-            ch.idx[l] = -1;
-            for (int vtx = 0; vtx < 3; ++vtx)
-              for (int ax = 0; ax < 3; ++ax)
-                ch.v[vtx][ax][l] = std::numeric_limits<float>::quiet_NaN();
-          }
-        }
-        s4.chunks.push_back(ch);
-      }
-      s4.leaves.push_back({c0, nch});
-      enc = -lf - 2;
+      enc = pack_leaf4(s2, s4, c);
     } else {
       enc = collapse4(s2, s4, slots[i]);
     }
@@ -644,32 +649,6 @@ void* rtko_build4(const float* tris, int64_t n, int leaf_max) {
   auto* s4 = new Scene4();
   s4->tris = s2->tris;
   collapse4(*s2, *s4, s2->root);
-  // Degenerate root-leaf: fill the placeholder leaf's chunks.
-  if (s2->nodes[(size_t)s2->root].left < 0 && !s4->leaves.empty() &&
-      s4->leaves[0].chunk_count == 0) {
-    const Node& c = s2->nodes[(size_t)s2->root];
-    int32_t nch = (c.count + 3) / 4;
-    for (int32_t g = 0; g < nch; ++g) {
-      Chunk4 ch;
-      for (int l = 0; l < 4; ++l) {
-        int32_t k = c.first + g * 4 + l;
-        if (k < c.first + c.count) {
-          int32_t tri = s2->order[(size_t)k];
-          ch.idx[l] = tri;
-          for (int vtx = 0; vtx < 3; ++vtx)
-            for (int ax = 0; ax < 3; ++ax)
-              ch.v[vtx][ax][l] = s2->tris[(size_t)tri * 9 + vtx * 3 + ax];
-        } else {
-          ch.idx[l] = -1;
-          for (int vtx = 0; vtx < 3; ++vtx)
-            for (int ax = 0; ax < 3; ++ax)
-              ch.v[vtx][ax][l] = std::numeric_limits<float>::quiet_NaN();
-        }
-      }
-      s4->chunks.push_back(ch);
-    }
-    s4->leaves[0] = {0, nch};
-  }
   delete s2;
   return s4;
 }
@@ -695,7 +674,11 @@ void rtko_trace4(const void* scene, const float* rays, int64_t n, int mode,
     const __m128 px = _mm_set1_ps(r.o.x), py = _mm_set1_ps(r.o.y),
                  pz = _mm_set1_ps(r.o.z);
     struct Ent { int32_t node; float t; };
-    Ent stack[256];
+    // Bound: build_node caps BVH2 depth at 64, collapse4 never deepens,
+    // and each visit pops 1 and pushes <= 4, so live entries <= 3*64+1.
+    // 512 gives slack; the push guard below is then unreachable (a
+    // silent drop here would corrupt the parity baseline).
+    Ent stack[512];
     int sp = 0;
     stack[sp++] = {0, r.mint};
     while (sp) {
@@ -750,7 +733,7 @@ void rtko_trace4(const void* scene, const float* rays, int64_t n, int mode,
         while (b >= 0 && add[b].t < key.t) { add[b + 1] = add[b]; --b; }
         add[b + 1] = key;
       }
-      for (int a = 0; a < na && sp < 256; ++a) stack[sp++] = add[a];
+      for (int a = 0; a < na && sp < 512; ++a) stack[sp++] = add[a];
     }
     out_t[i] = best_t;
     out_u[i] = best_u;

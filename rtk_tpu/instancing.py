@@ -81,6 +81,15 @@ def merge_blas(scenes: Sequence[Scene]) -> tuple[Scene, np.ndarray]:
     for s in scenes:
         if s.leaf_size != k or s.branching != w:
             raise ValueError("BLAS scenes must share leaf_size/branching")
+        if not s.has_wide:
+            # The merge offsets binary AND wide ids by node_child row
+            # counts (equal only when the wide arrays are real), and the
+            # instanced exactness residual traverses the merged scene
+            # through the XLA stack engine, which needs them.
+            raise ValueError(
+                "BLAS scenes must be built with wide_nodes=True "
+                "(the instanced path's stack-engine residual and the "
+                "merge offsets need the wide node arrays)")
 
     node_off = np.cumsum([0] + [s.node_child.shape[0] for s in scenes])
     leaf_off = np.cumsum([0] + [s.num_padded_tris // k for s in scenes])

@@ -209,7 +209,10 @@ def save_packed_scene(packed, f: Union[str, BinaryIO]) -> int:
     arrays = {name: getattr(packed, name) for name in _PACKED_FIELDS}
     # meta slot 2 was kz_tables (a pruned r3 experiment); kept as 0 so the
     # on-disk layout is unchanged and old readers still parse new blobs.
-    meta = (packed.num_tris, packed.leaf_size, 0)
+    # Slot 3 (r5): wide arity of the node table (8 classic, 16 = W=16
+    # tables) — without it a W=16 blob would reload as branching=8 and
+    # the kernel would misread the 16-row-stride table.
+    meta = (packed.num_tris, packed.leaf_size, 0, packed.branching)
     return _save_container(KIND_PACKED, arrays, meta, f)
 
 
@@ -226,8 +229,10 @@ def load_packed_scene(f):
         # the kernel.  Repack the scene to migrate.
         raise ValueError("blob was saved with kz_tables=True, which is "
                          "no longer supported; re-pack the scene")
+    branching = int(meta_ints[3]) if len(meta_ints) > 3 else 8
     return PackedScene(
         num_tris=int(num_tris), leaf_size=int(leaf_size),
+        branching=branching,
         **{n: arrays[n] for n in _PACKED_FIELDS})
 
 
@@ -241,6 +246,9 @@ def save_instanced_scene(iscene, f: Union[str, BinaryIO]) -> int:
     for n in _INSTANCED_FIELDS:
         arrays[n] = getattr(iscene, n)
     m = iscene.merged
+    # merged scenes always carry real wide arrays (merge_blas rejects
+    # wide_nodes=False BLAS), so _scene_from's has_wide=True default is
+    # correct for the nested load.
     meta = (m.num_tris, m.leaf_size, m.branching, m.num_leaves,
             *iscene.blas_tris)
     return _save_container(KIND_INSTANCED, arrays, meta, f)

@@ -56,6 +56,25 @@ def test_w16_parity_camera():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_w16_packed_serialize_roundtrip():
+    """branching must survive save/load (a W=16 blob reloading as 8
+    would misread the 16-row-stride node table)."""
+    import io
+
+    from rtk_tpu.utils.serialize import load_packed_scene, save_packed_scene
+
+    _, p16 = _packs()
+    buf = io.BytesIO()
+    save_packed_scene(p16, buf)
+    p2 = load_packed_scene(buf.getvalue())
+    assert p2.branching == 16
+    cam = scenes.camera_rays((0, 0, 3.0), (0, 0, 0), (0, 1, 0), 45, 24, 24)
+    a = trace_packets(p16, cam, interpret=True, sort_rays=False)
+    b = trace_packets(p2, cam, interpret=True, sort_rays=False)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+
 def test_w16_parity_incoherent_and_any():
     p8, p16 = _packs()
     rng = np.random.default_rng(4)
