@@ -127,3 +127,37 @@ def test_kind_mismatch_rejected(tmp_path):
     save_scene(scene, path)
     with pytest.raises(ValueError, match="kind"):
         load_packed_scene(path)
+
+
+def test_wideless_scene_roundtrip():
+    """BuildConfig(wide_nodes=False) scenes (r5) round-trip with their
+    has_wide flag, keep tracing via the packet path, and the stack
+    engine's guard survives the reload."""
+    import io
+
+    import jax.numpy as jnp
+    import pytest
+
+    from rtk_tpu import BuildConfig, trace_closest
+    from rtk_tpu.ops.pallas_trace import trace_packets
+    from rtk_tpu.scene import build_from_soup
+    from rtk_tpu.testing import scenes
+    from rtk_tpu.trace.packed import pack_scene
+    from rtk_tpu.utils.serialize import load_scene, save_scene
+
+    tris = scenes.cornell_box()
+    scene = build_from_soup(jnp.asarray(tris),
+                            config=BuildConfig(branching=8, leaf_size=8,
+                                               wide_nodes=False))
+    assert not scene.has_wide
+    buf = io.BytesIO()
+    save_scene(scene, buf)
+    s2 = load_scene(buf.getvalue())
+    assert not s2.has_wide
+    cam = scenes.cornell_camera(16, 16)
+    a = trace_packets(pack_scene(scene), cam, interpret=True)
+    b = trace_packets(pack_scene(s2), cam, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    with pytest.raises(ValueError, match="wide_nodes"):
+        trace_closest(s2, cam)
